@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Drive the driver contract (__spark_entry__.py) end-to-end, as the round
+driver does: fresh import, entry() smoke, then every queries() entry vs its
+oracle_sql() on DuckDB with exact value comparison.
+
+Usage: python scripts/drive_contract.py [--sf sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def compare(sp: pd.DataFrame, dp: pd.DataFrame) -> tuple[bool, bool, bool, str]:
+    ok_cols = sorted(sp.columns) == sorted(dp.columns)
+    ok_rows = len(sp) == len(dp)
+    ok_vals = True
+    detail = ""
+    if ok_cols and ok_rows:
+        sp = sp[sorted(sp.columns)]
+        dp = dp[sorted(dp.columns)]
+        key_s = sp.apply(lambda r: tuple(repr(v) for v in r), axis=1)
+        key_d = dp.apply(lambda r: tuple(repr(v) for v in r), axis=1)
+        if len(sp):
+            sp = sp.iloc[key_s.argsort(kind="mergesort").to_numpy()].reset_index(drop=True)
+            dp = dp.iloc[key_d.argsort(kind="mergesort").to_numpy()].reset_index(drop=True)
+        for c in sp.columns:
+            a, b = sp[c], dp[c]
+            if pd.api.types.is_datetime64_any_dtype(a) or pd.api.types.is_datetime64_any_dtype(b):
+                a = pd.to_datetime(a).astype("datetime64[us]")
+                b = pd.to_datetime(b).astype("datetime64[us]")
+            else:
+                try:
+                    b = b.astype(a.dtype)
+                except (TypeError, ValueError):
+                    pass
+            eq = a.equals(b)
+            if not eq:
+                neq = a.ne(b) & ~(a.isna() & b.isna())
+                if neq.any():
+                    i = int(neq.idxmax())
+                    detail += f" [{c}@{i}: {a.iloc[i]!r} != {b.iloc[i]!r}]"
+                    ok_vals = False
+    return ok_cols, ok_rows, ok_vals, detail
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    sf_dir = f"/root/testdata/{args.sf}"
+
+    mod = load_entry_module()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = mod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows")
+    assert len(rows) > 0, "entry() produced no rows"
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle_sql keys must be subset of queries"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = sorted(qs) if not args.only else args.only.split(",")
+    failed = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"{name}: rows-only, {n} rows")
+                continue
+            sp = sdf.toPandas()
+            dp = con.execute(oracles[name]).df()
+            ok_cols, ok_rows, ok_vals, detail = compare(sp, dp)
+            status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+            print(
+                f"{name}: cols={ok_cols} rowcount={ok_rows}({len(sp)}) "
+                f"values_exact={ok_vals} {status}{detail}"
+            )
+            if status == "FAIL":
+                failed.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
+
+    spark.stop()
+    if failed:
+        print(f"DRIVE FAILED: {failed}")
+        return 1
+    print("DRIVE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,6 @@
+"""Operator inventory (SURVEY.md §2B) — importing this package registers
+every query into :mod:`streaming_data_ingestion_spark.registry`."""
+
+from streaming_data_ingestion_spark.queries import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,205 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+The reference computes no aggregates at all (its only dataflow is
+decode→project→sink, /root/reference/spark-streaming.py:169-171); this whole
+family is mandated by the north star. Everything is
+``groupBy().agg()`` — Catalyst plans a partial (map-side) HashAggregate,
+a shuffle on the group keys, and a final HashAggregate, which is the right
+physical shape at any scale. No ORDER BY: the driver's value-hash is
+order-insensitive, and a global sort of an aggregate output is wasted work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import DEC, davg, dsum, sql_davg, sql_dsum
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_agg_group — the flagship: TPC-H Q1 pricing summary shape.
+# --------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02"
+
+_Q_AGG_GROUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity", "sum_qty")},
+  {sql_dsum("l_extendedprice", "sum_base_price")},
+  {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {sql_davg("l_quantity", "avg_qty")},
+  {sql_davg("l_extendedprice", "avg_price")},
+  {sql_davg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_group", oracle=_Q_AGG_GROUP_ORACLE, tags=("agg", "flagship"))
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Scan → pushed filter on l_shipdate → partial+final hash aggregate on
+    (l_returnflag, l_linestatus). Row-level arithmetic in double;
+    sums via decimal for cross-engine determinism (see compat.py).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_global — ungrouped aggregates.
+# --------------------------------------------------------------------------
+
+_Q_AGG_GLOBAL_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(o_custkey) AS n_cust_nonnull,
+  {sql_dsum("o_totalprice", "sum_price")},
+  {sql_davg("o_totalprice", "avg_price")},
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  MIN(o_orderdate) AS first_order,
+  MAX(o_orderdate) AS last_order
+FROM orders
+"""
+
+
+@query("q_agg_global", oracle=_Q_AGG_GLOBAL_ORACLE, tags=("agg",))
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/avg/min/max over orders (single-partition final)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_cust_nonnull"),
+        dsum("o_totalprice", "sum_price"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_distinct — COUNT(DISTINCT), SUM(DISTINCT).
+# --------------------------------------------------------------------------
+
+_Q_AGG_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_distinct", oracle=_Q_AGG_DISTINCT_ORACLE, tags=("agg",))
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates — Catalyst expands to a two-phase aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_having — post-aggregation filter.
+# --------------------------------------------------------------------------
+
+_Q_AGG_HAVING_ORACLE = f"""
+SELECT
+  o_custkey,
+  COUNT(*) AS n_orders,
+  {sql_dsum("o_totalprice", "total_spend")}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 3
+"""
+
+
+@query("q_agg_having", oracle=_Q_AGG_HAVING_ORACLE, tags=("agg",))
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — a filter above the aggregate in the same stage."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_rollup — ROLLUP hierarchy totals.
+# --------------------------------------------------------------------------
+
+_Q_AGG_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_items,
+  {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_agg_rollup", oracle=_Q_AGG_ROLLUP_ORACLE, tags=("agg",))
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) — Expand + aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_approx — HLL++ approximate count-distinct (rows-only check: the
+# sketch's estimate is engine-specific, so no DuckDB value oracle).
+# --------------------------------------------------------------------------
+
+
+@query("q_agg_approx", oracle=None, tags=("agg", "approx"))
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per return flag.
+
+    Sketches merge associatively, so this stays a single shuffle at any
+    scale — the point of using HLL instead of exact distinct at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
