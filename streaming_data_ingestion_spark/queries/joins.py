@@ -1,0 +1,231 @@
+"""Join operators (SURVEY.md §2B "Joins").
+
+The reference never joins (its pipeline is a stateless map); this family is
+north-star mandate. Physical strategy is left to Catalyst + AQE except where
+a hint is the correct scale decision:
+
+- dimension tables (region/nation/supplier) are broadcast — at 100 TB the
+  fact table never shuffles for a 25-row dimension;
+- the range join is an equi-join on a key (user_id) with a range predicate
+  *as a post-join filter*, so it stays a hash join instead of degenerating
+  into BroadcastNestedLoop;
+- multi-join chains rely on AQE join reordering + skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import dsum, sql_dsum
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_join_inner — equi inner join fact ⋈ dim.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 200000.0
+""",
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer on custkey; Catalyst broadcasts the small side."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_multi — 5-table chain (TPC-H Q5 shape): revenue per nation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_multi",
+    oracle=f"""
+SELECT
+  n.n_name,
+  r.r_name,
+  {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name, r.r_name
+""",
+    tags=("join", "agg"),
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders⋈customer⋈nation⋈region → revenue per nation.
+
+    The two big tables meet in one shuffled join on l_orderkey; customer,
+    nation, region ride along as broadcasts. AQE reorders/coalesces at
+    runtime.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_outer — left outer with join-time predicate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000.0
+""",
+    tags=("join",),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN high-value orders — unmatched customers keep
+    NULL order columns (the predicate lives in the ON clause, not WHERE)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_semi_anti",
+    oracle="""
+SELECT 'semi' AS tag, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')
+UNION ALL
+SELECT 'anti' AS tag, c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join",),
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS), tagged + unioned.
+
+    Semi/anti joins never materialize the probe side's payload — at scale
+    they shuffle only the keys of the build side.
+    """
+    c = load(spark, sf_dir, "customer")
+    o_f = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o = load(spark, sf_dir, "orders")
+    semi = (
+        c.join(o_f, c.c_custkey == o_f.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("tag"), "c_custkey")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("tag"), "c_custkey")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# q_join_broadcast — explicit broadcast hint on the dimension chain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast(nation), broadcast(region): the customer scan
+    never shuffles for the join — only the final aggregate shuffles."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_range — banded self-join on event time.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_range",
+    oracle="""
+SELECT e1.user_id, COUNT(*) AS n_followups
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+WHERE e1.event_type = 'click'
+GROUP BY e1.user_id
+""",
+    tags=("join", "range"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events followed by another event of the same user
+    within 5 minutes.
+
+    The equi key (user_id) carries the join — Catalyst plans a hash join
+    on user_id and evaluates the time band as a residual filter. Without
+    the equi key this would be a BroadcastNestedLoopJoin (quadratic);
+    with it the cost is per-user-group, which survives scale-out.
+    """
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "click").alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond, "inner")
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )

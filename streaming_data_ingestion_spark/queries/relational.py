@@ -1,0 +1,248 @@
+"""Scans, casts, JSON decode, filters, sorts, set ops (SURVEY.md §2B).
+
+These map the reference's only real dataflow — Kafka scan → cast →
+``from_json`` decode → flatten (/root/reference/spark-streaming.py:169-171) —
+onto batch parquet, and add the filter/sort/set surface the north star
+mandates. Everything is a declarative DataFrame plan: filters and
+projections push down into the parquet scan (visible as PushedFilters /
+ReadSchema in ``.explain``), which is what keeps a 100 TB scan from reading
+columns or row groups it doesn't need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_scan_project — parquet scan + column projection (pruned read).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+FROM lineitem
+""",
+    tags=("scan",),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-only scan: ReadSchema must contain exactly these 4 columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_json_decode — the reference's core operator: parse a JSON string column
+# with a declared schema and flatten (spark-streaming.py:159-171 shape).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_json_decode",
+    oracle="""
+SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_value
+FROM events
+""",
+    tags=("json", "reference-parity"),
+)
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with declared StructType + struct flatten.
+
+    Reference parity: /root/reference/spark-streaming.py:159-171 does the
+    identical from_json(col, schema).select('data.*') on the Kafka value.
+    """
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id", F.from_json(F.col("props"), schema).alias("data")
+    ).select("event_id", F.col("data.k").alias("k_value"))
+
+
+# --------------------------------------------------------------------------
+# q_cast_types — string↔numeric↔timestamp casts (reference's selectExpr
+# CAST shape, spark-streaming.py:169).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cast_types",
+    oracle="""
+SELECT
+  event_id,
+  CAST(event_id AS VARCHAR) AS id_str,
+  CAST(CAST(ts AS DATE) AS VARCHAR) AS day_str,
+  CAST(FLOOR(value) AS BIGINT) AS value_floor,
+  CAST(ROUND(value, 0) AS BIGINT) AS value_int,
+  CAST('42' AS BIGINT) AS const_int,
+  CAST('2024-06-01 12:00:00' AS TIMESTAMP) AS const_ts
+FROM events
+""",
+    tags=("cast", "reference-parity"),
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family. Note double→int: Spark truncates, DuckDB rounds —
+    so the int conversion goes through an explicit floor/round that both
+    engines implement identically."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("ts").cast("date").cast("string").alias("day_str"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+        F.round("value", 0).cast("bigint").alias("value_int"),
+        F.lit("42").cast("bigint").alias("const_int"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("const_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_filter_simple / q_filter_compound — predicate pushdown surface.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_simple",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity > 45.0
+""",
+    tags=("filter",),
+)
+def q_filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single pushed predicate (shows up in PushedFilters)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "q_filter_compound",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_totalprice BETWEEN 50000.0 AND 300000.0
+  AND NOT (o_orderpriority LIKE '3%')
+  AND o_custkey IS NOT NULL
+  AND (o_orderpriority LIKE '%URGENT' OR o_orderpriority LIKE '%HIGH'
+       OR o_orderpriority = '5-LOW')
+""",
+    tags=("filter",),
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT + IN + BETWEEN + IS NULL + LIKE in one predicate tree."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(50000.0, 300000.0)
+        & ~F.col("o_orderpriority").like("3%")
+        & F.col("o_custkey").isNotNull()
+        & (
+            F.col("o_orderpriority").like("%URGENT")
+            | F.col("o_orderpriority").like("%HIGH")
+            | (F.col("o_orderpriority") == "5-LOW")
+        )
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# q_sort_limit — global top-k (TakeOrderedAndProject, no full sort).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+    tags=("sort",),
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-by + limit. Catalyst plans TakeOrderedAndProject: each
+    partition keeps a 25-row heap, only 25×P rows reach the driver-side
+    merge — the only sane top-k at 100 TB. o_orderkey tie-breaker makes
+    the result set deterministic."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_set_union / q_set_intersect_except.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_set_union",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+""",
+    tags=("setop",),
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets — unionByName + distinct (one
+    shuffle for the dedup)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.unionByName(o).distinct()
+
+
+@query(
+    "q_set_intersect_except",
+    oracle="""
+SELECT 'intersect' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+  INTERSECT
+  SELECT o_custkey AS k FROM orders
+)
+UNION ALL
+SELECT 'except' AS tag, k FROM (
+  SELECT c_custkey AS k FROM customer
+  EXCEPT
+  SELECT o_custkey AS k FROM orders
+)
+""",
+    tags=("setop",),
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT, tagged and unioned into one result."""
+    cust_pos = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    cust_all = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    order_cust = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    inter = cust_pos.intersect(order_cust).select(
+        F.lit("intersect").alias("tag"), "k"
+    )
+    exc = cust_all.exceptAll(order_cust).distinct().select(
+        F.lit("except").alias("tag"), "k"
+    )
+    return inter.unionByName(exc)

@@ -1,0 +1,188 @@
+"""Window-function operators (SURVEY.md §2B "Window functions").
+
+Every window carries a total-order tie-breaker (a unique key in the ORDER
+BY) so ranks and frames are deterministic across engines — the oracle
+hash-compares values, and an untied ORDER BY is nondeterministic in both
+Spark and DuckDB.
+
+Scale note: a window partitioned by a reasonable-cardinality key (custkey,
+user_id) is one shuffle + per-partition sort — fine at 100 TB. What we never
+do is an un-partitioned window over the whole table (single-task sort).
+Frame sums go through DECIMAL like all other sums (see compat.py): Spark
+and DuckDB walk frames in different orders/structures, so a raw double
+running sum would drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_win_rank — row_number / rank / dense_rank.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per customer, ordered by price with key tie-breaker."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_win_analytic — lag / lead / first_value.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_analytic",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  value,
+  LAG(value) OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  FIRST_VALUE(value) OVER w AS first_value,
+  LAG(value, 2, -1.0) OVER w AS prev2_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+    tags=("window",),
+)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value along each user's event timeline."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_win_frame — running sum + moving average with explicit ROWS frames.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_frame",
+    oracle=f"""
+SELECT
+  event_id,
+  user_id,
+  {sql_dec_to_double(
+      "SUM(CAST(value AS DECIMAL(38,10))) OVER "
+      "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  )} AS running_sum,
+  {sql_dec_to_double(
+      "SUM(CAST(value AS DECIMAL(38,10))) OVER "
+      "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+  )} / CASE WHEN ROW_NUMBER() OVER
+      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) >= 4
+      THEN 4 ELSE ROW_NUMBER() OVER
+      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) END AS moving_avg
+FROM events
+""",
+    tags=("window",),
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum (unbounded-preceding) + 4-row moving average.
+
+    Sums run in DECIMAL so the two engines' different frame-evaluation
+    orders can't produce drifting doubles; the moving average divides by
+    the actual frame size (min(row_number, 4)) as one double division.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    vdec = F.col("value").cast(DEC)
+    running = (
+        F.sum(vdec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_sum")
+    )
+    frame_sum = F.sum(vdec).over(w.rowsBetween(-3, 0)).cast("double")
+    rn = F.row_number().over(w)
+    moving = (frame_sum / F.when(rn >= 4, F.lit(4)).otherwise(rn)).alias(
+        "moving_avg"
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", running, moving
+    )
+
+
+# --------------------------------------------------------------------------
+# q_win_topk_per_group — the canonical top-k-per-group pattern.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    tags=("window",),
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via rank-filter.
+
+    Spark pushes a per-partition limit into the sort (WindowGroupLimit)
+    before the shuffle, so each group's non-top rows die early — the
+    pattern that keeps per-group top-k linear at scale.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
