@@ -3,7 +3,9 @@ every query into :mod:`streaming_data_ingestion_spark.registry`."""
 
 from streaming_data_ingestion_spark.queries import (  # noqa: F401
     aggregates,
+    functions_scalar,
     joins,
     relational,
+    streaming_analogs,
     windows,
 )
