@@ -5,7 +5,11 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     aggregates,
     functions_scalar,
     joins,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
     relational,
     streaming_analogs,
+    udfs,
     windows,
 )

@@ -38,7 +38,7 @@ SELECT
   lower(c_name) AS name_lower,
   substring(c_name, 10, 5) AS name_sub,
   trim('  ' || c_mktsegment || ' ') AS seg_trim,
-  length(c_name) AS name_len,
+  CAST(length(c_name) AS INTEGER) AS name_len,
   str_split(c_name, '#')[2] AS cust_num,
   regexp_extract(c_name, '([0-9]+)', 1) AS digits,
   regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
@@ -82,14 +82,14 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   event_id,
-  year(ts) AS y,
-  month(ts) AS mo,
-  day(ts) AS d,
-  hour(ts) AS h,
-  dayofweek(ts) + 1 AS dow,
+  CAST(year(ts) AS INTEGER) AS y,
+  CAST(month(ts) AS INTEGER) AS mo,
+  CAST(day(ts) AS INTEGER) AS d,
+  CAST(hour(ts) AS INTEGER) AS h,
+  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
   CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS TIMESTAMP) AS month_start,
-  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since,
   CAST(CAST(ts AS DATE) + 7 AS VARCHAR) AS week_later,
   CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec
 FROM events
@@ -128,12 +128,12 @@ SELECT
   l_orderkey,
   l_linenumber,
   abs(l_extendedprice - 50000.0) AS abs_dev,
-  ceil(l_extendedprice) AS price_ceil,
-  floor(l_extendedprice) AS price_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
   pow(l_quantity, 2) AS qty_sq,
   sqrt(l_extendedprice) AS price_sqrt,
   round(ln(l_quantity), 10) AS qty_ln,
-  sign(l_discount - 0.05) AS disc_sign,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
   CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
   CASE
     WHEN l_quantity >= 40 THEN 'bulk'
@@ -181,7 +181,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   vec_id,
-  len(embedding) AS dim,
+  CAST(len(embedding) AS INTEGER) AS dim,
   CAST(embedding[1] AS DOUBLE) AS first_dim,
   CAST(embedding[64] AS DOUBLE) AS last_dim,
   CAST(list_max(embedding) AS DOUBLE) AS max_dim,

@@ -1,0 +1,280 @@
+"""Near-duplicate detection operators (north-star mandate: MinHash+LSH,
+SimHash, n-gram Jaccard — SURVEY.md §2B "LLM-data-pipeline operators").
+
+Design for 100 TB:
+- Signatures (minhash, simhash, fingerprints) are computed in one pass per
+  document with higher-order array functions or one explode+re-aggregate —
+  never a self-join over raw text.
+- Candidate generation is banded (LSH): documents only meet if a band hash
+  collides, so the join key is a short hash, and the pair space is the
+  collision space, not n².
+- The exact verify (Jaccard) runs only on candidate pairs.
+
+Everything here is still DuckDB-expressible (md5 + list functions exist in
+both engines), so even the LSH pipeline is value-checked against an oracle,
+not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# Shared tokenization (same as llm_text).
+_SQL_TOKENS = "list_filter(str_split(trim(text), ' '), t -> t != '')"
+
+
+def _tokens() -> Column:
+    return F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+
+
+# Word 3-gram shingles as an array column (no explode).
+def _shingles(t: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+        ),
+    )
+
+
+_SQL_SHINGLES = f"""
+list_transform(
+  range(1, greatest(len({_SQL_TOKENS}) - 1, 2)),
+  i -> concat_ws(' ', {_SQL_TOKENS}[i], {_SQL_TOKENS}[i+1], {_SQL_TOKENS}[i+2])
+)
+"""
+
+_N_HASHES = 12
+_N_BANDS = 3  # 4 hashes per band
+
+
+# --------------------------------------------------------------------------
+# q_dedup_minhash — banded MinHash signatures (the LSH index itself).
+# --------------------------------------------------------------------------
+
+
+def _sql_minhash(j: int) -> str:
+    return (
+        f"list_min(list_transform({_SQL_SHINGLES}, s -> md5(s || '|{j}')))"
+    )
+
+
+_Q_MINHASH_ORACLE = f"""
+WITH sigs AS (
+  SELECT
+    doc_id,
+    {", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(_N_HASHES))}
+  FROM documents
+)
+SELECT doc_id, band_idx, band_hash FROM (
+  SELECT doc_id, 0 AS band_idx,
+         md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', mh4, mh5, mh6, mh7)) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(concat_ws('|', mh8, mh9, mh10, mh11)) FROM sigs
+)
+"""
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id × (band_idx, band_hash): 12 md5-minhashes folded into 3 bands."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(_tokens())
+
+    def salted_md5(j: int):
+        # closure factory: a default-arg lambda would be read by transform()
+        # as the 2-param (value, index) form, binding j to the element index
+        return lambda s: F.md5(F.concat(s, F.lit(f"|{j}")))
+
+    mh = [
+        F.array_min(F.transform(sh, salted_md5(j))).alias(f"mh{j}")
+        for j in range(_N_HASHES)
+    ]
+    sigs = d.select("doc_id", *mh)
+    bands = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{4 * b + k}") for k in range(4)])
+            ).alias("band_hash"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    out = bands[0]
+    for bdf in bands[1:]:
+        out = out.unionByName(bdf)
+    return out
+
+
+@query("q_dedup_minhash", oracle=_Q_MINHASH_ORACLE, tags=("llm", "dedup", "lsh"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature → LSH bands, one row per (doc, band).
+
+    Shingle → 12 minhash permutations (md5 with per-permutation salt) →
+    3 bands of 4. All per-document array math — zero shuffles until a
+    consumer groups by band_hash. Near-dups collide in ≥1 band with
+    probability 1-(1-s^4)^3 for Jaccard similarity s.
+    """
+    return _minhash_bands(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q_dedup_minhash_pairs — LSH candidate pairs (band-hash join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=f"""
+WITH bands AS ({_Q_MINHASH_ORACLE})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any LSH band.
+
+    The join key is (band_idx, band_hash) — a hash join whose output is
+    the collision set only. This is the scale path: n² never happens;
+    skew (a degenerate band bucket) is handled by AQE skew-join splitting.
+    """
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_simhash — 32-bit SimHash fingerprints.
+# --------------------------------------------------------------------------
+
+_HIGH_HEX = "('8','9','a','b','c','d','e','f')"
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, md5(t) AS h
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+),
+votes AS (
+  SELECT doc_id,
+    {", ".join(
+        f"SUM(CASE WHEN substring(h, {i + 1}, 1) IN {_HIGH_HEX} "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+  {" || ".join(f"(CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END)" for i in range(32))}
+  AS simhash
+FROM votes
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5, one vote per bit (high bit of each hex
+    digit → 32 bits), majority vote per document.
+
+    One explode + one re-aggregate: md5 is computed once per token, the
+    32 votes are just substring tests, and the groupBy(doc_id) partial-
+    aggregates map-side. Documents with small Hamming distance between
+    simhashes are near-dups.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    high = [str(x) for x in "89abcdef"]
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", i + 1, 1).isin(high), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
+    )
+    bit_cols = [
+        F.when(F.col(f"v{i}") >= 0, "1").otherwise("0") for i in range(32)
+    ]
+    return votes.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# q_dedup_ngram_jaccard — exact token-set Jaccard on bounded candidates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct({_SQL_TOKENS}) AS ts
+  FROM documents
+  WHERE source = 'src0'
+)
+SELECT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+FROM toks a
+JOIN toks b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-token Jaccard over candidate pairs (one source
+    partition), keeping pairs ≥ 0.8.
+
+    The candidate scope (same source) stands in for the LSH band join of
+    q_dedup_minhash_pairs — in production the input is that collision
+    set; set sizes come from array_intersect/array_union sizes, which are
+    order-insensitive and engine-agnostic.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", F.array_distinct(_tokens()).alias("ts"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.ts"), F.col("b.ts")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )

@@ -1,0 +1,289 @@
+"""Embedding similarity search (north-star mandate: brute-force top-k
+baseline + LSH/IVF-style scale paths — SURVEY.md §2B).
+
+Embeddings are ``array<float>`` (64-d). All math runs JVM-side with
+higher-order functions — the dot product is a sequential double fold that
+both Spark and DuckDB evaluate identically, so even similarity scores are
+value-checked against the oracle (no tolerance needed).
+
+Scale design:
+- brute force = broadcast the (tiny) query set against the corpus: one
+  scan, no shuffle, embarrassingly parallel — correct baseline at any
+  corpus size as long as the query side is small;
+- the LSH variant buckets vectors by random-hyperplane signs so candidate
+  sets shrink ~2^bits-fold before exact scoring — the same
+  signature-then-verify shape as MinHash dedup;
+- the IVF-style variant pre-partitions by a coarse cell (label here), the
+  layout a real 100 TB ANN index would persist bucketed/partitioned on disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+_DIM = 64
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold in double — bit-identical to DuckDB list_reduce."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y))
+
+
+def _norm(a: Column) -> Column:
+    ad = _as_double(a)
+    return F.sqrt(_fold_sum(F.zip_with(ad, ad, lambda x, y: x * y)))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+_QUERY_IDS = (0, 1, 2)
+_SQL_QUERY_IDS = ", ".join(str(i) for i in _QUERY_IDS)
+
+
+# --------------------------------------------------------------------------
+# q_sim_topk — brute-force cosine top-k (the exact baseline).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({_SQL_QUERY_IDS})
+),
+scored AS (
+  SELECT
+    q.q_id,
+    e.vec_id,
+    {_sql_dot("q.q_emb", "e.embedding")}
+      / ({_sql_norm("q.q_emb")} * {_sql_norm("e.embedding")}) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors against the whole corpus.
+
+    Plan: broadcast the 3-row query side → BroadcastNestedLoop over the
+    corpus scan (no shuffle of the corpus), then a per-query top-k window.
+    The corpus side streams; only 10×|queries| rows survive. Scales
+    linearly with corpus size and parallelizes perfectly.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+# --------------------------------------------------------------------------
+# q_sim_ann_lsh — random-hyperplane LSH bucketing + within-bucket exact rank.
+# --------------------------------------------------------------------------
+
+_N_PLANES = 6
+
+
+def _sql_plane_sign(j: int, i: str) -> str:
+    # Deterministic pseudo-random ±1 from md5 parity — same text both engines.
+    return (
+        f"(CASE WHEN substring(md5('{j}_' || CAST({i} AS VARCHAR)), 1, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _sql_bucket(emb: str) -> str:
+    bits = []
+    for j in range(_N_PLANES):
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * {_sql_plane_sign(j, 'i')})), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _plane_sign(j: int, i: Column) -> Column:
+    high = list("89abcdef")
+    return F.when(
+        F.substring(F.md5(F.concat(F.lit(f"{j}_"), i.cast("string"))), 1, 1).isin(high),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def _bucket(emb: Column) -> Column:
+    def signed_mult(j: int):
+        # closure factory: zip_with lambdas must take exactly 2 params
+        return lambda x, i: x * _plane_sign(j, i)
+
+    bits = []
+    for j in range(_N_PLANES):
+        dot = _fold_sum(
+            F.zip_with(
+                _as_double(emb),
+                F.sequence(F.lit(1), F.lit(_DIM)),
+                signed_mult(j),
+            )
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+@query(
+    "q_sim_ann_lsh",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+  FROM bucketed WHERE vec_id IN ({_SQL_QUERY_IDS})
+),
+scored AS (
+  SELECT
+    q.q_id,
+    e.vec_id,
+    e.bucket,
+    {_sql_dot("q.q_emb", "e.embedding")}
+      / ({_sql_norm("q.q_emb")} * {_sql_norm("e.embedding")}) AS cosine
+  FROM bucketed e
+  JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, bucket, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+""",
+    tags=("llm", "similarity", "lsh"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 6-bit random-hyperplane bucket signature, exact
+    cosine rank *within the query's bucket only*.
+
+    Hyperplane signs come from md5 parity, so both engines derive the
+    identical planes with no RNG. The bucket equi-join replaces the cross
+    join — candidates shrink ~64× (2^6). At 100 TB the corpus would be
+    written partitioned by bucket so a query touches one partition.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    )
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "bucket",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# q_emb_neardup — embedding-cosine near-duplicate pairs within IVF cells.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_neardup",
+    oracle=f"""
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  {_sql_dot("a.embedding", "b.embedding")}
+    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_dot("a.embedding", "b.embedding")}
+    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= 0.35
+""",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ 0.35 within each label
+    cell (the IVF coarse partition).
+
+    The equi-join on label keeps this a hash join — pair count is
+    Σ_cell n_cell², not n². In production the cells come from a coarse
+    quantizer (k-means); here the fixture's label column plays that role.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = (
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )

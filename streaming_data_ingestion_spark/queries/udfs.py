@@ -1,0 +1,158 @@
+"""UDF surface (SURVEY.md §2B "UDF / UDAF / UDTF surface").
+
+Demonstrates the three Python extension points with deterministic logic so
+even UDF queries are oracle-checked:
+
+- row-wise Python UDF — applied POST-aggregation (24 rows), because a
+  per-row Python UDF on a fact table is the canonical 100 TB anti-pattern;
+- pandas UDF (Arrow-vectorized) — elementwise numpy double math, which is
+  IEEE-identical to the engines' own arithmetic, safe on the full table;
+- applyInPandas (grouped map) — per-group ranking + exact mean
+  (math.fsum is correctly rounded, matching the oracle's exact decimal
+  sum → double), emitting integers/strings + one deterministic double.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_ingestion_spark.compat import dsum, sql_dsum
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_udf_python — row-at-a-time UDF on a (small) aggregated result.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_python",
+    oracle=f"""
+SELECT
+  c_mktsegment,
+  n_customers,
+  CASE WHEN total_bal >= 300000 THEN 'platinum'
+       WHEN total_bal >= 100000 THEN 'gold'
+       ELSE 'standard' END AS tier
+FROM (
+  SELECT c_mktsegment, COUNT(*) AS n_customers,
+         {sql_dsum("c_acctbal", "total_bal")}
+  FROM customer GROUP BY c_mktsegment
+)
+""",
+    tags=("udf",),
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF labeling aggregated segments.
+
+    The UDF runs on |segments| rows, not |customers| — aggregation first,
+    Python last. (A per-row Python UDF over the fact table would serialize
+    every row through the Python worker: the slow path this engine avoids.)
+    """
+
+    @F.udf(T.StringType())
+    def tier(total_bal: float) -> str:
+        if total_bal >= 300000:
+            return "platinum"
+        if total_bal >= 100000:
+            return "gold"
+        return "standard"
+
+    c = load(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_bal"),
+    )
+    return agg.select(
+        "c_mktsegment", "n_customers", tier(F.col("total_bal")).alias("tier")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_udf_pandas — Arrow-vectorized scalar pandas UDF.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+SELECT
+  event_id,
+  value * 1.1 + 5.0 AS boosted,
+  CASE WHEN value * 1.1 + 5.0 > 150.0 THEN 'high' ELSE 'low' END AS bucket
+FROM events
+""",
+    tags=("udf",),
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: numpy float64 elementwise math over Arrow
+    batches — same IEEE ops as the engines, so results are bit-exact.
+    This is the acceptable Python path at scale (~10-100× the row UDF).
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def boost(v: pd.Series) -> pd.Series:
+        return v * 1.1 + 5.0
+
+    ev = load(spark, sf_dir, "events")
+    boosted = boost(F.col("value"))
+    return ev.select(
+        "event_id",
+        boosted.alias("boosted"),
+        F.when(boosted > 150.0, "high").otherwise("low").alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_udf_grouped — applyInPandas (grouped map).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_grouped",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY value DESC, event_id ASC) AS INTEGER) AS value_rank,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (PARTITION BY user_id)
+       AS VARCHAR) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY user_id) AS user_mean
+FROM events
+""",
+    tags=("udf",),
+)
+def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-user rank (by value desc) + exact group mean.
+
+    The mean reproduces compat.py's decimal-sum semantics in Python
+    (quantize each double to 10 dp, sum exactly, one double division) so
+    it matches the oracle bit-for-bit. Grouped-map is the custom-operator
+    escape hatch: one shuffle on the group key, pandas per group.
+    """
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        q10 = decimal.Decimal("1e-10")
+        total = sum(
+            (decimal.Decimal(float(v)).quantize(q10) for v in pdf["value"]),
+            decimal.Decimal(0),
+        )
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["value_rank"] = pdf.index + 1
+        pdf["user_mean"] = float(total) / len(pdf)
+        return pdf[["event_id", "user_id", "value_rank", "user_mean"]]
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="event_id long, user_id long, value_rank int, user_mean double",
+    )

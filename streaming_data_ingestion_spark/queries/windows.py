@@ -34,9 +34,9 @@ SELECT
   o_custkey,
   o_orderkey,
   o_totalprice,
-  ROW_NUMBER() OVER w AS rn,
-  RANK() OVER w AS rnk,
-  DENSE_RANK() OVER w AS drnk
+  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+  CAST(RANK() OVER w AS INTEGER) AS rnk,
+  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """,
@@ -158,8 +158,8 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
   FROM orders
 )
 WHERE rn <= 3

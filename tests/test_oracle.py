@@ -84,6 +84,20 @@ def test_query_matches_oracle(name, spark, ddb):
         f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
 
+    # Strict-ish schema check: numeric kind AND width must agree (the
+    # driver may hash raw buffers; int32-vs-int64 or int-vs-float on the
+    # same column is a latent hash mismatch). datetime resolution differs
+    # by engine (ns vs us) and is normalized by both harnesses.
+    for col in sorted(spark_pdf.columns):
+        a, b = spark_pdf[col].dtype, duck_pdf[col].dtype
+        ka, kb = a.kind, b.kind
+        if "M" in (ka, kb):
+            assert ka == kb, f"{name}.{col}: datetime vs {b}"
+            continue
+        assert (ka, getattr(a, "itemsize", 0)) == (kb, getattr(b, "itemsize", 0)), (
+            f"{name}.{col}: dtype mismatch spark={a} duck={b}"
+        )
+
     s = _sort_rows(_normalize(spark_pdf))
     d = _sort_rows(_normalize(duck_pdf))
     for col in s.columns:
