@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q_agg_group": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect). A warm-up pass primes the JVM/codegen so numbers
+reflect steady-state engine throughput, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_data_ingestion_spark.registry import all_queries
+from streaming_data_ingestion_spark.session import get_spark
+from streaming_data_ingestion_spark.tables import TABLES, load
+
+# Headline set: one representative per operator family, weighted toward
+# shapes that stress scan/shuffle/join/window/LLM paths.
+HEADLINE = (
+    "q_agg_group",           # TPC-H Q1: scan + filter + hash agg
+    "q_agg_rollup",          # grouping-sets expansion
+    "q_join_multi",          # 5-table join chain + agg
+    "q_join_range",          # banded self-join
+    "q_win_topk_per_group",  # window + rank filter
+    "q_win_frame",           # running frames
+    "q_sort_limit",          # global top-k
+    "q_json_decode",         # reference-parity JSON decode
+    "q_stream_session",      # sessionization
+    "q_stream_sliding",      # sliding windows
+    "q_dedup_exact",         # hash dedup
+    "q_dedup_minhash",       # LSH signatures
+    "q_text_tf",             # explode + agg
+    "q_sim_topk",            # brute-force cosine top-k
+    "q_sim_ann_lsh",         # LSH ANN
+    "q_udf_pandas",          # Arrow UDF path
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="sdi-bench")
+
+    # Warm-up: touch every table and run one small pipeline so JVM/codegen/
+    # parquet footer caches are hot before timing.
+    for t in TABLES:
+        load(spark, sf_dir, t).limit(1).count()
+    specs = all_queries()
+    specs["q_agg_group"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,19 +60,31 @@ _N_BANDS = 3  # 4 hashes per band
 # --------------------------------------------------------------------------
 
 
-def _sql_minhash(j: int) -> str:
-    return (
-        f"list_min(list_transform({_SQL_SHINGLES}, s -> md5(s || '|{j}')))"
-    )
+# 12 permutations from 3 md5 calls: each 32-hex md5 yields four independent
+# 8-hex (32-bit) hash chunks. Minhash j = min over shingles of chunk
+# (j % 4) of md5(shingle || '|' || j//4).
 
+_SQL_SIGS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         md5(s || '|0') AS h0, md5(s || '|1') AS h1, md5(s || '|2') AS h2
+  FROM ex
+),
+sigs AS (
+  SELECT doc_id,
+    {", ".join(
+        f"MIN(substring(h{j // 4}, {8 * (j % 4) + 1}, 8)) AS mh{j}"
+        for j in range(_N_HASHES)
+    )}
+  FROM hashed GROUP BY doc_id
+)
+"""
 
 _Q_MINHASH_ORACLE = f"""
-WITH sigs AS (
-  SELECT
-    doc_id,
-    {", ".join(f"{_sql_minhash(j)} AS mh{j}" for j in range(_N_HASHES))}
-  FROM documents
-)
+{_SQL_SIGS}
 SELECT doc_id, band_idx, band_hash FROM (
   SELECT doc_id, 0 AS band_idx,
          md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band_hash FROM sigs
@@ -85,20 +97,30 @@ SELECT doc_id, band_idx, band_hash FROM (
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id × (band_idx, band_hash): 12 md5-minhashes folded into 3 bands."""
+    """doc_id × (band_idx, band_hash): 12 minhash permutations in 3 bands.
+
+    One explode computes each shingle's 3 md5s exactly once; the groupBy
+    partial-aggregates the 12 running minima map-side, so the shuffle
+    carries one 12-column signature row per document per partition —
+    not the shingle stream. (An earlier single-pass higher-order-function
+    version recomputed the shingle array for each of the 12 signature
+    columns after CollapseProject inlined it: 12× the work.)
+    """
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(_tokens())
-
-    def salted_md5(j: int):
-        # closure factory: a default-arg lambda would be read by transform()
-        # as the 2-param (value, index) form, binding j to the element index
-        return lambda s: F.md5(F.concat(s, F.lit(f"|{j}")))
-
-    mh = [
-        F.array_min(F.transform(sh, salted_md5(j))).alias(f"mh{j}")
-        for j in range(_N_HASHES)
-    ]
-    sigs = d.select("doc_id", *mh)
+    ex = d.select("doc_id", F.explode(_shingles(_tokens())).alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat("s", F.lit(f"|{g}"))).alias(f"h{g}")
+            for g in range(3)
+        ],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{j // 4}", 8 * (j % 4) + 1, 8)).alias(f"mh{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
     bands = [
         sigs.select(
             "doc_id",
