@@ -1,0 +1,90 @@
+"""The reference's ingestion pipeline, rebuilt Spark-first.
+
+Reference dataflow (/root/reference/spark-streaming.py): Kafka scan →
+CAST(value AS STRING) (:169) → from_json with declared schema (:159-170) →
+select('data.*') flatten (:171) → foreachBatch sink (:180-197,216-221).
+
+Defects fixed (each cited in SURVEY.md §2A):
+- ``user_id`` primary key was never populated (:87 vs :169-173) → we
+  synthesize it with ``uuid()`` engine-side;
+- ``postcode`` declared LongType against a string wire value (:163) →
+  declared StringType (alphanumeric postcodes survive);
+- no checkpointLocation (:216-221) → always checkpointed, so restarts
+  resume from offsets instead of re-ingesting the topic;
+- ``epoch_id`` ignored in the sink (:180) → parquet append is idempotent
+  per path+mode, and the checkpoint prevents replays.
+
+The source is pluggable: the file JSON stream in tests, Kafka in
+production (sources/kafka.py) — everything from decode onward is shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streaming_data_ingestion_spark.sources.json_stream import USERS_WIRE_SCHEMA
+
+
+def decode_users(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Wire JSON string → typed, flattened, keyed user records.
+
+    from_json + ``select('data.*')`` is the reference's own idiom
+    (/root/reference/spark-streaming.py:170-171); ``uuid()`` fixes the
+    never-populated primary key.
+    """
+    return (
+        raw.select(
+            F.from_json(F.col(value_col), USERS_WIRE_SCHEMA).alias("data")
+        )
+        .select("data.*")
+        .withColumn("user_id", F.expr("uuid()"))
+    )
+
+
+def decode_users_from_files(stream: DataFrame) -> DataFrame:
+    """Same decode for a file-source stream that already parsed the JSON
+    (schema declared at read): only key synthesis is needed."""
+    return stream.withColumn("user_id", F.expr("uuid()"))
+
+
+def run_ingest(
+    decoded: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Checkpointed micro-batch append into parquet via foreachBatch.
+
+    foreachBatch keeps the reference's sink shape
+    (/root/reference/spark-streaming.py:216-221) — per-batch bridge to a
+    batch writer — with the checkpoint the reference forgot.
+    ``availableNow`` drains everything currently available then stops:
+    the Spark-native replacement for the reference's 30-second wall-clock
+    producer loop (/root/reference/dags/kafka-streamer.py:38-49).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # mode('append') parity with the reference's Cassandra write
+        # (/root/reference/spark-streaming.py:193-197)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    writer = (
+        decoded.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_users_from_json_dir(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """End-to-end: JSON-lines dir → decode → keyed records → parquet."""
+    from streaming_data_ingestion_spark.sources.json_stream import read_json_stream
+
+    stream = read_json_stream(spark, in_dir)
+    return run_ingest(decode_users_from_files(stream), out_dir, checkpoint_dir)

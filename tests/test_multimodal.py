@@ -1,0 +1,60 @@
+"""Multimodal binary-column plumbing tests (decode is a deterministic
+fake; the Spark-side schema/batch shapes are the real thing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.multimodal.binary_ops import (
+    _decode_real,
+    attach_binary,
+    dedup_by_digest,
+    extract_features,
+    resize_thumbnails,
+)
+from streaming_data_ingestion_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def test_attach_binary_schema(spark):
+    b = attach_binary(load(spark, SF_DIR, "documents"))
+    kinds = dict(b.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<mime:string,n_bytes:bigint,digest:string")
+    row = b.select("meta.n_bytes", F.octet_length("payload").alias("n")).first()
+    assert row["n_bytes"] == row["n"]
+
+
+def test_extract_features_batches(spark):
+    b = attach_binary(load(spark, SF_DIR, "documents")).repartition(4)
+    feats = extract_features(b, fake=True)
+    rows = feats.collect()
+    assert len(rows) == load(spark, SF_DIR, "documents").count()
+    for r in rows[:10]:
+        assert len(r.feat) == 16
+        assert abs(sum(r.feat) - 1.0) < 1e-9  # normalized histogram
+    # payload column dropped: only features shuffle downstream
+    assert "payload" not in feats.columns
+
+
+def test_resize_thumbnails(spark):
+    b = attach_binary(load(spark, SF_DIR, "documents"))
+    t = resize_thumbnails(b, max_bytes=32)
+    assert t.filter(F.col("thumb_bytes") > 32).count() == 0
+    assert dict(t.dtypes)["thumb"] == "binary"
+
+
+def test_dedup_by_digest(spark):
+    b = attach_binary(load(spark, SF_DIR, "documents"))
+    d = dedup_by_digest(b)
+    # fixture texts are unique → one group per doc, all n_copies == 1
+    assert d.count() == load(spark, SF_DIR, "documents").count()
+    assert d.filter(F.col("n_copies") != 1).count() == 0
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00\x01")

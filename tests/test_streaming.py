@@ -1,0 +1,179 @@
+"""Streaming smoke/e2e tests.
+
+Strategy (SURVEY.md §5.2): drive finite fixtures through real streaming
+queries (memory sink or foreachBatch + availableNow), then assert
+batch-equivalence — Structured Streaming's prefix-consistency means a
+stream run to completion must equal the same query in batch mode.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.queries.streaming_analogs import (
+    q_stream_session,
+    q_stream_tumbling,
+)
+from streaming_data_ingestion_spark.sources.http_source import fake_users_json_lines
+from streaming_data_ingestion_spark.sources.json_stream import read_events_stream
+from streaming_data_ingestion_spark.streaming.ingest import ingest_users_from_json_dir
+from streaming_data_ingestion_spark.streaming.stateful import running_user_totals
+from streaming_data_ingestion_spark.streaming.windows import (
+    dedup_events,
+    enrich_with_users,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from streaming_data_ingestion_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def _run_to_memory(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _collect_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    name = f"tum_{uuid.uuid4().hex[:8]}"
+    stream = tumbling_counts(read_events_stream(spark, SF_DIR))
+    _run_to_memory(stream, name)
+    got = _collect_sorted(spark.sql(f"SELECT * FROM {name}"))
+    want = _collect_sorted(q_stream_tumbling(spark, SF_DIR))
+    assert got == want
+
+
+def test_streaming_session_equals_batch(spark):
+    name = f"ses_{uuid.uuid4().hex[:8]}"
+    stream = session_counts(read_events_stream(spark, SF_DIR))
+    _run_to_memory(stream, name)
+    got = _collect_sorted(spark.sql(f"SELECT * FROM {name}"))
+    want = _collect_sorted(q_stream_session(spark, SF_DIR))
+    assert got == want
+
+
+def test_streaming_sliding_runs(spark):
+    name = f"sli_{uuid.uuid4().hex[:8]}"
+    stream = sliding_counts(read_events_stream(spark, SF_DIR))
+    _run_to_memory(stream, name)
+    n = spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0]
+    # every event lands in exactly 2 sliding windows; window count is
+    # bounded by 2x the tumbling-window count and must be positive
+    assert n > 0
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    # duplicate every event once; streaming dedup must restore uniqueness
+    ev = load(spark, SF_DIR, "events").limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    ev.union(ev).write.parquet(dup_dir)
+
+    schema = spark.read.parquet(dup_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    name = f"ded_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT event_id, count(*) c FROM {name} GROUP BY 1 HAVING c > 1")
+    assert out.count() == 0
+    assert spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0] == 200
+
+
+def test_stream_static_join(spark):
+    events = read_events_stream(spark, SF_DIR)
+    # static dimension: per-user tier derived from the events table itself
+    dim = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_users(events, dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql(
+        f"SELECT count(*) n, count(user_total_events) enriched FROM {name}"
+    ).collect()[0]
+    assert row.n == row.enriched  # every event matched the dimension
+    assert row.n == load(spark, SF_DIR, "events").count()
+
+
+def test_stateful_running_totals(spark):
+    events = read_events_stream(spark, SF_DIR).select("user_id", "value")
+    name = f"sta_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user must equal the batch per-user counts
+    got = spark.sql(
+        f"""SELECT user_id, max_by(n_events, n_events) n
+            FROM {name} GROUP BY user_id"""
+    )
+    want = load(spark, SF_DIR, "events").groupBy("user_id").count()
+    joined = got.join(want, "user_id")
+    assert joined.filter(F.col("n") != F.col("count")).count() == 0
+    assert joined.count() == want.count()
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    """The reference pipeline e2e: JSON wire records → decode → keyed →
+    checkpointed parquet. Includes an alphanumeric postcode (the case the
+    reference's LongType schema nulls) and a duplicate row."""
+    in_dir = tmp_path / "wire"
+    in_dir.mkdir()
+    lines = fake_users_json_lines(25)
+    lines.append(lines[1])  # exact duplicate record
+    (in_dir / "batch0.jsonl").write_text("\n".join(lines))
+
+    out_dir = str(tmp_path / "users_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_users_from_json_dir(spark, str(in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 26
+    assert out.filter(F.col("user_id").isNull()).count() == 0  # PK fixed
+    # alphanumeric postcodes survive as strings (i % 7 == 0 rows)
+    alnum = out.filter(F.col("postcode").rlike("^E[0-9]+ [0-9]AB$"))
+    assert alnum.count() >= 3
+    assert dict(out.dtypes)["postcode"] == "string"
+
+    # restart with same checkpoint: no new input → no duplicate ingestion
+    q2 = ingest_users_from_json_dir(spark, str(in_dir), out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 26
