@@ -32,16 +32,17 @@ def _tokens() -> Column:
 
 
 # Word 3-gram shingles as an array column (no explode).
+#
+# Built as a zip of three slices of the token array rather than
+# transform(sequence, i -> element_at(t, i)...): the lambda body of the
+# latter references the token-array expression per element, and after
+# CollapseProject inlines it, each element_at re-evaluates the split —
+# O(tokens²) per row (measured 10× slower at sf0.1). With slices the
+# token array is evaluated three times total per row, O(tokens).
 def _shingles(t: Column) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i),
-            F.element_at(t, i + 1),
-            F.element_at(t, i + 2),
-        ),
-    )
+    m = F.greatest(F.size(t) - 2, F.lit(1))
+    z = F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m), F.slice(t, 3, m))
+    return F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
 
 
 _SQL_SHINGLES = f"""

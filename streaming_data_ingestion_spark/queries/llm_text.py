@@ -300,17 +300,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint are near-dup candidates (q_dedup_minhash generalizes
     this to a banded signature).
     """
+    from streaming_data_ingestion_spark.queries.llm_dedup import _shingles
+
     d = load(spark, sf_dir, "documents")
-    t = _tokens()
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(t, i),
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2),
-            )
-        ),
-    )
+    # Shingles via zip-of-slices (see llm_dedup._shingles): O(tokens) per
+    # row, vs O(tokens²) for transform(sequence, i -> element_at(t, i)).
+    shingle_hashes = F.transform(_shingles(_tokens()), lambda s: F.md5(s))
     return d.select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
