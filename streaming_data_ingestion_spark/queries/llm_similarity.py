@@ -240,6 +240,122 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_sim_ivf — inverted-file (IVF) ANN: coarse quantize, probe nprobe cells.
+# --------------------------------------------------------------------------
+
+_IVF_K = 8  # coarse centroids
+_IVF_NPROBE = 2  # cells probed per query
+_IVF_QUERY_IDS = (11, 23, 47)
+_SQL_IVF_QUERY_IDS = ", ".join(str(i) for i in _IVF_QUERY_IDS)
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_sql_cos("e.embedding", "c.c_emb")} AS sim
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, centroid_id ASC) AS crn
+  FROM scored
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, centroid_id AS cell
+  FROM ranked
+  WHERE vec_id IN ({_SQL_IVF_QUERY_IDS}) AND crn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id, a.cell,
+         {_sql_cos("p.q_emb", "a.embedding")} AS cosine
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cell, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM cand
+)
+WHERE rnk <= 5
+""",
+    tags=("llm", "similarity", "ivf"),
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest of K
+    deterministic centroids, then answer each query by exact cosine rank
+    over only the nprobe=2 nearest cells.
+
+    The coarse centroids here are the first K corpus vectors (a real
+    index would k-means them — the plan shape is identical): assignment
+    is a broadcast of K rows against the corpus scan, a map-side argmax
+    with no corpus shuffle. Probing joins the (3 queries × 2 cells)
+    probe list against the assignment on the cell id — a broadcast hash
+    join that touches only the probed cells' vectors, Σ nprobe/K of the
+    corpus in expectation. At 100 TB the assignment is written once,
+    partitioned by cell, so the probe join becomes partition pruning.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        _cos(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    cw = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    ranked = scored.withColumn("crn", F.row_number().over(cw))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    probes = ranked.filter(
+        F.col("vec_id").isin(*_IVF_QUERY_IDS) & (F.col("crn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("cell"),
+    )
+    cand = (
+        assign.join(
+            F.broadcast(probes),
+            (assign["cell"] == probes["cell"])
+            & (assign["vec_id"] != probes["q_id"]),
+        )
+        .select(
+            "q_id",
+            assign["vec_id"],
+            assign["cell"],
+            _cos(F.col("q_emb"), assign["embedding"]).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+
+
+# --------------------------------------------------------------------------
 # q_emb_neardup — embedding-cosine near-duplicate pairs within IVF cells.
 # --------------------------------------------------------------------------
 

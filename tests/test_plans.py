@@ -1,0 +1,134 @@
+"""Physical-plan regression tests.
+
+Correctness says a query returns the right rows; these tests pin down that
+it returns them with the *plan we designed for 100 TB*: filters reach the
+parquet scan, scans are column-pruned, small dimensions broadcast instead
+of shuffling the fact table, aggregates partial-aggregate map-side, pandas
+UDFs run on the Arrow path, and nothing degenerates into a cartesian
+product. A refactor that keeps results but regresses any of these is a
+scale bug this file catches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_ingestion_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_project_prunes_columns(spark):
+    """Projection must reach the parquet reader: ReadSchema carries only
+    the selected columns, and a 4-column projection never reads the
+    16-column lineitem row."""
+    plan = plan_of(spark, "q_scan_project")
+    assert "ReadSchema:" in plan
+    assert "l_comment" not in plan  # widest column must be pruned
+    assert "Exchange" not in plan  # pure scan+project: no shuffle at all
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The quantity predicate must appear in PushedFilters (evaluated by
+    the parquet reader against row-group stats), not only post-scan."""
+    plan = plan_of(spark, "q_filter_simple")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_agg_group_partial_aggregates(spark):
+    """TPC-H Q1 shape: map-side partial aggregation before the single
+    shuffle, so the exchange carries one row per (group × partition),
+    not the fact table."""
+    plan = plan_of(spark, "q_agg_group")
+    assert "partial_sum" in plan
+    assert plan.count("(5) Exchange") + plan.count("Exchange (") >= 1
+    # Exactly one shuffle: partial agg -> exchange -> final agg.
+    assert plan.count("+- Exchange") == 1
+
+
+def test_join_multi_broadcasts_all_dims(spark):
+    """5-table star join: every dimension side must broadcast — the
+    lineitem fact is scanned once and never shuffled."""
+    plan = plan_of(spark, "q_join_multi")
+    # tree form appears once per join; the detail section repeats the name
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_broadcast_hint_respected(spark):
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_limit_is_top_k(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject —
+    per-partition top-k then merge, never a full global sort."""
+    plan = plan_of(spark, "q_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_single_shuffle(spark):
+    """MinHash signatures: explode + hash is map-side; the only shuffle
+    is the groupBy(doc_id), whose input is partially aggregated (12
+    running minima per doc per partition), not the shingle stream."""
+    plan = plan_of(spark, "q_dedup_minhash")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_pairs_is_equi_join(spark):
+    """LSH candidate pairs must hash-join on the band key — the n² pair
+    space is never materialized."""
+    plan = plan_of(spark, "q_dedup_minhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_topk_broadcasts_query_side(spark):
+    """Brute-force ANN baseline: the 3-row query side broadcasts; the
+    corpus streams through without a shuffle."""
+    plan = plan_of(spark, "q_sim_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_ivf_probe_is_hash_join(spark):
+    """IVF probe: candidate generation joins on the cell id (equi), with
+    the tiny probe list broadcast."""
+    plan = plan_of(spark, "q_sim_ivf")
+    assert "CartesianProduct" not in plan
+    # assignment (K centroids) and probing (6 rows) both broadcast
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_pandas_udf_uses_arrow(spark):
+    """The vectorized UDF must evaluate on the Arrow batch path, never
+    row-at-a-time pickling."""
+    plan = plan_of(spark, "q_udf_pandas")
+    assert "ArrowEvalPython" in plan
+
+
+def test_python_udf_not_on_join_or_agg_path(spark):
+    """The row-UDF demo stays a terminal projection — no join/agg above
+    it would force the Python boundary into a shuffle."""
+    plan = plan_of(spark, "q_udf_python")
+    assert "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+
+
+def test_window_topk_single_shuffle(spark):
+    """Top-k per group: one hash-partition exchange on the group key
+    feeds the window; the rank filter then drops all but k rows."""
+    plan = plan_of(spark, "q_win_topk_per_group")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
