@@ -1,0 +1,82 @@
+"""Physical-layout utilities for the 100 TB scale path.
+
+At fixture scale every table is one parquet file; at 100 TB the layout IS
+the optimization. Three levers, each exposed as a small helper so jobs can
+apply them declaratively:
+
+- **Hive partitioning** (``write_partitioned``): coarse, low-cardinality
+  keys (date, source, IVF cell) become directories; a filtered read plans
+  ``PartitionFilters`` and never opens non-matching files.
+- **Bucketing** (``write_bucketed``): high-cardinality join/agg keys are
+  hash-bucketed at write time; a join or groupBy on the bucket key then
+  runs shuffle-free, because the layout already satisfies the required
+  hash distribution.
+- **Salted joins** (``salted_join``): when one key dominates (a hot user,
+  an empty-string document), AQE's skew splitting handles the *sort-merge*
+  case, but a deliberately salted key spreads the hot partition across N
+  reducers for any join shape — the classic explode-small-side/salt-big-
+  side rewrite, expressed as a reusable function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write hive-partitioned parquet: one directory level per key.
+
+    Partition columns should be low-cardinality (≤ ~10k distinct values);
+    high-cardinality keys belong in ``write_bucketed`` instead — a
+    directory per value would melt the file listing, not speed it up.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally sorted) managed table.
+
+    Joins and aggregations on ``bucket_cols`` between tables bucketed the
+    same way plan with zero Exchange operators — the write-time shuffle is
+    paid once, every subsequent join is free.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``n_salts``
+    shuffle partitions.
+
+    The big side gets a random salt in [0, n_salts); the small side is
+    exploded n_salts× so every (key, salt) pair exists. The join key
+    becomes (key, salt): a key that previously landed on one reducer now
+    lands on n_salts of them. Use when a specific key's row count is
+    orders of magnitude above the median and the join is not broadcast-
+    able; otherwise prefer plain joins + AQE skew splitting.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    big_salted = big.withColumn("__salt", salt)
+    small_salted = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = big_salted.join(small_salted, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -10,6 +10,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     llm_text,
     relational,
     streaming_analogs,
+    subqueries,
     udfs,
     windows,
 )

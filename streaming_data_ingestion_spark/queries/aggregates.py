@@ -186,6 +186,40 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_agg_cube — CUBE over two keys, with GROUPING() to disambiguate the
+# synthetic NULLs of subtotal rows from genuine NULL key values.
+# --------------------------------------------------------------------------
+
+_Q_AGG_CUBE_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+  COUNT(*) AS n_orders,
+  {sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_agg_cube", oracle=_Q_AGG_CUBE_ORACLE, tags=("agg",))
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority): all four grouping sets in one
+    pass — Expand replicates each input row once per set, then a single
+    partial+final hash aggregate runs as usual; no extra shuffles versus
+    a plain groupBy, just 4× the aggregate input (map-side combined).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q_agg_approx — HLL++ approximate count-distinct (rows-only check: the
 # sketch's estimate is engine-specific, so no DuckDB value oracle).
 # --------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Physical-layout tests: partition pruning, shuffle-free bucketed joins,
+and salted-join correctness. These assert on the *plan* (PartitionFilters,
+absence of Exchange) as well as results — layout is only worth its write
+cost if the read side provably uses it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.layout import (
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+from streaming_data_ingestion_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must become PartitionFilters —
+    non-matching directories are never opened."""
+    docs = load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, path, ["source"])
+
+    back = spark.read.parquet(path).filter(F.col("source") == "src0")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    assert "src0" in plan.split("PartitionFilters")[1].split("\n")[0]
+    want = docs.filter(F.col("source") == "src0").count()
+    assert back.count() == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero Exchange:
+    the write-time layout satisfies the hash-distribution requirement."""
+    orders = load(spark, SF_DIR, "orders")
+    customer = load(spark, SF_DIR, "customer")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 4)
+    write_bucketed(customer, "customer_b", ["c_custkey"], 4)
+    try:
+        o = spark.table("orders_b")
+        c = spark.table("customer_b").withColumnRenamed("c_custkey", "o_custkey")
+        # disable broadcast so the bucket layout (not size) decides the plan
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(c, "o_custkey")
+            plan = _plan(joined)
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == orders.join(
+                customer, orders["o_custkey"] == customer["c_custkey"]
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be invisible in the result: same rows as the plain
+    equi-join, just distributed over n_salts× more reducers."""
+    events = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    dim = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = salted_join(events, dim, "user_id", n_salts=4)
+    want = events.join(dim, "user_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

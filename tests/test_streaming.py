@@ -177,3 +177,81 @@ def test_ingest_end_to_end(spark, tmp_path):
     q2 = ingest_users_from_json_dir(spark, str(in_dir), out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 26
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark when it
+    arrives must not revise an already-finalized window.
+
+    Two availableNow runs share one checkpoint, so the watermark from run
+    1 (advanced to 11:50 by the 12:00 event) persists; run 2's 10:02
+    straggler is below it and is dropped, while its 13:00 event
+    processes normally. Deterministic — no timing races.
+    """
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_batch(fname, rows):
+        (in_dir / fname).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once(name):
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+            .json(str(in_dir))
+        )
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(
+        "b0.jsonl",
+        [
+            {"ts": "2024-01-01 10:01:00", "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01 10:04:00", "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01 12:00:00", "event_type": "click", "value": 1.0},
+        ],
+    )
+    run_once("late_r1")
+
+    write_batch(
+        "b1.jsonl",
+        [
+            # straggler: far below the checkpointed watermark (11:50) → dropped
+            {"ts": "2024-01-01 10:02:00", "event_type": "click", "value": 1.0},
+            # on-time event; advances the watermark past 12:00's window
+            {"ts": "2024-01-01 13:00:00", "event_type": "click", "value": 1.0},
+        ],
+    )
+    run_once("late_r2")
+
+    # the watermark advanced by run 2 (to 12:50) only takes effect in the
+    # *next* micro-batch, so a third run flushes the finalized 12:00 window
+    write_batch(
+        "b2.jsonl",
+        [{"ts": "2024-01-01 15:00:00", "event_type": "click", "value": 1.0}],
+    )
+    run_once("late_r3")
+
+    rows = {
+        r["window_start"].strftime("%H:%M"): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 10:00 window finalized with only run 1's two events — the late
+    # straggler did not reopen it; the 12:00 window closed in run 2
+    assert rows.get("10:00") == 2
+    assert rows.get("12:00") == 1
+    assert rows.get("13:00") == 1
+    # the newest window is still above the watermark: open state, no output
+    assert "15:00" not in rows
