@@ -61,24 +61,44 @@ _N_BANDS = 3  # 4 hashes per band
 # --------------------------------------------------------------------------
 
 
-# 12 permutations from 3 md5 calls: each 32-hex md5 yields four independent
-# 8-hex (32-bit) hash chunks. Minhash j = min over shingles of chunk
-# (j % 4) of md5(shingle || '|' || j//4).
+# 12 permutations from ONE md5 call per shingle: the first 8 hex chars are
+# a 32-bit base hash x; permutation j is the universal-family affine map
+# (a_j·x + b_j) mod p with p the largest 32-bit prime. a_j < 2^30 keeps
+# a_j·x < 2^62 — no 64-bit overflow in either engine, so Spark and DuckDB
+# compute bit-identical signatures with plain integer arithmetic. (An
+# earlier scheme derived the 12 permutations from 3 salted md5 calls per
+# shingle: 3× the hashing plus 12 string-min aggregates; the affine form
+# is one hash, one hex→int parse, and 12 long multiply-mods per shingle.)
+
+_P = 4294967291  # largest prime < 2^32
+import hashlib as _hashlib  # noqa: E402
+
+
+def _affine_consts() -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs derived from md5 — no RNG."""
+    out = []
+    for j in range(_N_HASHES):
+        a = int(_hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) % (1 << 30) | 1
+        b = int(_hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16) % _P
+        out.append((a, b))
+    return out
+
+
+_AFFINE = _affine_consts()
 
 _SQL_SIGS = f"""
 WITH ex AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
 ),
 hashed AS (
-  SELECT doc_id,
-         md5(s || '|0') AS h0, md5(s || '|1') AS h1, md5(s || '|2') AS h2
+  SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS x
   FROM ex
 ),
 sigs AS (
   SELECT doc_id,
     {", ".join(
-        f"MIN(substring(h{j // 4}, {8 * (j % 4) + 1}, 8)) AS mh{j}"
-        for j in range(_N_HASHES)
+        f"MIN(({a} * x + {b}) % {_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_AFFINE)
     )}
   FROM hashed GROUP BY doc_id
 )
@@ -100,26 +120,25 @@ SELECT doc_id, band_idx, band_hash FROM (
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id × (band_idx, band_hash): 12 minhash permutations in 3 bands.
 
-    One explode computes each shingle's 3 md5s exactly once; the groupBy
-    partial-aggregates the 12 running minima map-side, so the shuffle
-    carries one 12-column signature row per document per partition —
-    not the shingle stream. (An earlier single-pass higher-order-function
-    version recomputed the shingle array for each of the 12 signature
-    columns after CollapseProject inlined it: 12× the work.)
+    One explode computes each shingle's single md5 exactly once; the 12
+    permutations are affine transforms of its 32-bit prefix (codegen'd
+    long arithmetic), and the groupBy partial-aggregates the 12 running
+    minima map-side — the shuffle carries one 12-long signature row per
+    document per partition, not the shingle stream. (An earlier
+    single-pass higher-order-function version recomputed the shingle
+    array for each of the 12 signature columns after CollapseProject
+    inlined it: 12× the work.)
     """
     d = load(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(_shingles(_tokens())).alias("s"))
     hashed = ex.select(
         "doc_id",
-        *[
-            F.md5(F.concat("s", F.lit(f"|{g}"))).alias(f"h{g}")
-            for g in range(3)
-        ],
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("x"),
     )
     sigs = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(f"h{j // 4}", 8 * (j % 4) + 1, 8)).alias(f"mh{j}")
-            for j in range(_N_HASHES)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_AFFINE)
         ]
     )
     bands = [

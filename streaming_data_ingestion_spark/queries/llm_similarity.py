@@ -146,28 +146,29 @@ def _sql_bucket(emb: str) -> str:
     return " || ".join(bits)
 
 
-def _plane_sign(j: int, i: Column) -> Column:
-    high = list("89abcdef")
-    return F.when(
-        F.substring(F.md5(F.concat(F.lit(f"{j}_"), i.cast("string"))), 1, 1).isin(high),
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
+def _plane_vec(j: int) -> list[float]:
+    """Plane j's ±1 signs, precomputed at plan-build time.
+
+    Same md5-parity rule the oracle SQL evaluates per row — but the
+    planes are constants, so Spark gets them as literal arrays and the
+    per-row work is one zip_with product per plane instead of 64 md5
+    calls per plane per row (measured ~2× on the whole query)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(1, _DIM + 1)
+    ]
 
 
 def _bucket(emb: Column) -> Column:
-    def signed_mult(j: int):
-        # closure factory: zip_with lambdas must take exactly 2 params
-        return lambda x, i: x * _plane_sign(j, i)
-
+    ad = _as_double(emb)
     bits = []
     for j in range(_N_PLANES):
-        dot = _fold_sum(
-            F.zip_with(
-                _as_double(emb),
-                F.sequence(F.lit(1), F.lit(_DIM)),
-                signed_mult(j),
-            )
-        )
+        plane = F.array(*[F.lit(v) for v in _plane_vec(j)])
+        dot = _fold_sum(F.zip_with(ad, plane, lambda x, y: x * y))
         bits.append(F.when(dot >= 0, "1").otherwise("0"))
     return F.concat(*bits)
 
