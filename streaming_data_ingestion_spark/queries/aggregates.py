@@ -237,3 +237,90 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_pivot — pivot (long → wide): per-user event-type counts as columns.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+SELECT
+  user_id,
+  {", ".join(
+      f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+      for t in _EVENT_TYPES
+  )}
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list.
+
+    Passing the pivot values avoids the extra distinct-collection job
+    Spark otherwise runs to discover them — at 100 TB that discovery
+    pass is a full extra scan. The pivot compiles to one hash aggregate
+    with a conditional count per column (exactly the FILTER form the
+    oracle spells out): single shuffle, map-side partials.
+    """
+    out = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves null where a (user, type) pair never occurred; the
+    # FILTER form counts 0 — normalize, and prefix names to match.
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# q_agg_collect — order-insensitive array aggregation (sorted list).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT
+  o_custkey,
+  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+  CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("agg", "array"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array: deterministic array aggregation.
+
+    collect_list order is partition-arrival order (non-deterministic
+    under parallelism), so the contract is: always sort the collected
+    array before it leaves the operator (serialized to a string here so
+    the cross-engine value hash covers it cell-by-cell). State is
+    bounded by group cardinality — at scale, guard with a size cap
+    (slice) or switch to top-k via window when groups can be
+    pathological.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys"),
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+        )
+    )

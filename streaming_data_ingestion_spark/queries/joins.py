@@ -14,7 +14,7 @@ a hint is the correct scale decision:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import dsum, sql_dsum
@@ -228,4 +228,88 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, cond, "inner")
         .groupBy(F.col("e1.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_asof — as-of (point-in-time) join: each click matched to the same
+# user's most recent purchase at-or-before it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.ts, c.user_id, p.purchase_event_id, p.purchase_ts
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the canonical time-series operator Spark lacks as a
+    built-in (DuckDB spells it ASOF JOIN, which is the oracle here).
+
+    Spark-first implementation: union both sides tagged by role, then one
+    window pass per user ordered by (ts, role, event_id) where purchases
+    sort before clicks at equal ts; ``last_value(..., ignorenulls)`` over
+    the unbounded-preceding frame carries the latest purchase forward
+    onto every click row. One shuffle on user_id, linear scan per user —
+    never the O(clicks × purchases) range join a naive formulation
+    produces, and no per-key driver loop. Right side is pre-deduplicated
+    to one purchase per (user, ts) (max event_id) so tie-breaks are
+    deterministic in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "ts",
+            "user_id",
+            "purchase_event_id",
+            F.col("ts").alias("p_ts"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    # at equal ts the purchase row must precede the click so `>=` matches
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_purchase").desc(),
+            F.col("purchase_event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "is_purchase",
+        F.last("purchase_event_id", ignorenulls=True)
+        .over(w)
+        .alias("purchase_event_id"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    return merged.filter(F.col("is_purchase") == 0).select(
+        "event_id", "ts", "user_id", "purchase_event_id", "purchase_ts"
     )

@@ -186,3 +186,43 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# q_win_distribution — ntile / percent_rank / cume_dist.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+SELECT
+  c_custkey,
+  c_acctbal,
+  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+    tags=("window",),
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per market segment.
+
+    All three derive from the row's rank and the partition size — integer
+    arithmetic plus one exact division, so cross-engine values are
+    bit-identical (no floating accumulation order involved). Same
+    single-shuffle plan as any other window family.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
