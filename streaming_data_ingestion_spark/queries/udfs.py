@@ -156,3 +156,58 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user,
         schema="event_id long, user_id long, value_rank int, user_mean double",
     )
+
+
+# --------------------------------------------------------------------------
+# q_udtf — Python user-defined TABLE function (one row in, many out),
+# consumed through a SQL LATERAL join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> t != '') AS ts
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, ts[pos] AS token
+FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS pos) u
+""",
+    tags=("udf", "udtf"),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PySpark UDTF: tokenize each document into (pos, token) rows via a
+    LATERAL join — the table-function extension point.
+
+    The UDTF runs once per input row and yields a variable number of
+    rows; Spark parallelizes it per partition like any generator (the
+    plan is a Generate over a Python eval, same shape as posexplode).
+    Kept to a bounded slice (100 docs): like any row-wise Python
+    boundary it exists for expressiveness, not the hot path — the
+    equivalent built-in is posexplode(split(...)), which is what a
+    production pipeline should use.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D401
+            if text is None:
+                return
+            pos = 0
+            for t in text.strip().split(" "):
+                if t:
+                    pos += 1
+                    yield pos, t
+
+    spark.udtf.register("tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("docs_head")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_head d, LATERAL tokenize(d.text) t
+        """
+    )

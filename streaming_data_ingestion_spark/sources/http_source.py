@@ -116,6 +116,9 @@ if HAS_DATASOURCE_API:
         def reader(self, schema):
             return _RandomUserReader(self.options)
 
+        def simpleStreamReader(self, schema):
+            return _RandomUserStreamReader(self.options)
+
     class _RandomUserReader(DataSourceReader):
         def __init__(self, options):
             self.n = int(options.get("numRows", 10))
@@ -144,6 +147,50 @@ if HAS_DATASOURCE_API:
                     rec = requests.get(self.url, timeout=10).json()["results"][0]
                     rec["location"]["postcode"] = str(rec["location"]["postcode"])
                     yield _to_row(rec)
+
+
+if HAS_DATASOURCE_API:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _RandomUserStreamReader(SimpleDataSourceStreamReader):
+        """`spark.readStream.format("randomuser")` — the reference's
+        30-second driver polling loop
+        (/root/reference/dags/kafka-streamer.py:38-49) re-expressed as an
+        offset-tracked streaming source: each micro-batch emits
+        ``rowsPerBatch`` records and advances a monotonic record counter,
+        so restarts resume from the checkpointed offset instead of
+        re-ingesting (the reference re-reads the whole topic on every
+        restart — SURVEY.md §4.1).
+        """
+
+        def __init__(self, options):
+            self.per_batch = int(options.get("rowsPerBatch", 10))
+            self.mode = options.get("mode", "offline")
+            self.url = options.get("url", "https://randomuser.me/api/")
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            lo = start["i"]
+            hi = lo + self.per_batch
+            return iter(self._rows(lo, hi)), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            # deterministic replay for recovery
+            return iter(self._rows(start["i"], end["i"]))
+
+        def _rows(self, lo: int, hi: int):
+            if self.mode == "offline":
+                return [_to_row(_fake_user(i)) for i in range(lo, hi)]
+            import requests  # pragma: no cover - needs network
+
+            out = []
+            for _ in range(lo, hi):  # pragma: no cover
+                rec = requests.get(self.url, timeout=10).json()["results"][0]
+                rec["location"]["postcode"] = str(rec["location"]["postcode"])
+                out.append(_to_row(rec))
+            return out
 
 
 def _to_row(u: dict) -> tuple:

@@ -54,3 +54,50 @@ def test_kafka_builders_importable():
     )
 
     assert callable(read_kafka_topic) and callable(write_kafka_topic)
+
+
+def test_randomuser_streaming_source(spark, tmp_path):
+    """The streaming reader: two fixed-size micro-batches, offsets
+    checkpointed, restart resumes from the recorded offset instead of
+    re-ingesting (the defect the reference had)."""
+    import uuid
+
+    http_source.register(spark)
+    name = f"ru_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ru_ckpt")
+
+    def run_batches(n_batches):
+        stream = (
+            spark.readStream.format("randomuser")
+            .option("rowsPerBatch", 5)
+            .option("mode", "offline")
+            .load()
+        )
+        q = (
+            http_source.flatten_user_records(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            progress = q.recentProgress
+            if len(progress) >= n_batches:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+    run_batches(2)
+    n_after_first = spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0]
+    assert n_after_first >= 10  # ≥2 batches of 5
+    assert n_after_first % 5 == 0
+
+    out = spark.sql(f"SELECT full_name, email FROM {name}").collect()
+    emails = [r.email for r in out]
+    assert len(set(emails)) == len(emails)  # offsets advanced, no re-reads
