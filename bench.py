@@ -31,10 +31,13 @@ HEADLINE = (
     "q_agg_rollup",          # grouping-sets expansion
     "q_join_multi",          # 5-table join chain + agg
     "q_join_range",          # banded self-join
+    "q_join_asof",           # point-in-time join (union + window)
+    "q_subquery_exists",     # correlated EXISTS -> semi join
     "q_win_topk_per_group",  # window + rank filter
     "q_win_frame",           # running frames
     "q_sort_limit",          # global top-k
     "q_json_decode",         # reference-parity JSON decode
+    "q_pivot",               # long -> wide conditional aggregation
     "q_stream_session",      # sessionization
     "q_stream_sliding",      # sliding windows
     "q_dedup_exact",         # hash dedup
@@ -42,6 +45,7 @@ HEADLINE = (
     "q_text_tf",             # explode + agg
     "q_sim_topk",            # brute-force cosine top-k
     "q_sim_ann_lsh",         # LSH ANN
+    "q_sim_ivf",             # IVF ANN (coarse quantize + probe)
     "q_udf_pandas",          # Arrow UDF path
 )
 

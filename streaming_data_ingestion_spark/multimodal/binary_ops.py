@@ -129,3 +129,45 @@ def dedup_by_digest(binary_df: DataFrame) -> DataFrame:
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes long"
+
+
+def sample_frames(
+    binary_df: DataFrame, n_frames: int = 4, frame_bytes: int = 32
+) -> DataFrame:
+    """Frame-sampling stub for video-ish payloads: emit ``n_frames``
+    evenly-spaced fixed-size slices per payload (a real impl seeks
+    keyframes with a video codec; the dataflow — one binary row in,
+    k binary rows out, 1:k fan-out inside mapInPandas — is identical).
+
+    The fan-out happens executor-side within the Arrow batch, so a
+    payload's frames never pass through the driver and the output
+    partitioning follows the input (no shuffle until a consumer asks
+    for one).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for k in range(min(n_frames, n)):
+                    start = k * step
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(bytes(payload[start : start + frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -65,3 +65,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's typed-state successor to
+# applyInPandasWithState: named state variables (value/list/map), timers,
+# and TTL, on the RocksDB state store.
+# --------------------------------------------------------------------------
+
+try:  # Spark 4+; the runtime protocol additionally needs protobuf
+    import google.protobuf  # noqa: F401  (TWS worker hard-requires it)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older PySpark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Same running per-user totals as ``running_user_totals``, on the
+    typed-state API: one ValueState per key instead of an opaque tuple.
+
+    The state store is RocksDB (required by transformWithState), which is
+    also the right 100 TB choice: state spills to disk per partition
+    instead of living on the executor heap.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events LONG, total_value DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total = (
+            self._totals.get() if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` before starting the query).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

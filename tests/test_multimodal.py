@@ -58,3 +58,22 @@ def test_dedup_by_digest(spark):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         _decode_real(b"\x00\x01")
+
+
+def test_sample_frames(spark):
+    from streaming_data_ingestion_spark.multimodal.binary_ops import (
+        attach_binary,
+        sample_frames,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    frames = sample_frames(attach_binary(docs), n_frames=4, frame_bytes=16)
+    pdf = frames.toPandas()
+    # every doc with a non-empty payload yields exactly 4 frames
+    counts = pdf.groupby("doc_id").size()
+    assert (counts == 4).all()
+    assert (pdf["frame_bytes"] <= 16).all()
+    assert set(pdf["frame_idx"]) == {0, 1, 2, 3}

@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the operators with hand-rolled
+distributed implementations.
+
+The oracle tests pin these operators to fixed fixtures; properties pin
+them to their *semantics* on adversarial inputs — duplicate timestamps,
+empty sides, single-user floods — where a window-frame or tie-break bug
+would hide from a fixture.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.layout import salted_join
+
+_TS0 = dt.datetime(2024, 1, 1)
+
+# (user_id, minutes offset, is_purchase) — small domains force collisions
+_event = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=30),
+    st.booleans(),
+)
+
+
+def _asof_spark(spark, events):
+    """The engine's as-of strategy (union + window carry-forward),
+    built over an arbitrary in-memory event list."""
+    rows = [
+        (i, u, _TS0 + dt.timedelta(minutes=m), bool(p))
+        for i, (u, m, p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, is_purchase boolean"
+    )
+    purchases = (
+        df.filter("is_purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    clicks = df.filter("NOT is_purchase").select("event_id", "user_id", "ts")
+
+    p = purchases.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        "user_id",
+        "purchase_event_id",
+        F.lit(1).alias("is_p"),
+    )
+    c = clicks.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_p").desc(),
+            F.col("purchase_event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        p.unionByName(c)
+        .select(
+            "event_id",
+            "user_id",
+            "is_p",
+            F.last("purchase_event_id", ignorenulls=True)
+            .over(w)
+            .alias("matched"),
+        )
+        .filter(F.col("is_p") == 0)
+    )
+    return {r["event_id"]: r["matched"] for r in out.collect()}
+
+
+def _asof_naive(events):
+    """Quadratic reference implementation of the same semantics."""
+    purchases = {}
+    for i, (u, m, p) in enumerate(events):
+        if p:
+            key = (u, m)
+            purchases[key] = max(purchases.get(key, -1), i)
+    out = {}
+    for i, (u, m, p) in enumerate(events):
+        if p:
+            continue
+        candidates = [
+            (pm, pid)
+            for (pu, pm), pid in purchases.items()
+            if pu == u and pm <= m
+        ]
+        out[i] = max(candidates)[1] if candidates else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_event, min_size=1, max_size=25))
+def test_asof_join_matches_naive(spark, events):
+    assert _asof_spark(spark, events) == _asof_naive(events)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_salted_join_equals_plain_join(spark, pairs):
+    big = spark.createDataFrame(
+        [(k, v) for k, v in pairs] or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    small = spark.createDataFrame(
+        [(k, k * 10) for k in range(4)], "k long, tag long"
+    )
+    got = sorted(
+        map(tuple, salted_join(big, small, "k", n_salts=3).collect())
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want

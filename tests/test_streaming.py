@@ -255,3 +255,49 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get("13:00") == 1
     # the newest window is still above the watermark: open state, no output
     assert "15:00" not in rows
+
+
+def test_stateful_running_totals_tws(spark):
+    """transformWithStateInPandas twin of test_stateful_running_totals."""
+    from streaming_data_ingestion_spark.streaming.stateful import (
+        HAS_TWS,
+        running_user_totals_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip(
+            "transformWithState needs Spark 4 + protobuf (the TWS worker "
+            "protocol); not available in this image"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = read_events_stream(spark, SF_DIR).select("user_id", "value")
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_totals_tws(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            f"""SELECT user_id, max_by(n_events, n_events) n
+                FROM {name} GROUP BY user_id"""
+        )
+        want = load(spark, SF_DIR, "events").groupBy("user_id").count()
+        joined = got.join(want, "user_id")
+        assert joined.filter(F.col("n") != F.col("count")).count() == 0
+        assert joined.count() == want.count()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
