@@ -307,3 +307,53 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, vs O(tokens²) for transform(sequence, i -> element_at(t, i)).
     shingle_hashes = F.transform(_shingles(_tokens()), lambda s: F.md5(s))
     return d.select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# q_fingerprint_rolling — polynomial rolling hash over the token stream.
+# --------------------------------------------------------------------------
+
+_RB = 1000003  # polynomial base (fits: acc < P < 2^32, acc*B < 2^52)
+_RP = 4294967291  # largest prime < 2^32
+
+
+@query(
+    "q_fingerprint_rolling",
+    oracle=f"""
+SELECT
+  doc_id,
+  list_reduce(
+    list_prepend(
+      CAST(0 AS BIGINT),
+      list_transform({_SQL_TOKENS},
+                     t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)
+    ),
+    (acc, x) -> (acc * {_RB} + x) % {_RP}
+  ) AS fingerprint
+FROM documents
+""",
+    tags=("llm", "dedup"),
+)
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: Rabin-Karp-style polynomial
+    rolling hash over the token stream, h = Σ tok_i · B^(n-i) mod P.
+
+    Complements q_fingerprint (min-hash: order-insensitive, robust to
+    shuffling) — the rolling hash detects exact sequence duplicates and
+    is the primitive a chunk-level incremental dedup would slide over.
+    Per-token hashing reuses the md5-prefix→int trick (bit-identical in
+    both engines); the fold is sequential long arithmetic with all
+    intermediates < 2^52, so no overflow anywhere. One projection, no
+    shuffle, no UDF.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rolled = F.aggregate(
+        tok_hash,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RB + x) % _RP,
+    )
+    return d.select("doc_id", rolled.alias("fingerprint"))
