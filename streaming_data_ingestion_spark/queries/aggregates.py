@@ -324,3 +324,41 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_percentile — exact percentiles (median / quartiles) per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+SELECT
+  o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.50) AS median,
+  quantile_cont(o_totalprice, 0.75) AS p75,
+  MAX(o_totalprice) AS p_max
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per priority class.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    interpolation ((1-f)·lo + f·hi on the sorted values), so results are
+    bit-identical. Exact percentiles buffer each group's values — fine
+    for bounded group cardinality; at 100 TB over high-cardinality
+    groups, switch to `percentile_approx` (KLL/GK sketch, mergeable,
+    single shuffle) and accept rank error instead of memory.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25D)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50D)").alias("median"),
+        F.expr("percentile(o_totalprice, 0.75D)").alias("p75"),
+        F.max("o_totalprice").alias("p_max"),
+    )

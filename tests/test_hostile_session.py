@@ -1,0 +1,41 @@
+"""Hostile-session robustness: registered queries must produce
+oracle-identical results regardless of the caller's session configuration.
+
+The registry wrapper pins the session timezone to UTC per call (DuckDB
+reads parquet timestamps as naive-UTC); this test sets a pathological
+timezone + tiny shuffle width and asserts timestamp-sensitive queries
+still match the oracle cell-exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_ingestion_spark.registry import all_queries
+
+from .conftest import SF_DIR
+from .test_oracle import _cells_equal, _normalize, _sort_rows
+
+# timestamp-extraction and windowing queries are the timezone-sensitive set
+HOSTILE_CHECKED = ("q_date_funcs", "q_stream_tumbling", "q_cast_types")
+
+
+@pytest.mark.parametrize("name", HOSTILE_CHECKED)
+def test_query_survives_hostile_session(name, spark, ddb):
+    spec = all_queries()[name]
+    before_tz = spark.conf.get("spark.sql.session.timeZone")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+        duck_pdf = ddb.execute(spec.oracle).df()
+        assert len(spark_pdf) == len(duck_pdf)
+        s = _sort_rows(_normalize(spark_pdf))
+        d = _sort_rows(_normalize(duck_pdf))
+        for col in s.columns:
+            for a, b in zip(s[col].tolist(), d[col].tolist()):
+                assert _cells_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
