@@ -362,3 +362,73 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.75D)").alias("p75"),
         F.max("o_totalprice").alias("p_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_stats — stddev / variance / correlation, cross-engine exact.
+# --------------------------------------------------------------------------
+
+# Built-in STDDEV/CORR accumulate in double (order-dependent, engines
+# disagree in the last ulp). Instead: exact decimal sums of x, x², y, y²,
+# x·y, then the closed-form moments in double — every double op is a
+# single IEEE operation on identical inputs, so results are bit-identical.
+
+
+@query(
+    "q_agg_stats",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  n,
+  (sxx - sx * sx / n) / (n - 1) AS var_price,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+  (n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+FROM (
+  SELECT
+    l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {sql_dsum("l_extendedprice", "sx")},
+    {sql_dsum("l_extendedprice * l_extendedprice", "sxx")},
+    {sql_dsum("l_quantity", "sy")},
+    {sql_dsum("l_quantity * l_quantity", "syy")},
+    {sql_dsum("l_extendedprice * l_quantity", "sxy")}
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of price and price↔quantity correlation per
+    return flag, via exact decimal moments.
+
+    Single aggregation pass (5 decimal sums + count, all map-side
+    partial), then closed-form double arithmetic structured identically
+    in both engines. The row-level squares/products are IEEE-identical;
+    the decimal sums are order-independent; the final expressions are
+    single-rounded per op — bit-exact end to end.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "sx"),
+        dsum(x * x, "sxx"),
+        dsum(y, "sy"),
+        dsum(y * y, "syy"),
+        dsum(x * y, "sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+        corr.alias("corr_price_qty"),
+    )

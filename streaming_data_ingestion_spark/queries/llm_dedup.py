@@ -320,3 +320,48 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_edit_distance — exact Levenshtein verify on candidate pairs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_edit_distance",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0')
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 160
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verify over a candidate scope (one
+    source partition), keeping pairs within distance 160.
+
+    Levenshtein is the expensive exact check a dedup pipeline runs LAST,
+    after cheap signatures (minhash bands, simhash) have shrunk the pair
+    space — the same plan position as q_dedup_ngram_jaccard but at
+    character granularity (catches edits inside words that token-level
+    Jaccard misses). Built-in JVM implementation in both engines, same
+    unit-cost DP definition, so distances are integer-identical.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id", "text")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 160)
+    )
