@@ -43,6 +43,7 @@ HEADLINE = (
     "q_dedup_exact",         # hash dedup
     "q_dedup_minhash",       # LSH signatures
     "q_text_tf",             # explode + agg
+    "q_doc_chunk",           # higher-order chunking + posexplode
     "q_sim_topk",            # brute-force cosine top-k
     "q_sim_ann_lsh",         # LSH ANN
     "q_sim_ivf",             # IVF ANN (coarse quantize + probe)

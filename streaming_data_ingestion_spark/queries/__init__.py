@@ -6,6 +6,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     functions_scalar,
     joins,
     llm_dedup,
+    llm_pipeline,
     llm_similarity,
     llm_text,
     relational,

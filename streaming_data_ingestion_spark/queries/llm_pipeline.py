@@ -1,0 +1,256 @@
+"""Training-data pipeline operators: chunking, PII redaction, sampling,
+and source mixing (north-star mandate, SURVEY.md §2B "LLM-data-pipeline
+operators").
+
+These are the corpus-preparation steps that sit between raw ingest and
+tokenizer-ready shards. All pure DataFrame expressions: chunking builds
+per-document start offsets with ``sequence`` and materializes chunks with
+``transform``+``slice`` (one row per document until the final
+``posexplode``, so a 100 TB corpus never blows up early); redaction and
+sampling are single-pass narrow maps with no shuffle at all; mixing is one
+tiny aggregate over the source dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+_SQL_TOKENS = "list_filter(str_split(trim(text), ' '), t -> t != '')"
+
+# Chunk geometry: 32-token chunks every 24 tokens (8-token overlap) — the
+# sliding-window shape used to pack long documents into a fixed context.
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(start // {_STRIDE} AS INTEGER) AS chunk_idx,
+  array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+    AS chunk_text,
+  CAST(least({_CHUNK}, len(toks) - start) AS INTEGER) AS n_tokens
+FROM s
+""",
+    tags=("llm", "pipeline"),
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token chunks
+    (32-token window, 24-token stride).
+
+    The start-offset array and the chunk texts are built per-row with
+    higher-order functions (``sequence`` → ``transform``+``slice``), so
+    the only row multiplication is the final ``posexplode`` — a narrow
+    op, no shuffle anywhere. At 100 TB this streams: each input split
+    yields ~n_tokens/stride output rows with no state.
+    """
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice("toks", s + 1, _CHUNK), " ")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(_CHUNK), F.col("n_toks") - F.col("chunk_idx") * _STRIDE
+        ).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_pii_redact — regex PII scrubbing with per-document match accounting.
+# --------------------------------------------------------------------------
+
+# The fixture corpus is clean word soup, so each row is first enriched with
+# deterministic synthetic PII (an email + phone derived from doc_id) — the
+# operator under test is the redaction pass, which must find and replace
+# exactly those spans. Patterns stay in the syntax subset shared by Java
+# regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT
+  doc_id,
+  source,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+  sha256(
+    regexp_replace(
+      regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g')
+  ) AS redacted_digest
+FROM enriched
+""",
+    tags=("llm", "pipeline"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub email/phone PII from documents, reporting per-document match
+    counts and a digest of the redacted text.
+
+    One narrow projection — regex find/replace is per-row, shuffles
+    nothing, and pushes only ``doc_id, source, text`` into the scan. The
+    digest (instead of the full redacted body) keeps the query's output
+    small while still proving byte-exact redaction cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(enriched, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(enriched, F.lit(_EMAIL_RE))
+        .cast("int")
+        .alias("n_emails"),
+        F.regexp_count(enriched, F.lit(_PHONE_RE))
+        .cast("int")
+        .alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_sample_hash — deterministic content-addressed sampling.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(COUNT(*) FILTER (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       IN ('0','1','2','3')) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) FILTER (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+       IN ('0','1','2','3')) AS DOUBLE) / COUNT(*) AS kept_frac
+FROM documents
+GROUP BY source
+""",
+    tags=("llm", "pipeline"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample: keep a document iff the first
+    hex digit of md5(doc_id) falls in 0-3, reported per source.
+
+    Hash-based sampling (vs ``rand()``) is reproducible across runs,
+    engines, and partitionings — the property a training pipeline needs
+    so a re-run selects the identical subset. One hash aggregate; the
+    conditional count is map-side partial like any other.
+    """
+    d = load(spark, sf_dir, "documents")
+    keep = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).isin("0", "1", "2", "3")
+    kept = F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        kept.alias("n_kept"),
+        (kept.cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_mix_weights — source-mixing plan over exact integer token counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mix_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT
+  source,
+  n_docs,
+  n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(MAX(n_tokens) OVER () AS DOUBLE)
+    AS rel_weight,
+  CAST(MAX(n_tokens) OVER () AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+    AS epochs_to_balance
+FROM per_source
+""",
+    tags=("llm", "pipeline"),
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing stats: document/token counts, weight relative to
+    the largest source, and the repeat factor that balances the mixture.
+
+    Token counts are exact BIGINTs, so the two double divisions are each
+    a single IEEE op on identical operands — bit-stable cross-engine
+    without the decimal-sum detour. The window MAX runs over one row per
+    source (tens of rows at any corpus scale): a broadcast-sized frame,
+    never a real shuffle concern.
+    """
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    per_source = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(toks).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    max_tokens = F.max("n_tokens").over(Window.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / max_tokens.cast("double")).alias(
+            "rel_weight"
+        ),
+        (max_tokens.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "epochs_to_balance"
+        ),
+    )
