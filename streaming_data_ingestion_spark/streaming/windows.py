@@ -103,3 +103,46 @@ def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     dimension (re-read per batch, broadcast when small). No state needed —
     the static side is not a stream."""
     return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def correlate_clicks_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same user's
+    purchases landing within ``horizon`` after it.
+
+    Both sides carry a watermark and the join predicate bounds the time
+    difference, so Spark can expire buffered rows once the other side's
+    watermark passes — per-key state is bounded by (horizon + watermark)
+    instead of growing with the stream. Without BOTH constraints a
+    stream-stream inner join must buffer one side forever; that is the
+    difference between a join that runs for a day and one that runs for a
+    year.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -132,3 +132,31 @@ def test_window_topk_single_shuffle(spark):
     plan = plan_of(spark, "q_win_topk_per_group")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunk_no_shuffle(spark):
+    """Chunking is a narrow map (sequence -> transform/slice -> posexplode):
+    zero exchanges, and the scan reads only doc_id + text."""
+    plan = plan_of(spark, "q_doc_chunk")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_pii_redact_no_shuffle_and_pruned(spark):
+    """Redaction is per-row regex work: no shuffle, and the scan carries
+    only the three referenced columns."""
+    plan = plan_of(spark, "q_pii_redact")
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "n_chars" not in read and "lang" not in read
+
+
+def test_sample_hash_single_shuffle(spark):
+    """Hash sampling folds into one partial+final aggregate on source:
+    exactly one exchange, carrying per-source partials only."""
+    plan = plan_of(spark, "q_sample_hash")
+    assert plan.count("Exchange") <= 2  # formatted mode lists node + detail
+    assert "partial_" in plan

@@ -24,6 +24,7 @@ from streaming_data_ingestion_spark.sources.json_stream import read_events_strea
 from streaming_data_ingestion_spark.streaming.ingest import ingest_users_from_json_dir
 from streaming_data_ingestion_spark.streaming.stateful import running_user_totals
 from streaming_data_ingestion_spark.streaming.windows import (
+    correlate_clicks_purchases,
     dedup_events,
     enrich_with_users,
     session_counts,
@@ -125,6 +126,34 @@ def test_stream_static_join(spark):
     ).collect()[0]
     assert row.n == row.enriched  # every event matched the dimension
     assert row.n == load(spark, SF_DIR, "events").count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    clicks = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    name = f"ssj2_{uuid.uuid4().hex[:8]}"
+    q = (
+        correlate_clicks_purchases(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _collect_sorted(spark.sql(f"SELECT * FROM {name}"))
+
+    ev = load(spark, SF_DIR, "events")
+    want = _collect_sorted(
+        correlate_clicks_purchases(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
 
 
 def test_stateful_running_totals(spark):
