@@ -432,3 +432,46 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("stddev_price"),
         corr.alias("corr_price_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_grouping_sets — explicit GROUPING SETS (the general form rollup and
+# cube are sugar for).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n_items,
+  {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("agg",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: detail, per-flag subtotal, and grand total
+    in one pass.
+
+    Same Expand-then-aggregate physical shape as rollup/cube — each input
+    row is replicated once per set it belongs to (3× here) and a single
+    partial+final hash aggregate handles all sets; GROUPING() tells the
+    subtotal NULLs apart from real NULL keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import dsum, sql_dsum
+from streaming_data_ingestion_spark.layout import salted_join
 from streaming_data_ingestion_spark.registry import query
 from streaming_data_ingestion_spark.tables import load
 
@@ -312,4 +313,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.filter(F.col("is_purchase") == 0).select(
         "event_id", "ts", "user_id", "purchase_event_id", "purchase_ts"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_join_salted — skew-resistant join via key salting (layout.salted_join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+SELECT
+  s.s_name,
+  COUNT(*) AS n_items,
+  {sql_dsum("l.l_extendedprice", "sum_price")}
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+    tags=("join", "layout"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem⋈supplier through the salting path, aggregated per
+    supplier — the oracle is the PLAIN join, proving salting changes the
+    shuffle layout and nothing else.
+
+    Salting spreads each hot join key over n_salts reducers (big side
+    gets a random salt, small side is exploded across all salts), the
+    manual fallback when one key dwarfs the rest and the small side is
+    still too big to broadcast. Result-identity to the plain join is the
+    whole contract, and this query pins it under the oracle hash.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
     )

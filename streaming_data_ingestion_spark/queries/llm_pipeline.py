@@ -254,3 +254,61 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_to_balance"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_text_rarity — per-document token rarity from corpus document
+# frequencies (integer-exact quality signal).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_rarity",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+  FROM documents
+),
+tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM dt GROUP BY token
+)
+SELECT
+  dt.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+  CAST(SUM(tf.doc_freq) AS BIGINT) AS sum_doc_freq,
+  CAST(SUM(tf.doc_freq) AS DOUBLE) / COUNT(*) AS mean_doc_freq,
+  CAST(MIN(tf.doc_freq) AS BIGINT) AS rarest_doc_freq
+FROM dt JOIN tf USING (token)
+GROUP BY dt.doc_id
+""",
+    tags=("llm", "pipeline"),
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document by how common its vocabulary is corpus-wide:
+    distinct-token count, summed/mean document frequency, and the rarest
+    token's frequency.
+
+    Two-pass shape every DF-based quality signal shares: (1) explode
+    distinct tokens and count documents per token, (2) join frequencies
+    back and re-aggregate per document. All counts are exact BIGINTs, so
+    only the final mean is a (single, deterministic) double division. At
+    scale the token-frequency side is vocabulary-sized — orders smaller
+    than the corpus — so Spark can broadcast it back for pass 2.
+    """
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    dt = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+    )
+    tf = dt.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    sum_df = F.sum("doc_freq").cast("bigint")
+    return (
+        dt.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            sum_df.alias("sum_doc_freq"),
+            (sum_df.cast("double") / F.count(F.lit(1))).alias("mean_doc_freq"),
+            F.min("doc_freq").cast("bigint").alias("rarest_doc_freq"),
+        )
+    )

@@ -404,3 +404,53 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_range — radius (threshold) search: everything within a cosine bound
+# of each query vector, the set-retrieval twin of top-k.
+# --------------------------------------------------------------------------
+
+_RADIUS = 0.25
+
+
+@query(
+    "q_sim_range",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({_SQL_QUERY_IDS})
+)
+SELECT q.q_id, e.vec_id,
+       {_sql_dot("q.q_emb", "e.embedding")}
+         / ({_sql_norm("q.q_emb")} * {_sql_norm("e.embedding")}) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.q_id
+  AND {_sql_dot("q.q_emb", "e.embedding")}
+        / ({_sql_norm("q.q_emb")} * {_sql_norm("e.embedding")}) >= {_RADIUS}
+""",
+    tags=("llm", "similarity"),
+)
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors within cosine ≥ 0.25 of each query vector.
+
+    Same broadcast-the-queries plan as q_sim_topk but with a predicate
+    instead of a window: no rank state, so the corpus scan emits matches
+    immediately and the result size is data-dependent — the retrieval
+    mode used for "collect everything similar enough" dataset curation.
+    The cosine is the same sequential double fold both engines evaluate
+    identically, so the threshold cut is bit-stable.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cosine = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _RADIUS)
+    )

@@ -226,3 +226,53 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_win_range_frame — time-based RANGE frame (trailing one hour), vs the
+# row-count frames of q_win_frame.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_range_frame",
+    oracle=f"""
+SELECT
+  event_id,
+  user_id,
+  COUNT(*) OVER w AS n_trailing_1h,
+  {sql_dec_to_double("SUM(CAST(value AS DECIMAL(38,10))) OVER w")}
+    AS sum_trailing_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+""",
+    tags=("window",),
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour event count and value sum per user — a RANGE
+    frame keyed on event time, not row position.
+
+    RANGE frames size themselves by the *value* of the order key (epoch
+    seconds here), so sparse and bursty users both get exactly "the last
+    hour" — the window shape behind rate limits and rolling KPIs. Peers
+    with the same timestamp share a frame in both engines by definition
+    of RANGE, which is what makes this hash-stable without a tie-break.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+            "sum_trailing_1h"
+        ),
+    )
