@@ -208,6 +208,45 @@ def test_ingest_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 26
 
 
+def test_exactly_once_sink_survives_epoch_retry(spark, tmp_path):
+    """The epoch-partitioned sink must be idempotent: re-running the same
+    micro-batch (Spark's behavior after a mid-batch failure) replaces the
+    epoch's files instead of appending duplicates."""
+    from streaming_data_ingestion_spark.sources.json_stream import read_json_stream
+    from streaming_data_ingestion_spark.streaming.ingest import (
+        decode_users_from_files,
+        epoch_overwrite_writer,
+        run_ingest_exactly_once,
+    )
+
+    in_dir = tmp_path / "wire"
+    in_dir.mkdir()
+    (in_dir / "batch0.jsonl").write_text("\n".join(fake_users_json_lines(20)))
+
+    out_dir = str(tmp_path / "users_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = decode_users_from_files(read_json_stream(spark, str(in_dir)))
+    q = run_ingest_exactly_once(stream, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir).drop("__epoch")
+    assert out.count() == 20
+
+    # Simulate Spark retrying epoch 0: replay the same batch through the
+    # same writer. Dynamic partition overwrite must leave exactly 20 rows.
+    # (Materialize first — a lazy read from out_dir would have its source
+    # files replaced underneath it by the overwrite.)
+    batch = spark.createDataFrame(
+        spark.read.parquet(out_dir).drop("__epoch").collect()
+    )
+    epoch_overwrite_writer(out_dir)(batch, 0)
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # A genuinely new epoch still lands additively.
+    epoch_overwrite_writer(out_dir)(batch.limit(5), 1)
+    assert spark.read.parquet(out_dir).count() == 25
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics: an event older than the watermark when it
     arrives must not revise an already-finalized window.
