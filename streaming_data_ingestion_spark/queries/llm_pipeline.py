@@ -58,15 +58,25 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     op, no shuffle anywhere. At 100 TB this streams: each input split
     yields ~n_tokens/stride output rows with no state.
     """
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def chunk_documents(
+    df: DataFrame, chunk: int = _CHUNK, stride: int = _STRIDE
+) -> DataFrame:
+    """Chunk ``df.text`` into overlapping ``chunk``-token windows every
+    ``stride`` tokens (see q_doc_chunk for the scale rationale).
+
+    Emits one row per (doc_id, chunk_idx) with the chunk text and its
+    token count; documents with no tokens emit nothing.
+    """
     toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("toks")
-    )
-    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+    d = df.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
     chunks = F.transform(
-        starts, lambda s: F.array_join(F.slice("toks", s + 1, _CHUNK), " ")
+        starts, lambda s: F.array_join(F.slice("toks", s + 1, chunk), " ")
     )
-    return d.select(
+    return d.filter(F.size("toks") > 0).select(
         "doc_id",
         F.size("toks").alias("n_toks"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
@@ -75,7 +85,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         "chunk_text",
         F.least(
-            F.lit(_CHUNK), F.col("n_toks") - F.col("chunk_idx") * _STRIDE
+            F.lit(chunk), F.col("n_toks") - F.col("chunk_idx") * stride
         ).alias("n_tokens"),
     )
 
@@ -312,3 +322,42 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_freq").cast("bigint").alias("rarest_doc_freq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_split_assign — deterministic train/val/test split assignment.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+SELECT
+  doc_id,
+  source,
+  CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+    ELSE 'train'
+  END AS split
+FROM documents
+""",
+    tags=("llm", "pipeline"),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test (87.5/6.25/6.25) from the
+    first hex digit of md5(doc_id).
+
+    Content-addressed like q_sample_hash: the assignment is a pure
+    function of the id, so any engine, run, or partitioning reproduces
+    the identical split, and a document can never leak between splits
+    across pipeline re-runs. A narrow per-row map — no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(h.isin("e", "f"), "test")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    return d.select("doc_id", "source", split.alias("split"))

@@ -141,3 +141,44 @@ def test_salted_join_equals_plain_join(spark, pairs):
     )
     want = sorted(map(tuple, big.join(small, "k").collect()))
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "word", "x1"]),
+            min_size=0,
+            max_size=90,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunking_covers_and_reconstructs(spark, docs):
+    """Every chunk must equal tokens[idx*stride : idx*stride+chunk], chunk
+    counts must be ceil(n/stride), and empty documents must emit nothing —
+    on arbitrary token streams, not just the fixture corpus."""
+    from streaming_data_ingestion_spark.queries.llm_pipeline import chunk_documents
+
+    chunk, stride = 8, 5
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk=chunk, stride=stride).collect()
+    }
+
+    expected_keys = set()
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        n_chunks = (n + stride - 1) // stride
+        for idx in range(n_chunks):
+            expected_keys.add((i, idx))
+            want_toks = toks[idx * stride : idx * stride + chunk]
+            assert got[(i, idx)] == (" ".join(want_toks), len(want_toks))
+    assert set(got) == expected_keys
