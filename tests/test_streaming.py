@@ -369,3 +369,46 @@ def test_stateful_running_totals_tws(spark):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_catalog_ddl_and_stream_to_table(spark, tmp_path):
+    """Reference DDL parity end-to-end: CREATE DATABASE + CREATE TABLE
+    (IF NOT EXISTS idempotence included), then stream wire records into
+    the catalog table per micro-batch — the Spark-native twin of the
+    reference's keyspace/table bootstrap + Cassandra connector append."""
+    from streaming_data_ingestion_spark.catalog import (
+        create_database,
+        create_users_table,
+        table_sink_writer,
+    )
+    from streaming_data_ingestion_spark.sources.json_stream import read_json_stream
+    from streaming_data_ingestion_spark.streaming.ingest import (
+        decode_users_from_files,
+    )
+
+    db = f"profiles_{uuid.uuid4().hex[:8]}"
+    try:
+        create_database(spark, db)
+        create_users_table(spark, db)
+        # idempotence: re-running the DDL is a no-op, not an error
+        create_database(spark, db)
+        create_users_table(spark, db)
+
+        in_dir = tmp_path / "wire"
+        in_dir.mkdir()
+        (in_dir / "b0.jsonl").write_text("\n".join(fake_users_json_lines(15)))
+        stream = decode_users_from_files(read_json_stream(spark, str(in_dir)))
+        q = (
+            stream.writeStream.foreachBatch(table_sink_writer(db))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        out = spark.table(f"{db}.users")
+        assert out.count() == 15
+        assert out.filter(F.col("user_id").isNull()).count() == 0
+        assert dict(out.dtypes)["postcode"] == "string"
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
