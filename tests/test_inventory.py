@@ -1,0 +1,41 @@
+"""SURVEY.md §2B ↔ registry sync.
+
+§2B is the binding capability contract: every query key documented there
+must be registered (with an oracle unless the row says rows-only), and
+every registered query must be documented. A drift in either direction is
+a broken promise, caught here instead of by the external audit.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from streaming_data_ingestion_spark.registry import all_queries
+
+SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
+
+
+def _survey_2b_keys() -> set[str]:
+    text = SURVEY.read_text()
+    start = text.index("### 2B.")
+    end = text.index("\n## 3.")
+    section = text[start:end]
+    return set(re.findall(r"`(q_[a-z0-9_]+)`", section))
+
+
+def test_survey_inventory_matches_registry():
+    documented = _survey_2b_keys()
+    registered = set(all_queries())
+    missing_impl = documented - registered
+    undocumented = registered - documented
+    assert not missing_impl, f"in SURVEY §2B but not registered: {sorted(missing_impl)}"
+    assert not undocumented, f"registered but absent from SURVEY §2B: {sorted(undocumented)}"
+
+
+def test_oracle_coverage_is_near_total():
+    """Rows-only entries are the contract's escape hatch for genuinely
+    non-SQL-expressible ops; they must stay the rare exception."""
+    specs = all_queries()
+    rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
+    assert rows_only == ["q_agg_approx"], rows_only
