@@ -9,6 +9,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     llm_pipeline,
     llm_similarity,
     llm_text,
+    multimodal_q,
     relational,
     streaming_analogs,
     subqueries,

@@ -246,3 +246,38 @@ def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("tag"), "k"
     )
     return inter.unionByName(exc)
+
+
+# --------------------------------------------------------------------------
+# q_unpivot — wide → long melt (the inverse of q_pivot).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber,
+                  l_quantity, l_extendedprice, l_discount
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME measure VALUE value
+)
+""",
+    tags=("relational",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt three lineitem measures into (measure, value) long form.
+
+    ``unpivot`` is an Expand under the hood — each input row replicated
+    once per measure, a narrow map with no shuffle; 3× rows out but
+    1/3 the columns each. The inverse transformation of q_pivot's
+    conditional aggregation.
+    """
+    return load(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )

@@ -38,4 +38,4 @@ def test_oracle_coverage_is_near_total():
     non-SQL-expressible ops; they must stay the rare exception."""
     specs = all_queries()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert rows_only == ["q_agg_approx"], rows_only
+    assert rows_only == ["q_agg_approx", "q_multimodal_features"], rows_only
