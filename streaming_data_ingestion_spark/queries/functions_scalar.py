@@ -294,3 +294,83 @@ def q_cond_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floored"),
         F.col("o_orderkey").isNull().alias("no_big_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_bit_funcs — bitwise family on integer keys.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bit_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_orderkey & 255 AS low_byte,
+  o_orderkey | 4096 AS with_flag,
+  xor(o_orderkey, 1431655765) AS xored,
+  CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+  o_orderkey >> 3 AS shr3,
+  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+""",
+    tags=("functions",),
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR, shifts, popcount on BIGINT keys.
+
+    Two's-complement integer ops are definitionally identical in both
+    engines — the family partition-key hashing, bloom filters, and bitmap
+    sketches are built from. Pure narrow projection, whole-stage codegen.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1431655765)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_hash_funcs — cryptographic digest family (the primitives under exact
+# dedup, content-addressed sampling, and fingerprinting).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text) AS md5_hex,
+  sha256(text) AS sha256_hex,
+  md5(CAST(doc_id AS VARCHAR) || ':' || source) AS keyed_md5
+FROM documents
+""",
+    tags=("functions",),
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha256 hex digests over document text, plus a
+    composite-key digest.
+
+    Digests are byte-exact cross-engine by specification (both hash the
+    UTF-8 bytes and print lowercase hex), which is exactly why the dedup
+    and sampling operators are built on them rather than on any engine's
+    internal hash().
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+            .cast("binary")
+        ).alias("keyed_md5"),
+    )
