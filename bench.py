@@ -42,6 +42,8 @@ HEADLINE = (
     "q_stream_sliding",      # sliding windows
     "q_dedup_exact",         # hash dedup
     "q_dedup_minhash",       # LSH signatures
+    "q_dedup_clusters",      # iterative connected components
+    "q_ngrams",              # n-gram stats (explode-heavy)
     "q_text_tf",             # explode + agg
     "q_doc_chunk",           # higher-order chunking + posexplode
     "q_sim_topk",            # brute-force cosine top-k

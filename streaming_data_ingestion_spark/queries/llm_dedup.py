@@ -174,16 +174,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "q_dedup_minhash_pairs",
-    oracle=f"""
+_SQL_PAIRS = f"""
 WITH bands AS ({_Q_MINHASH_ORACLE})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id
-""",
+"""
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=_SQL_PAIRS,
     tags=("llm", "dedup", "lsh"),
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,4 +367,103 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 160)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_clusters — connected components over the LSH candidate-pair
+# graph: the step that turns "candidate pairs" into an actual dedup
+# decision (one canonical keeper per near-dup cluster).
+# --------------------------------------------------------------------------
+
+_Q_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_SQL_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+SELECT
+  d.doc_id,
+  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+  COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@query("q_dedup_clusters", oracle=_Q_CLUSTERS_ORACLE, tags=("llm", "dedup", "lsh"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components of the LSH pair graph.
+
+    Every document gets ``cluster_id`` = the minimum doc_id reachable
+    through candidate-pair edges (itself if unpaired); ``is_canonical``
+    marks the one keeper per cluster — dropping the rest IS the dedup.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) pulls the min label across graph edges, then (b) replaces each
+    label by its label's label (path halving), so convergence is
+    O(log diameter) rounds, not O(diameter). Each round is two hash
+    joins + one aggregate on the (small) edge/label sets — never a
+    driver-side graph. Labels are monotonically non-increasing, so the
+    fixpoint test is one cheap SUM comparison per round; lineage is cut
+    every round with localCheckpoint so plans stay O(1) deep. This is
+    the same alternating-contraction family as large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which is the production choice when the pair graph itself is
+    petabyte-scale. Oracle: DuckDB WITH RECURSIVE reachability.
+    """
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(64):  # ⌈log2⌉ bound; real corpora converge in < 10
+        # (a) edge relaxation: label ← min(label, min over neighbours).
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        relaxed = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # (b) pointer jumping: label ← label(label). Labels are always
+        # doc_ids, so the self-join is total.
+        x, y = relaxed.alias("x"), relaxed.alias("y")
+        jumped = (
+            x.join(y, F.col("x.label") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id"), F.col("y.label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
     )

@@ -361,3 +361,83 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# q_corpus_filter — composite quality gate with per-rule flag bitmask.
+# --------------------------------------------------------------------------
+
+# Rule bits (set bit = rule FIRED = reason to drop).
+_F_TOO_SHORT = 1  # fewer than 20 tokens
+_F_LOW_STOP = 2  # stopword ratio under 5% (word-soup / non-prose signal)
+_F_LONG_TOKENS = 4  # average token length over 12 chars (boilerplate/code)
+_F_DIGIT_HEAVY = 8  # more than 20% digit characters
+
+_SQL_STOPWORDS = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for']"
+
+_Q_CORPUS_FILTER_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(
+    CASE WHEN n_tokens < 20 THEN {_F_TOO_SHORT} ELSE 0 END
+    + CASE WHEN stop_ratio < 0.05 THEN {_F_LOW_STOP} ELSE 0 END
+    + CASE WHEN avg_token_len > 12 THEN {_F_LONG_TOKENS} ELSE 0 END
+    + CASE WHEN digit_ratio > 0.2 THEN {_F_DIGIT_HEAVY} ELSE 0 END
+  AS INTEGER) AS flags,
+  (n_tokens >= 20 AND stop_ratio >= 0.05
+   AND avg_token_len <= 12 AND digit_ratio <= 0.2) AS keep
+FROM (
+  SELECT
+    doc_id,
+    CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+    CAST(len(list_filter({_SQL_TOKENS},
+         t -> list_contains({_SQL_STOPWORDS}, t))) AS DOUBLE)
+      / len({_SQL_TOKENS}) AS stop_ratio,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / len({_SQL_TOKENS}) AS avg_token_len,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(replace(text, ' ', '')), 1) AS digit_ratio
+  FROM documents
+)
+"""
+
+
+@query("q_corpus_filter", oracle=_Q_CORPUS_FILTER_ORACLE, tags=("llm", "pipeline"))
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus quality gate: four heuristic rules folded into a
+    flag bitmask plus a single keep/drop verdict.
+
+    The bitmask (too-short=1, low-stopword=2, long-tokens=4,
+    digit-heavy=8) is what a production filter pipeline reports per
+    document so drop *reasons* stay auditable after the drop. One narrow
+    pass, pure codegen'd expressions, no shuffle — filtering 100 TB is
+    scan-bound, exactly as it should be.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    stop_arr = F.array(
+        *[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "for")]
+    )
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_token_len = n_chars.cast("double") / n_tokens
+    digit_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ).cast("double") / F.greatest(n_chars, F.lit(1))
+    flags = (
+        F.when(n_tokens < 20, _F_TOO_SHORT).otherwise(0)
+        + F.when(stop_ratio < 0.05, _F_LOW_STOP).otherwise(0)
+        + F.when(avg_token_len > 12, _F_LONG_TOKENS).otherwise(0)
+        + F.when(digit_ratio > 0.2, _F_DIGIT_HEAVY).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        flags.cast("int").alias("flags"),
+        (flags == 0).alias("keep"),
+    )

@@ -357,3 +357,103 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * _RB + x) % _RP,
     )
     return d.select("doc_id", rolled.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# q_ngrams — token bigram counts (LM-style n-gram statistics).
+# --------------------------------------------------------------------------
+
+
+# Bigrams via the same zip-of-slices trick as the dedup shingles: the token
+# array is evaluated twice per row total, not per element (see
+# llm_dedup._shingles for why transform(sequence, ...) is O(tokens²) here).
+def _bigrams(t: Column) -> Column:
+    m = F.greatest(F.size(t) - 1, F.lit(1))
+    z = F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m))
+    return F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+
+
+_SQL_BIGRAMS = f"""
+list_transform(
+  range(1, greatest(len({_SQL_TOKENS}), 2)),
+  i -> concat_ws(' ', {_SQL_TOKENS}[i], {_SQL_TOKENS}[i+1])
+)
+"""
+
+
+@query(
+    "q_ngrams",
+    oracle=f"""
+SELECT bigram, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram FROM documents)
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 100
+""",
+    tags=("llm", "text"),
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 token bigrams with corpus and document frequency.
+
+    The n-gram arrays are built per-row with higher-order functions (no
+    shuffle), then one explode → groupBy with map-side partial
+    aggregation: the shuffled volume is |bigram vocabulary| per
+    partition, not the bigram stream. (freq, bigram) is a total order,
+    so the LIMIT boundary is deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_bigrams(_tokens())).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_inverted_index — term → sorted posting list of containing documents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+SELECT
+  term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
+FROM (SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term
+      FROM documents)
+GROUP BY term
+""",
+    tags=("llm", "text"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per term, document frequency + a sorted, capped
+    posting list.
+
+    Per-document distinct terms are computed row-side (array_distinct —
+    no shuffle), so the exploded stream carries each (doc, term) once;
+    the groupBy then partial-aggregates map-side. Posting lists are
+    sorted for determinism and capped at 100 entries — at corpus scale
+    an uncapped list for a stopword-grade term would be a single
+    giant row (the classic inverted-index skew), so the cap is the
+    scale-safety valve while ``df`` keeps the true frequency.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.explode(F.array_distinct(_tokens())).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100), ","
+            ).alias("postings"),
+        )
+    )
