@@ -413,23 +413,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log diameter) rounds, not O(diameter). Each round is two hash
     joins + one aggregate on the (small) edge/label sets — never a
     driver-side graph. Labels are monotonically non-increasing, so the
-    fixpoint test is one cheap SUM comparison per round; lineage is cut
-    every round with localCheckpoint so plans stay O(1) deep. This is
+    fixpoint test is one cheap SUM comparison per round — and that SUM is
+    the round's ONLY action: the new label set is a lazy localCheckpoint
+    materialized inside the same job, so each round costs one Spark job
+    (not three) and lineage stays O(1) deep. This is
     the same alternating-contraction family as large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond"),
     which is the production choice when the pair graph itself is
     petabyte-scale. Oracle: DuckDB WITH RECURSIVE reachability.
     """
-    pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
+    # Materialize the LSH pair pipeline once (the union below reads it
+    # twice), then iterate ONLY over vertices that appear in some pair:
+    # unpaired documents trivially keep their own label, and at corpus
+    # scale the active vertex set (LSH collisions) is orders of magnitude
+    # smaller than the corpus — joining the full corpus per round would
+    # be the actual scale bug.
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).persist()
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
+    # Seed each vertex with min(self, direct neighbours) — one aggregation
+    # that is exactly the first relaxation round, so typical near-dup
+    # clusters (cliques / short paths from LSH collisions) start at or one
+    # hop from the fixpoint and the loop usually runs a single
+    # confirmation round.
     labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "doc_id")
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(64):  # ⌈log2⌉ bound; real corpora converge in < 10
@@ -451,19 +463,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (b) pointer jumping: label ← label(label). Labels are always
         # doc_ids, so the self-join is total.
         x, y = relaxed.alias("x"), relaxed.alias("y")
-        jumped = (
-            x.join(y, F.col("x.label") == F.col("y.doc_id"))
-            .select(F.col("x.doc_id"), F.col("y.label").alias("label"))
-            .localCheckpoint()
+        jumped = x.join(y, F.col("x.label") == F.col("y.doc_id")).select(
+            F.col("x.doc_id"), F.col("y.label").alias("label")
         )
+        # One action per round: the lazy localCheckpoint materializes
+        # inside the SUM job itself, truncating lineage without the extra
+        # eager-checkpoint job.
+        jumped = jumped.localCheckpoint(eager=False)
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    pairs.unpersist()
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lab = labels.withColumnRenamed("doc_id", "vid")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        # No broadcast hint: AQE broadcasts the label side when the
+        # collision set is small, and falls back to a shuffle join when a
+        # pathological corpus makes it large.
+        docs.join(lab, docs.doc_id == lab.vid, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_canonical"),
+        )
     )
