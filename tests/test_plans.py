@@ -160,3 +160,29 @@ def test_sample_hash_single_shuffle(spark):
     plan = plan_of(spark, "q_sample_hash")
     assert plan.count("Exchange") <= 2  # formatted mode lists node + detail
     assert "partial_" in plan
+
+
+def test_corpus_filter_no_shuffle_and_pruned(spark):
+    """The quality gate is a pure narrow map: no exchange anywhere, and
+    the scan reads only the two columns the rules touch."""
+    plan = plan_of(spark, "q_corpus_filter")
+    assert "Exchange" not in plan
+    assert "lang" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_ngrams_single_shuffle(spark):
+    """Bigram stats: the n-gram arrays are built row-side, so the only
+    exchanges are the count aggregation's (partial agg on the map side)
+    and the final top-k ordering."""
+    plan = plan_of(spark, "q_ngrams")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_inverted_index_partial_aggregates(spark):
+    """Posting-list build: per-doc distinct terms are computed row-side
+    (no extra dedup shuffle) and the collect aggregates partially before
+    its single exchange."""
+    plan = plan_of(spark, "q_inverted_index")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_" in plan  # ObjectHashAggregate partial mode

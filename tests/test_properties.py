@@ -182,3 +182,36 @@ def test_chunking_covers_and_reconstructs(spark, docs):
             want_toks = toks[idx * stride : idx * stride + chunk]
             assert got[(i, idx)] == (" ".join(want_toks), len(want_toks))
     assert set(got) == expected_keys
+
+
+def test_dedup_clusters_invariants(spark):
+    """Structural invariants of the connected-components output, checked
+    independently of the recursive-CTE oracle: every candidate pair lands
+    in one cluster, the cluster label is the component minimum (so it is
+    ≤ every member and is itself a member), and exactly the label-owners
+    are canonical."""
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    specs = all_queries()
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in specs["q_dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    pairs = specs["q_dedup_minhash_pairs"].fn(spark, SF_DIR).collect()
+
+    # (a) connectivity respected: paired docs share a cluster.
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    # (b) label is the minimum member and a member itself.
+    members: dict[int, list[int]] = {}
+    for doc, lab in clusters.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)
+    # (c) unpaired docs are singletons labelled by themselves.
+    paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    for doc, lab in clusters.items():
+        if doc not in paired:
+            assert lab == doc
