@@ -321,19 +321,37 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         _cos(F.col("embedding"), F.col("c_emb")).alias("sim"),
     )
+    # Corpus→cell assignment is an argmax, not a ranking: max_by over a
+    # (sim, -centroid) ordering struct partial-aggregates map-side, so the
+    # shuffle carries one row per vector per partition instead of the full
+    # K-fanned score stream a row_number window would sort. The nprobe>1
+    # ranking only ever applies to the (tiny) query side, so the window
+    # runs on |queries|×K rows.
+    best = F.max_by(
+        F.struct(F.col("centroid_id"), F.col("embedding")),
+        F.struct(F.col("sim"), (-F.col("centroid_id")).alias("tie")),
+    ).alias("best")
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.centroid_id").alias("cell"),
+        )
+    )
     cw = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id").asc()
     )
-    ranked = scored.withColumn("crn", F.row_number().over(cw))
-    assign = ranked.filter(F.col("crn") == 1).select(
-        "vec_id", "embedding", F.col("centroid_id").alias("cell")
-    )
-    probes = ranked.filter(
-        F.col("vec_id").isin(*_IVF_QUERY_IDS) & (F.col("crn") <= _IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("centroid_id").alias("cell"),
+    probes = (
+        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id").alias("cell"),
+        )
     )
     cand = (
         assign.join(
