@@ -21,6 +21,10 @@ from streaming_data_ingestion_spark.tables import load
 
 _SQL_TOKENS = "list_filter(str_split(trim(text), ' '), t -> t != '')"
 
+
+def _tokens():
+    return F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+
 # Chunk geometry: 32-token chunks every 24 tokens (8-token overlap) — the
 # sliding-window shape used to pack long documents into a fixed context.
 _CHUNK = 32
@@ -440,4 +444,101 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         flags.cast("int").alias("flags"),
         (flags == 0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_decontaminate — benchmark decontamination via 8-gram overlap.
+# --------------------------------------------------------------------------
+
+# 8-token grams, the dedup-and-decontamination window size popularized by
+# GPT-3/PaLM-style eval decontamination. Hashed with md5 so the join key is
+# a fixed 32-char digest, never the gram text.
+_DECON_N = 8
+
+_SQL_G8 = (
+    "list_transform(range(1, greatest(len(toks) - 6, 2)), i -> md5(concat_ws(' ', "
+    + ", ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(_DECON_N))
+    + ")))"
+)
+
+
+def _grams8():
+    t = _tokens()
+    m = F.greatest(F.size(t) - (_DECON_N - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(t, k + 1, m) for k in range(_DECON_N)])
+    return F.transform(
+        z, lambda s: F.md5(F.concat_ws(" ", *[s[str(k)] for k in range(_DECON_N)]))
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH g AS (
+  SELECT
+    doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') AS is_test,
+    unnest(list_distinct({_SQL_G8})) AS gram
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+),
+tg AS (SELECT DISTINCT gram FROM g WHERE is_test),
+sh AS (
+  SELECT g.doc_id, COUNT(*) AS n_shared
+  FROM g JOIN tg USING (gram)
+  WHERE NOT g.is_test
+  GROUP BY 1
+)
+SELECT
+  d.doc_id,
+  CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+       THEN 'val' ELSE 'train' END AS split,
+  COALESCE(n_shared, 0) AS n_shared_grams,
+  COALESCE(n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN sh USING (doc_id)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) NOT IN ('e', 'f')
+""",
+    tags=("llm", "pipeline"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every train/val document that
+    shares an 8-token gram with the held-out test split (the same
+    content-addressed split as q_split_assign).
+
+    The gram inventory is built row-side (zip-of-slices — O(tokens) per
+    document, no shuffle) and deduplicated per document before the
+    explode, so the gram stream carries each (doc, gram) once. The test
+    side reduces to a distinct gram set; the overlap is one equi-join on
+    a 32-char digest. At 100 TB the eval set is tiny relative to the
+    corpus, so that join broadcasts; here both sides flow through one
+    hash join that AQE sizes. Output keeps the shared-gram *count*, not
+    just the flag, so a pipeline can threshold severity.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    g = d.select(
+        "doc_id",
+        h.isin("e", "f").alias("is_test"),
+        F.explode(F.array_distinct(_grams8())).alias("gram"),
+    )
+    test_grams = g.filter(F.col("is_test")).select("gram").distinct()
+    shared = (
+        g.filter(~F.col("is_test"))
+        .join(test_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+    return (
+        d.filter(~h.isin("e", "f"))
+        .select(
+            "doc_id", F.when(h.isin("c", "d"), "val").otherwise("train").alias("split")
+        )
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            n_shared.alias("n_shared_grams"),
+            (n_shared > 0).alias("contaminated"),
+        )
     )

@@ -472,3 +472,56 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _RADIUS)
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_centroid — per-label centroid of the embedding column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_centroid",
+    oracle=f"""
+SELECT
+  label,
+  CAST(i AS INTEGER) AS dim,
+  CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT))
+       AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS centroid,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings CROSS JOIN range(1, {_DIM + 1}) r(i)
+GROUP BY label, i
+""",
+    tags=("llm", "similarity"),
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, long format: one row per
+    (label, dimension) with the mean component at fixed 1e-10 precision.
+
+    This is the aggregate half of a k-means/IVF trainer (q_sim_ivf
+    consumes exactly such centroids) and the standard per-cluster
+    diagnostic for embedding drift. posexplode multiplies rows by the
+    (fixed, small) dimensionality *after* column pruning to just
+    (label, embedding); the groupBy partial-aggregates map-side to
+    |labels| x 64 rows, so the shuffle is centroid-sized regardless of
+    corpus size.
+
+    Determinism: components are quantized with ``floor(val * 1e10)``
+    into exact BIGINT sums. floor has no rounding-tie rule, unlike a
+    double->decimal cast, where a float32 component that is an odd
+    multiple of 2^-11 lands exactly on a scale-10 tie and Spark
+    (HALF_UP) and DuckDB disagree — observed on this very corpus. The
+    final value is integer-sum -> two IEEE divisions, bit-identical
+    cross-engine.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("val").cast("double") * F.lit(1e10))
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -10,7 +10,7 @@ then immediately partial-aggregates map-side).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import davg, dsum, sql_davg, sql_dsum
@@ -456,4 +456,163 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100), ","
             ).alias("postings"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_text_tfidf — top-5 most distinctive terms per document (TF-IDF).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, token AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, doc_freq,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq, n.n_docs,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rnk <= 5
+""",
+    tags=("llm", "text"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by TF-IDF.
+
+    Two shuffles total, both on narrow keys: term frequencies aggregate
+    on (doc_id, term); document frequencies reduce the tf table to
+    vocabulary size, which Spark broadcasts back for the score join (a
+    vocabulary is orders smaller than a 100 TB corpus). The per-doc
+    rank orders by exact integers (tf desc, doc_freq asc, term asc) —
+    never by the float score — so the top-5 boundary is deterministic
+    cross-engine; the float tfidf column is display output, rounded to
+    absorb any libm ln() ULP divergence between engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_repetition — per-document repetition statistics (Gopher-style gate).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks, {_SQL_BIGRAMS} AS bgs FROM documents
+),
+bc AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS b FROM t)
+  GROUP BY 1, 2
+),
+top AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+SELECT
+  t.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+    / greatest(len(toks), 1) AS dup_token_frac,
+  CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+    / greatest(len(bgs), 1) AS dup_bigram_frac,
+  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+  CAST(COALESCE(top_bigram_count, 0) AS DOUBLE)
+    / greatest(len(bgs), 1) AS top_bigram_frac
+FROM t LEFT JOIN top USING (doc_id)
+""",
+    tags=("llm", "text"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: duplicated-token fraction,
+    duplicated-bigram fraction, and the most-repeated bigram's count and
+    share (the Gopher-style repetition gates, adapted to single-line
+    token streams).
+
+    Zero shuffle: every metric is a per-row higher-order expression. The
+    most-frequent-bigram count — normally a group-and-count — becomes a
+    run-length fold over the *sorted* bigram array (equal bigrams are
+    adjacent after sort_array, so the longest run IS the max count).
+    The oracle computes the same number the conventional way
+    (unnest → GROUP BY → MAX), proving the fold correct. Fractions are
+    single IEEE divisions of exact integers — bit-identical cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    bgs = _bigrams(_tokens())
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.sort_array(bgs),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+    n_tok = F.size(toks).cast("long")
+    n_bg = F.size(bgs).cast("long")
+    n_dtok = F.size(F.array_distinct(toks)).cast("long")
+    n_dbg = F.size(F.array_distinct(bgs)).cast("long")
+    one = F.lit(1).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ((n_tok - n_dtok).cast("double") / F.greatest(n_tok, one)).alias(
+            "dup_token_frac"
+        ),
+        ((n_bg - n_dbg).cast("double") / F.greatest(n_bg, one)).alias(
+            "dup_bigram_frac"
+        ),
+        top_count.alias("top_bigram_count"),
+        (top_count.cast("double") / F.greatest(n_bg, one)).alias(
+            "top_bigram_frac"
+        ),
     )
