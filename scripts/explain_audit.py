@@ -93,6 +93,34 @@ AUDITED = (
         "converged label set; AQE chooses broadcast when the LSH collision "
         "set is small.",
     ),
+    (
+        "q_repetition",
+        "Repetition gates. Read: a single codegen'd projection — the "
+        "run-length fold over sort_array(bigrams) computes the max bigram "
+        "count per row, so there is no Generate, no Exchange, nothing but "
+        "the scan.",
+    ),
+    (
+        "q_text_tfidf",
+        "TF-IDF top-5. Read: tf shuffles once on (doc_id, term); doc_freq "
+        "is its own array_distinct pass whose vocabulary-sized result "
+        "broadcasts into the score join; WindowGroupLimit prunes to 5 rows "
+        "per doc map-side before the final window Exchange.",
+    ),
+    (
+        "q_decontaminate",
+        "8-gram decontamination. Read: per-doc gram sets dedupe row-side "
+        "(array_distinct before Generate); the test-gram set reduces "
+        "through one Exchange and joins the train grams as a hash join on "
+        "the digest; the flag rejoins docs via broadcast left-outer.",
+    ),
+    (
+        "q_emb_centroid",
+        "Embedding centroids. Read: scan prunes to (label, embedding) "
+        "before posexplode; partial HashAggregate collapses each task to "
+        "|labels|×64 rows, so the single Exchange is centroid-sized at "
+        "any corpus size.",
+    ),
 )
 
 

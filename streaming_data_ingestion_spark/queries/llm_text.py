@@ -472,7 +472,11 @@ WITH tf AS (
   FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
   GROUP BY 1, 2
 ),
-dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq
+  FROM (SELECT unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents)
+  GROUP BY 1
+),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT doc_id, term, tf, doc_freq,
        ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf,
@@ -490,14 +494,16 @@ WHERE rnk <= 5
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 distinctive terms per document by TF-IDF.
 
-    Two shuffles total, both on narrow keys: term frequencies aggregate
-    on (doc_id, term); document frequencies reduce the tf table to
-    vocabulary size, which Spark broadcasts back for the score join (a
-    vocabulary is orders smaller than a 100 TB corpus). The per-doc
-    rank orders by exact integers (tf desc, doc_freq asc, term asc) —
-    never by the float score — so the top-5 boundary is deterministic
-    cross-engine; the float tfidf column is display output, rounded to
-    absorb any libm ln() ULP divergence between engines.
+    Term frequencies aggregate on (doc_id, term); document frequencies
+    come from a *separate, cheaper* pass — per-row array_distinct then a
+    vocabulary-sized count on term alone, never a second (doc_id, term)
+    shuffle of the full token stream. The resulting vocabulary table
+    broadcasts back for the score join (a vocabulary is orders smaller
+    than a 100 TB corpus). The per-doc rank orders by exact integers
+    (tf desc, doc_freq asc, term asc) — never by the float score — so
+    the top-5 boundary is deterministic cross-engine; the float tfidf
+    column is display output, rounded to absorb any libm ln() ULP
+    divergence between engines.
     """
     d = load(spark, sf_dir, "documents")
     tf = (
@@ -505,7 +511,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    dfreq = (
+        d.select(F.explode(F.array_distinct(_tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()

@@ -186,3 +186,47 @@ def test_inverted_index_partial_aggregates(spark):
     plan = plan_of(spark, "q_inverted_index")
     assert plan.count("+- Exchange") == 1
     assert "partial_" in plan  # ObjectHashAggregate partial mode
+
+
+def test_repetition_no_shuffle(spark):
+    """Repetition gates run as one narrow projection: the run-length fold
+    over the sorted bigram array replaces what would otherwise be an
+    explode + groupBy + max — no Exchange may appear."""
+    plan = plan_of(spark, "q_repetition")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
+
+
+def test_text_tfidf_cheap_dfreq_and_rank_pushdown(spark):
+    """TF-IDF: document frequency must come from its own array_distinct
+    pass (vocabulary-sized shuffle), never a second (doc_id, term)
+    aggregation of the full token stream; the vocabulary then broadcasts
+    into the score join. WindowGroupLimit proves the top-5 rank filter
+    prunes map-side before the final window shuffle."""
+    plan = plan_of(spark, "q_text_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # tf + dfreq + 1-row count + window repartition = 4 plain exchanges max
+    assert plan.count("+- Exchange") <= 4
+
+
+def test_decontaminate_gram_join_is_hash_join(spark):
+    """Decontamination: the train-gram × test-gram overlap must be an
+    equi-join on the gram digest (broadcast or shuffled hash — never a
+    nested loop), and per-doc gram sets dedupe row-side so each (doc,
+    gram) shuffles at most once."""
+    plan = plan_of(spark, "q_decontaminate")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "array_distinct" in plan
+
+
+def test_emb_centroid_single_centroid_sized_shuffle(spark):
+    """Centroids: posexplode happens after pruning to (label, embedding),
+    partial aggregation collapses each map task to |labels|×64 rows, and
+    exactly one exchange carries those partials."""
+    plan = plan_of(spark, "q_emb_centroid")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "vec_id" not in read  # column pruning reached the scan
