@@ -45,6 +45,9 @@ HEADLINE = (
     "q_dedup_clusters",      # iterative connected components
     "q_ngrams",              # n-gram stats (explode-heavy)
     "q_text_tf",             # explode + agg
+    "q_text_tfidf",          # two-pass tf/df + rank window
+    "q_decontaminate",       # 8-gram overlap join
+    "q_repetition",          # zero-shuffle higher-order fold
     "q_doc_chunk",           # higher-order chunking + posexplode
     "q_sim_topk",            # brute-force cosine top-k
     "q_sim_ann_lsh",         # LSH ANN

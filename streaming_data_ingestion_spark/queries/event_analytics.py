@@ -135,3 +135,84 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         retained.alias("n_retained"),
         (retained.cast("double") / F.count(F.lit(1))).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sessionize — explicit per-session rollup with stable session sequence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_seq AS BIGINT) AS session_seq,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM assigned
+GROUP BY 1, 2
+""",
+    tags=("events",),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with explicit session sequence numbers:
+    a new session starts when a user is idle over 30 minutes; each
+    session rolls up to (user, seq, event count, start, end, duration).
+
+    Complements q_stream_session (session_window aggregate): this is the
+    lag -> flag -> running-sum assignment that gives every session a
+    stable per-user ordinal, the shape needed when downstream joins
+    reference "user 7's 3rd session". One shuffle total: both window
+    passes share the (user_id) partitioning and (ts, event_id) sort, and
+    the final groupBy(user_id, session_seq) reuses the same partitioning
+    (a subset key), so Catalyst plans no second Exchange.
+
+    Time math is integer microseconds (unix_micros / epoch_us) on both
+    engines: second-granularity helpers diverge on sub-second timestamps
+    (Spark unix_timestamp floors, DuckDB's epoch cast rounds), which
+    flips gap decisions and durations by one second.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    seq = F.sum(new_s).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "ts", seq.cast("long").alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+        )
+    )

@@ -230,3 +230,13 @@ def test_emb_centroid_single_centroid_sized_shuffle(spark):
     assert "partial_" in plan
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "vec_id" not in read  # column pruning reached the scan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization: lag flag, running-sum assignment, and the final
+    per-session rollup must all share ONE exchange — the two windows use
+    the same (user_id | ts, event_id) spec, and groupBy(user_id,
+    session_seq) is satisfied by the existing user_id partitioning."""
+    plan = plan_of(spark, "q_sessionize")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("Window") >= 2
