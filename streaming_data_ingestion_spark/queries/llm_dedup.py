@@ -490,3 +490,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_chunk — chunk-level (sub-document) duplication statistics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_chunk",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, start + 1, start + 32), ' '))
+           AS digest
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - 1, 24)) AS start
+    FROM t
+  )
+),
+dd AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs_with FROM c GROUP BY 1)
+SELECT
+  c.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(*) FILTER (n_docs_with >= 2) AS BIGINT) AS n_shared_chunks,
+  CAST(COUNT(*) FILTER (n_docs_with >= 2) AS DOUBLE) / COUNT(*)
+    AS shared_chunk_frac
+FROM c JOIN dd USING (digest)
+GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: how much of each document is made of 32-token
+    chunks that also appear in *other* documents — the boilerplate /
+    template-text signal document-level dedup cannot see.
+
+    Reuses the q_doc_chunk chunker (32-token window, 24 stride), hashes
+    each chunk, counts distinct containing docs per digest, and joins
+    the frequency back for a per-document shared fraction. Only 32-char
+    digests ever shuffle — never chunk text — through two digest-keyed
+    exchanges (count, join-back) and one doc_id rollup; every aggregate
+    partial-combines map-side. The whole-doc analog is q_dedup_exact;
+    clusters of near-dup whole docs are q_dedup_clusters.
+    """
+    from streaming_data_ingestion_spark.queries.llm_pipeline import (
+        chunk_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("digest")
+    )
+    dd = ch.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    shared = F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        ch.join(dd, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared_chunks"),
+            (shared.cast("double") / F.count(F.lit(1))).alias(
+                "shared_chunk_frac"
+            ),
+        )
+    )
