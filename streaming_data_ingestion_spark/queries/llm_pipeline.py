@@ -13,7 +13,7 @@ tiny aggregate over the source dimension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.registry import query
@@ -541,4 +541,115 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_shared.alias("n_shared_grams"),
             (n_shared > 0).alias("contaminated"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_corpus_pipeline — the end-to-end corpus-preparation flow as ONE query.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPWORDS}, t)))
+         AS DOUBLE) / len(toks) AS stop_ratio,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+      AS avg_token_len,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(replace(text, ' ', '')), 1) AS digit_ratio
+  FROM (SELECT doc_id, source, text, {_SQL_TOKENS} AS toks FROM documents)
+),
+gated AS (
+  SELECT doc_id, source, text, n_tokens FROM scored
+  WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+    AND avg_token_len <= 12 AND digit_ratio <= 0.2
+),
+uniq AS (
+  SELECT doc_id, source, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                       ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT
+  CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+    ELSE 'train'
+  END AS split,
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM((n_tokens - 1) // {_STRIDE} + 1) AS BIGINT) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM uniq
+WHERE rn = 1
+GROUP BY 1, 2
+""",
+    tags=("llm", "pipeline"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-preparation flow in one declarative plan:
+    quality gate (q_corpus_filter's four rules) → exact dedup (keep the
+    smallest doc_id per normalized-text digest) → content-addressed
+    train/val/test split (q_split_assign) → chunk accounting
+    (q_doc_chunk's geometry, computed arithmetically — no chunk rows
+    ever materialize), rolled up per (split, source).
+
+    This is the shape a real ingest job runs nightly, and it shows the
+    single-query cost of the composition: two shuffles total — one
+    digest-partitioned window for the dedup keeper, one final rollup —
+    because gating, splitting, and chunk counting are all narrow.
+    Catalyst pipelines the whole prefix into the first exchange's map
+    side.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(
+        *[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "for")]
+    )
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / n_tokens
+        ).alias("stop_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("digit_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_ratio") >= 0.05)
+        & (F.col("avg_token_len") <= 12)
+        & (F.col("digit_ratio") <= 0.2)
+    )
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        "doc_id"
+    )
+    uniq = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(h.isin("e", "f"), "test")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+    return uniq.groupBy(split.alias("split"), "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"((n_tokens - 1) div {_STRIDE}) + 1")).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
     )

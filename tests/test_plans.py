@@ -240,3 +240,14 @@ def test_sessionize_single_shuffle(spark):
     plan = plan_of(spark, "q_sessionize")
     assert plan.count("+- Exchange") == 1
     assert plan.count("Window") >= 2
+
+
+def test_corpus_pipeline_two_shuffles(spark):
+    """The composed corpus-prep flow (gate → dedup → split → chunk
+    accounting) must cost exactly two exchanges: the digest-partitioned
+    keeper window and the final (split, source) rollup. WindowGroupLimit
+    shows the rn=1 keeper filter pruning map-side before the shuffle."""
+    plan = plan_of(spark, "q_corpus_pipeline")
+    assert plan.count("+- Exchange") == 2
+    assert "WindowGroupLimit" in plan
+    assert "partial_" in plan
