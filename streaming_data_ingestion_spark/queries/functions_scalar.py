@@ -374,3 +374,54 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("binary")
         ).alias("keyed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_encoding_funcs — binary↔text encoding family (base64, hex, radix,
+# codepoints): the primitives under wire formats and content addressing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_encoding_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  to_base64(text::BLOB) AS b64,
+  from_base64(to_base64(text::BLOB))::VARCHAR = text AS roundtrip_ok,
+  to_hex(doc_id) AS hex_key,
+  bin(doc_id) AS bin_key,
+  unicode(text) AS first_cp,
+  chr(97 + CAST(doc_id % 26 AS INTEGER)) AS bucket_chr
+FROM documents
+""",
+    tags=("functions",),
+)
+def q_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/decoding family: base64 round-trip, hex and binary radix
+    rendering of integer keys, first codepoint, codepoint→char.
+
+    These are the wire-format primitives (the reference serializes JSON
+    to UTF-8 bytes for Kafka — SURVEY §2A R7) plus the radix tools used
+    for content-addressed bucket names. All byte-defined, so
+    cross-engine exact with no numeric care needed; pure narrow
+    projection in whole-stage codegen.
+    """
+    d = load(spark, sf_dir, "documents")
+    tb = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        # Spark's base64 is Java's MIME encoder (CRLF every 76 chars);
+        # DuckDB emits one unchunked string. Strip the soft breaks — the
+        # encoding itself is identical.
+        F.regexp_replace(F.base64(tb), "\r\n", "").alias("b64"),
+        (F.unbase64(F.base64(tb)).cast("string") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+        F.hex(F.col("doc_id")).alias("hex_key"),
+        F.conv(F.col("doc_id").cast("string"), 10, 2).alias("bin_key"),
+        F.ascii(F.col("text")).alias("first_cp"),
+        F.char(F.lit(97) + (F.col("doc_id") % 26).cast("int")).alias(
+            "bucket_chr"
+        ),
+    )
