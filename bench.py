@@ -49,6 +49,8 @@ HEADLINE = (
     "q_decontaminate",       # 8-gram overlap join
     "q_repetition",          # zero-shuffle higher-order fold
     "q_doc_chunk",           # higher-order chunking + posexplode
+    "q_corpus_pipeline",     # composed gate+dedup+split+chunk flow
+    "q_dedup_chunk",         # chunk-digest cross-doc join
     "q_sim_topk",            # brute-force cosine top-k
     "q_sim_ann_lsh",         # LSH ANN
     "q_sim_ivf",             # IVF ANN (coarse quantize + probe)

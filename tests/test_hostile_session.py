@@ -17,7 +17,12 @@ from .conftest import SF_DIR
 from .test_oracle import _cells_equal, _normalize, _sort_rows
 
 # timestamp-extraction and windowing queries are the timezone-sensitive set
-HOSTILE_CHECKED = ("q_date_funcs", "q_stream_tumbling", "q_cast_types")
+HOSTILE_CHECKED = (
+    "q_date_funcs",
+    "q_stream_tumbling",
+    "q_cast_types",
+    "q_sessionize",  # emits raw timestamps + gap decisions on event time
+)
 
 
 @pytest.mark.parametrize("name", HOSTILE_CHECKED)

@@ -215,3 +215,73 @@ def test_dedup_clusters_invariants(spark):
     for doc, lab in clusters.items():
         if doc not in paired:
             assert lab == doc
+
+
+# --------------------------------------------------------------------------
+# q_repetition's run-length fold: max bigram count without a group-by.
+# --------------------------------------------------------------------------
+
+_token = st.text(
+    alphabet=st.sampled_from("ab \té"), min_size=0, max_size=4
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_token, min_size=0, max_size=20))
+def test_repetition_fold_equals_counter(spark, texts):
+    """The sorted-array run-length fold must equal a plain Counter max on
+    arbitrary text — whitespace runs, empty strings, unicode, heavy
+    duplication — because sort_array makes equal bigrams adjacent and
+    the fold tracks the longest run."""
+    from collections import Counter
+
+    text = " ".join(texts)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    # NB: Spark/DuckDB trim() strips ONLY spaces (not \t), so the model
+    # must strip(" "), not Python's default whitespace strip.
+    toks = [t for t in text.strip(" ").split(" ") if t != ""]
+    if len(toks) >= 2:
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    elif len(toks) == 1:
+        bigrams = [toks[0]]  # the engines' shared degenerate convention
+    else:
+        bigrams = []
+    expected = max(Counter(bigrams).values()) if bigrams else 0
+
+    from streaming_data_ingestion_spark.queries.llm_text import (
+        q_repetition as _q,  # noqa: F401  (registered fn, call directly)
+    )
+    from streaming_data_ingestion_spark.registry import REGISTRY
+
+    # Build the same expression the query uses, over the in-memory doc.
+    import streaming_data_ingestion_spark.queries.llm_text as lt
+
+    out = df.select(
+        F.aggregate(
+            F.sort_array(lt._bigrams(lt._tokens())),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        ).alias("top")
+    ).collect()[0][0]
+    assert out == expected, (text, toks, out, expected)
