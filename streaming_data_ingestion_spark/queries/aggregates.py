@@ -475,3 +475,54 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_argminmax — argmin/argmax and boolean aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+SELECT
+  o_custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey) AS best_order,
+  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey) AS worst_order,
+  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+  bool_and(o_totalprice > 1000) AS all_above_1k,
+  bool_or(o_orderstatus = 'F') AS any_finished
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("aggregates",),
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: which order was the most/least expensive (argmax /
+    argmin), plus conditional and boolean aggregates (count_if,
+    bool_and, bool_or).
+
+    max_by/min_by ties are engine-arbitrary, so the ordering value is a
+    synthesized unique BIGINT — price in cents scaled past the key range
+    plus the orderkey as tiebreaker — making the winner well-defined in
+    both engines. (round(price*100) never sits near a .5 tie because
+    prices are 2-decimal quantities; the product is an integer ± one
+    ulp.) All five aggregates partial-combine map-side like any
+    sum/count, so the shuffle stays one row per (customer × partition).
+    """
+    o = load(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint") * 10000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max_by(F.col("o_orderkey"), ordkey).alias("best_order"),
+        F.min_by(F.col("o_orderkey"), ordkey).alias("worst_order"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
