@@ -115,6 +115,20 @@ AUDITED = (
         "the digest; the flag rejoins docs via broadcast left-outer.",
     ),
     (
+        "q_corpus_pipeline",
+        "Composed corpus-prep flow. Read: gate + split + chunk accounting "
+        "are all narrow, so the whole pipeline is two Exchanges — the "
+        "digest keeper window (WindowGroupLimit prunes rn=1 map-side) and "
+        "the final (split, source) rollup.",
+    ),
+    (
+        "q_sessionize",
+        "Gap sessionization. Read: ONE Exchange feeds a shared Sort, both "
+        "Windows (lag flag, running sum), and the per-session rollup — the "
+        "groupBy key is a superset of the window partitioning, so no "
+        "second shuffle.",
+    ),
+    (
         "q_emb_centroid",
         "Embedding centroids. Read: scan prunes to (label, embedding) "
         "before posexplode; partial HashAggregate collapses each task to "
