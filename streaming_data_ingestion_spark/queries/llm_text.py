@@ -626,3 +626,118 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_bm25 — BM25 relevance scoring for a fixed query against the corpus.
+# --------------------------------------------------------------------------
+
+# Okapi BM25 with the standard k1=1.2, b=0.75. Constants appear as the
+# *same* double literals in both engines (2.2 is Python's 1.2+1 — IEEE adds
+# of identical doubles are bit-identical, so writing the folded literal is
+# safe; 0.25 = 1-0.75 is exact binary).
+_BM25_TERMS = ("batch", "vector", "window")
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,
+         {", ".join(
+           f"CAST(len(list_filter({_SQL_TOKENS}, x -> x = '{t}')) AS BIGINT)"
+           f" AS tf_{t}" for t in _BM25_TERMS
+         )}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {", ".join(
+           f"CAST(count_if(tf_{t} > 0) AS BIGINT) AS df_{t}"
+           for t in _BM25_TERMS
+         )}
+  FROM d
+)
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+  ROUND(
+    {" + ".join(
+      f"ln((CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+      f" * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+      f" / (CAST(tf_{t} AS DOUBLE)"
+      f"    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+      f"                            / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+      for t in _BM25_TERMS
+    )}, 6) AS bm25
+FROM d CROSS JOIN stats
+WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+""",
+    tags=("llm", "text"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of every matching document for a fixed 3-term
+    query — the retrieval-grade ranking function TF-IDF approximates.
+
+    The query terms are compile-time literals, so term frequencies are
+    per-row ``filter``+``size`` over the token array: no explode, no
+    (doc, term) shuffle at all. The only aggregation is one corpus-stats
+    row (N, Σdl, per-term document frequencies) that broadcasts back —
+    at 100 TB the doc side stays a streaming scan. The float score is
+    IEEE-deterministic except the libm ln(), absorbed by round(6); tf,
+    dl, and df columns stay exact integers.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _tf(term: str) -> Column:
+        # NB: the lambda must stay 1-ary — F.filter treats a second
+        # parameter as the element *index* column.
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
+    sel = [
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+    ]
+    for t in _BM25_TERMS:
+        sel.append(_tf(t).alias(f"tf_{t}"))
+    base = d.select(*sel)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        part = (
+            idf
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl)))
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for t in _BM25_TERMS:
+        any_tf = (
+            F.col(f"tf_{t}")
+            if any_tf is None
+            else any_tf + F.col(f"tf_{t}")
+        )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            F.round(score, 6).alias("bm25"),
+        )
+    )
