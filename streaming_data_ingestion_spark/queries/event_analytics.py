@@ -216,3 +216,76 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_gap_fill — zero-filled daily time series over a generated calendar.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+),
+daily AS (
+  SELECT day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           AS sv
+  FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM e)
+SELECT
+  CAST(d.day AS TIMESTAMP) AS day,
+  t.event_type,
+  COALESCE(n, 0) AS n_events,
+  COALESCE(sv, 0.0) AS sum_value
+FROM days d
+CROSS JOIN types t
+LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+""",
+    tags=("events",),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type with explicit zeros for silent
+    days — the gap-filling step every dashboard / anomaly detector needs
+    before window math, since missing groups are invisible to groupBy.
+
+    The calendar spine is generated from the data's own min/max day
+    (``sequence`` + explode on a 1-row bound aggregate — no hand-written
+    date table), cross-joined with the (tiny, broadcast) event-type
+    dimension, then left-joined onto the real daily aggregate. Both
+    small sides broadcast; the fact table is touched exactly once.
+    """
+    from streaming_data_ingestion_spark.compat import dsum
+
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sv")
+    )
+    bounds = e.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            # DATE materializes as python objects on the Spark side but
+            # datetime64 from DuckDB; TIMESTAMP collects identically.
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
