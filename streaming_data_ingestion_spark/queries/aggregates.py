@@ -526,3 +526,58 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_histogram — fixed-width numeric histogram (profiling primitive).
+# --------------------------------------------------------------------------
+
+_BIN_W = 5000  # price-bin width
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+SELECT
+  CAST(floor(l_extendedprice / {_BIN_W}) AS BIGINT) AS bin,
+  CAST(floor(l_extendedprice / {_BIN_W}) AS BIGINT) * {_BIN_W}.0 AS bin_lo,
+  (CAST(floor(l_extendedprice / {_BIN_W}) AS BIGINT) + 1) * {_BIN_W}.0
+    AS bin_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR)
+       AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("aggregates",),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem prices: bin ordinal, bounds,
+    count, and mass — the data-profiling primitive behind range
+    partitioning choices and skew diagnosis.
+
+    Binning is floor(x / width): one IEEE division and a floor on
+    identical doubles, so bin edges are bit-stable cross-engine (no
+    width_bucket, whose edge semantics differ between engines). A plain
+    hash aggregate on a ~20-value key — partial map-side, trivially
+    parallel at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from streaming_data_ingestion_spark.compat import dsum
+
+    bin_ = F.floor(F.col("l_extendedprice") / _BIN_W).cast("long")
+    return (
+        li.select(F.col("l_extendedprice"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * float(_BIN_W)).alias("bin_lo"),
+            ((F.col("bin") + 1) * float(_BIN_W)).alias("bin_hi"),
+            "n_items",
+            "sum_price",
+        )
+    )
