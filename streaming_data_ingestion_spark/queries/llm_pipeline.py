@@ -653,3 +653,83 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"((n_tokens - 1) div {_STRIDE}) + 1")).alias("n_chunks"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sample_weighted — per-source weighted downsampling (mixture shaping).
+# --------------------------------------------------------------------------
+
+# Keep-rates are binary-exact fractions so rate * 2^32 is an exact integer
+# threshold: the keep decision becomes an *integer* comparison against the
+# doc's 32-bit content hash — no float boundary can ever disagree between
+# engines. ('|wsample' salts the hash so this draw is independent of
+# q_sample_hash / q_split_assign, which read different hash functions of
+# the same doc_id.)
+_W_RATES = (
+    ("src0", 1.0),
+    ("src1", 0.75),
+    ("src2", 0.5),
+    ("src3", 0.25),
+)
+_W_DEFAULT = 0.125
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    source,
+    CASE {" ".join(f"WHEN source = '{s}' THEN {r}" for s, r in _W_RATES)}
+         ELSE {_W_DEFAULT} END AS rate,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 8))
+      ::BIGINT AS u
+  FROM documents
+)
+SELECT
+  source,
+  rate,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(count_if(u < CAST(rate * 4294967296 AS BIGINT)) AS BIGINT) AS n_kept,
+  CAST(count_if(u < CAST(rate * 4294967296 AS BIGINT)) AS DOUBLE) / COUNT(*)
+    AS kept_frac
+FROM scored
+GROUP BY 1, 2
+""",
+    tags=("llm", "pipeline"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted downsampling — the mixture-shaping step that
+    turns raw source proportions into a target training mix (temperature
+    sampling): each source keeps a deterministic, content-addressed
+    fraction of its documents.
+
+    Keep-rates are binary-exact fractions (1, 3/4, 1/2, 1/4, 1/8), so
+    rate·2³² is an exact integer and the keep decision is an integer
+    compare of the doc's salted 32-bit hash — reproducible across runs,
+    engines, and partitionings, like q_sample_hash but per-source. One
+    narrow map + one hash aggregate; the conditional count partials
+    map-side.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_W_DEFAULT)
+    for s, r in reversed(_W_RATES):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit("|wsample"))
+                .cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = F.count_if(u < (rate * F.lit(4294967296.0)).cast("long"))
+    return d.groupBy("source", rate.alias("rate")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        kept.alias("n_kept"),
+        (kept.cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+    )
