@@ -39,6 +39,7 @@ HEADLINE = (
     "q_json_decode",         # reference-parity JSON decode
     "q_pivot",               # long -> wide conditional aggregation
     "q_stream_session",      # sessionization
+    "q_sessionize",          # lag/running-sum session ordinals
     "q_stream_sliding",      # sliding windows
     "q_dedup_exact",         # hash dedup
     "q_dedup_minhash",       # LSH signatures
@@ -46,6 +47,7 @@ HEADLINE = (
     "q_ngrams",              # n-gram stats (explode-heavy)
     "q_text_tf",             # explode + agg
     "q_text_tfidf",          # two-pass tf/df + rank window
+    "q_bm25",                # broadcast-stats relevance scoring
     "q_decontaminate",       # 8-gram overlap join
     "q_repetition",          # zero-shuffle higher-order fold
     "q_doc_chunk",           # higher-order chunking + posexplode

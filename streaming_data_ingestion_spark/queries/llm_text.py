@@ -741,3 +741,69 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("bm25"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_zscore — per-source standardization of a document feature.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_zscore",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl
+  FROM documents
+),
+st AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS s1,
+         CAST(SUM(dl * dl) AS BIGINT) AS s2
+  FROM d GROUP BY source
+)
+SELECT
+  doc_id,
+  d.source,
+  dl,
+  (CAST(dl AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+    AS z
+FROM d JOIN st ON d.source = st.source
+""",
+    tags=("llm", "text"),
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score of document length — the standardization step
+    feature pipelines run before thresholding or model input, grouped so
+    each source is scored against its own distribution.
+
+    The moments are exact BIGINT sums (Σdl, Σdl² — token counts are
+    small, so no decimal needed at fixture scale; production swaps in
+    the decimal pattern from compat.py), and every double op after them
+    (two divisions, subtract, multiply, sqrt) is IEEE-correctly-rounded,
+    so the z-scores hash bit-exact with NO rounding fudge. The stats
+    side is |sources| rows and broadcasts back; the corpus is scanned
+    once.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("dl")
+    )
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s1"),
+        F.sum(F.col("dl") * F.col("dl")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        d.join(F.broadcast(st), "source")
+        .select(
+            "doc_id",
+            "source",
+            "dl",
+            ((F.col("dl").cast("double") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )
