@@ -117,8 +117,8 @@ SELECT doc_id, band_idx, band_hash FROM (
 """
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id × (band_idx, band_hash): 12 minhash permutations in 3 bands.
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id × (mh0..mh11): the raw 12-permutation MinHash signatures.
 
     One explode computes each shingle's single md5 exactly once; the 12
     permutations are affine transforms of its 32-bit prefix (codegen'd
@@ -135,12 +135,18 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("x"),
     )
-    sigs = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_P)).alias(f"mh{j}")
             for j, (a, b) in enumerate(_AFFINE)
         ]
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id × (band_idx, band_hash): the signatures folded into 3 LSH
+    bands of 4 (see _minhash_sigs for the signature scale shape)."""
+    sigs = _minhash_sigs(spark, sf_dir)
     bands = [
         sigs.select(
             "doc_id",
@@ -562,5 +568,109 @@ def q_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shared.cast("double") / F.count(F.lit(1))).alias(
                 "shared_chunk_frac"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_minhash_jaccard — sketch-estimated vs exact Jaccard on candidates.
+# --------------------------------------------------------------------------
+
+_SQL_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+    for j in range(_N_HASHES)
+)
+
+
+@query(
+    "q_minhash_jaccard",
+    oracle=f"""
+{_SQL_SIGS},
+bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', mh4, mh5, mh6, mh7)) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(concat_ws('|', mh8, mh9, mh10, mh11)) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx
+              AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_SQL_SHINGLES}, s -> md5(s))) AS shs
+  FROM documents
+)
+SELECT
+  doc_a,
+  doc_b,
+  CAST({_SQL_AGREE} AS INTEGER) AS n_agree,
+  ({_SQL_AGREE}) / 12.0 AS est_jaccard,
+  CAST(len(list_intersect(ha.shs, hb.shs)) AS DOUBLE)
+    / (len(ha.shs) + len(hb.shs) - len(list_intersect(ha.shs, hb.shs)))
+    AS exact_jaccard
+FROM pairs
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+JOIN sh ha ON ha.doc_id = doc_a
+JOIN sh hb ON hb.doc_id = doc_b
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every LSH candidate pair: the sketch-estimated Jaccard
+    (fraction of agreeing MinHash components) next to the exact
+    distinct-shingle Jaccard — the estimator and its ground truth in one
+    result, which is how a pipeline calibrates its dedup threshold.
+
+    The estimate needs only the 12-long signatures (the LSH index a
+    production system persists anyway — here the lineage recomputes
+    them, at scale you'd read the materialized sigs table); the exact
+    side joins per-doc distinct shingle-hash arrays on the *bounded*
+    candidate scope, never all pairs. est = n_agree/12 and
+    exact = |∩|/|∪| are single IEEE divisions of exact integers.
+    """
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    sigs = _minhash_sigs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_shingles(_tokens()), lambda s: F.md5(s))
+        ).alias("shs"),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(_N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(_N_HASHES)],
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_agree = None
+    for j in range(_N_HASHES):
+        term = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        n_agree = term if n_agree is None else n_agree + term
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            (n_agree.cast("double") / 12.0).alias("est_jaccard"),
+            (
+                inter.cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - inter)
+            ).alias("exact_jaccard"),
         )
     )
