@@ -674,3 +674,47 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_graph_degree — degree distribution of the candidate-pair graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+WITH bands AS ({_Q_MINHASH_ORACLE}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx
+              AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg
+GROUP BY degree
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the LSH candidate graph: how many
+    documents have 1, 2, … near-dup candidates.
+
+    This is the skew diagnostic for the dedup pipeline — a heavy tail
+    here means a degenerate band bucket (boilerplate shingles) that
+    will hot-spot the pair join and the cluster propagation, and is the
+    signal to widen bands or cap buckets. Two tiny aggregates over the
+    (collision-sized, never n²) pair list.
+    """
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    ids = pairs.selectExpr("doc_a AS id").unionByName(
+        pairs.selectExpr("doc_b AS id")
+    )
+    deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -251,3 +251,29 @@ def test_corpus_pipeline_two_shuffles(spark):
     assert plan.count("+- Exchange") == 2
     assert "WindowGroupLimit" in plan
     assert "partial_" in plan
+
+
+def test_bm25_no_explode_single_stats_broadcast(spark):
+    """BM25: term frequencies are per-row filter+size (no Generate), and
+    corpus stats arrive via one broadcast — the doc side never
+    shuffles."""
+    plan = plan_of(spark, "q_bm25")
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    assert plan.count("+- Exchange") <= 1  # the stats aggregate only
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """Standardization: the per-source moments reduce to |sources| rows
+    and broadcast back; the corpus is scanned, never shuffled."""
+    plan = plan_of(spark, "q_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_gap_fill_small_sides_broadcast(spark):
+    """Gap fill: the generated day spine and the type dimension are both
+    broadcast; the fact-side daily aggregate is the only shuffle."""
+    plan = plan_of(spark, "q_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
