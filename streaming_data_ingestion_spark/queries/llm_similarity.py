@@ -525,3 +525,73 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_recall — ANN quality: recall@5 of the LSH index vs brute force.
+# --------------------------------------------------------------------------
+
+from streaming_data_ingestion_spark.registry import REGISTRY as _REG  # noqa: E402
+
+# Compose the two already-registered oracles verbatim: the truth set is
+# the brute-force top-5, the candidate set is the LSH top-5.
+_RECALL_ORACLE = f"""
+WITH truth AS (
+  SELECT q_id, vec_id FROM ({_REG["q_sim_topk"].oracle}) WHERE rnk <= 5
+),
+ann AS (
+  SELECT q_id, vec_id FROM ({_REG["q_sim_ann_lsh"].oracle})
+),
+an AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1),
+ht AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT
+  q.q_id,
+  COALESCE(n_ann, 0) AS n_ann,
+  COALESCE(n_hits, 0) AS n_hits,
+  COALESCE(n_hits, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT q_id FROM truth) q
+LEFT JOIN an USING (q_id)
+LEFT JOIN ht USING (q_id)
+"""
+
+
+@query("q_sim_recall", oracle=_RECALL_ORACLE, tags=("llm", "similarity", "lsh"))
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN index against the brute-force truth, per
+    query vector — the self-evaluation loop an ANN deployment runs on a
+    sampled query set to decide bucket bits / probe counts (the
+    similarity twin of q_minhash_jaccard's estimate-vs-truth).
+
+    Both sides are the engine's own registered queries, so this measures
+    the real operators, not a reimplementation. Candidate membership is
+    deterministic cross-engine because the underlying cosines are
+    bit-exact sequential folds; recall is one integer count over the
+    tiny (3×5-row) result sets.
+    """
+    truth = (
+        q_sim_topk(spark, sf_dir).filter(F.col("rnk") <= 5).select("q_id", "vec_id")
+    )
+    ann = q_sim_ann_lsh(spark, sf_dir).select("q_id", "vec_id")
+    an = ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ht = (
+        truth.join(ann, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        truth.select("q_id")
+        .distinct()
+        .join(an, "q_id", "left")
+        .join(ht, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_ann"), zero).alias("n_ann"),
+            F.coalesce(F.col("n_hits"), zero).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), zero) / 5.0).alias("recall_at_5"),
+        )
+    )
