@@ -285,3 +285,83 @@ def test_repetition_fold_equals_counter(spark, texts):
         ).alias("top")
     ).collect()[0][0]
     assert out == expected, (text, toks, out, expected)
+
+
+# --------------------------------------------------------------------------
+# q_sessionize's lag → flag → running-sum assignment vs a naive model.
+# --------------------------------------------------------------------------
+
+
+def _sessions_naive(events, gap_s=1800):
+    """Reference sessionizer: per user, walk events in (ts, event_id)
+    order and split when the gap exceeds gap_s. Returns
+    {(user, seq): (n_events, start, end)}."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, (u, sec) in enumerate(events):
+        by_user[u].append((_TS0 + dt.timedelta(seconds=sec), eid))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for ts, _eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                seq += 1
+                out[(u, seq)] = [0, ts, ts]
+            out[(u, seq)][0] += 1
+            out[(u, seq)][2] = ts
+            prev = ts
+    return {k: tuple(v) for k, v in out.items()}
+
+
+# seconds offsets chosen to straddle the 1800 s gap boundary exactly
+_sess_event = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=4000),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_sess_event, min_size=1, max_size=25))
+def test_sessionize_matches_naive(spark, events):
+    """The single-shuffle window assignment must agree with a per-user
+    Python walk on adversarial inputs: duplicate timestamps, events
+    exactly 1800 s apart (same session — strict > opens a new one), and
+    single-user floods."""
+    rows = [
+        (eid, u, _TS0 + dt.timedelta(seconds=sec))
+        for eid, (u, sec) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    seq = F.sum(new_s).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in (
+            df.select("user_id", "ts", seq.alias("session_seq"))
+            .groupBy("user_id", "session_seq")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .collect()
+        )
+    }
+    assert got == _sessions_naive(events)
