@@ -281,3 +281,65 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# q_json_nested — nested wire-JSON roundtrip: build → path-extract →
+# schema-decode → flatten (the reference's R2/R3 dataflow, batch form).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_json_nested",
+    oracle="""
+WITH wire AS (
+  SELECT c_custkey,
+         to_json(struct_pack(
+           cust := struct_pack(name := c_name, nation := c_nationkey),
+           mkt := c_mktsegment
+         ))::VARCHAR AS wire_json
+  FROM customer
+)
+SELECT
+  c_custkey,
+  wire_json,
+  json_extract_string(wire_json, '$.cust.name') AS name_by_path,
+  CAST(json_extract(wire_json, '$.cust.nation') AS BIGINT) AS nation,
+  json_extract_string(wire_json, '$.mkt') AS mkt
+FROM wire
+""",
+    tags=("relational", "json"),
+)
+def q_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested wire-JSON lifecycle in one query: serialize a two-level
+    struct to a JSON string (the reference's producer shape,
+    dags/kafka-streamer.py:25-33,45), then read it back two ways — ad
+    hoc path extraction (get_json_object) and declared-schema decode +
+    struct flatten (from_json → nested field access, the consumer shape
+    at spark-streaming.py:159-171).
+
+    Only strings and integers ride in the JSON: double formatting
+    inside JSON text is engine-specific, exactly the kind of wire
+    looseness the reference's postcode bug demonstrates. Pure narrow
+    projection — serialization round-trips never shuffle.
+    """
+    c = load(spark, sf_dir, "customer")
+    wire = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nation"),
+            ).alias("cust"),
+            F.col("c_mktsegment").alias("mkt"),
+        )
+    )
+    parsed = F.from_json(
+        wire, "cust struct<name:string,nation:bigint>, mkt string"
+    )
+    return c.select(
+        "c_custkey",
+        wire.alias("wire_json"),
+        F.get_json_object(wire, "$.cust.name").alias("name_by_path"),
+        parsed["cust"]["nation"].alias("nation"),
+        parsed["mkt"].alias("mkt"),
+    )
