@@ -289,3 +289,63 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_pct_change — day-over-day deltas on the gap-filled series.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pct_change",
+    oracle="""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+),
+daily AS (
+  SELECT CAST(day AS TIMESTAMP) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT
+  day,
+  event_type,
+  n,
+  lag(n) OVER w AS prev_n,
+  CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""",
+    tags=("events",),
+)
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change of event counts per type — the delta
+    layer dashboards put on top of a daily series (compose with
+    q_gap_fill when silent days must read as -100% instead of being
+    skipped).
+
+    lag over (event_type | day) with integer counts; the change is one
+    IEEE division per row, null on each type's first day exactly like
+    both engines' lag semantics. Single shuffle on the (tiny) daily
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("d"), "event_type")
+        .groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("d").cast("timestamp").alias("day"), "event_type", "n"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        ((F.col("n") - prev).cast("double") / prev).alias("pct_change"),
+    )

@@ -39,3 +39,13 @@ def test_oracle_coverage_is_near_total():
     specs = all_queries()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
     assert rows_only == ["q_agg_approx", "q_multimodal_features"], rows_only
+
+
+def test_bench_headline_is_registered():
+    """Every bench.py HEADLINE name must be a registered query — a typo
+    or stale entry would crash the driver's per-round benchmark."""
+    import bench
+
+    registered = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"bench HEADLINE not in registry: {missing}"
