@@ -514,9 +514,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join that AQE sizes. Output keeps the shared-gram *count*, not
     just the flag, so a pipeline can threshold severity.
     """
-    d = load(spark, sf_dir, "documents")
+    return decontaminate(load(spark, sf_dir, "documents"))
+
+
+def decontaminate(df: DataFrame) -> DataFrame:
+    """Flag every train/val document of ``df`` (doc_id, text) sharing an
+    8-token gram with the md5-split test set (see q_decontaminate for
+    the scale rationale). Library form so arbitrary corpora can be
+    checked — the property tests drive it on adversarial inputs."""
     h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
-    g = d.select(
+    g = df.select(
         "doc_id",
         h.isin("e", "f").alias("is_test"),
         F.explode(F.array_distinct(_grams8())).alias("gram"),
@@ -530,7 +537,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
     return (
-        d.filter(~h.isin("e", "f"))
+        df.filter(~h.isin("e", "f"))
         .select(
             "doc_id", F.when(h.isin("c", "d"), "val").otherwise("train").alias("split")
         )

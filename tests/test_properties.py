@@ -365,3 +365,65 @@ def test_sessionize_matches_naive(spark, events):
         )
     }
     assert got == _sessions_naive(events)
+
+
+# --------------------------------------------------------------------------
+# q_decontaminate's gram-overlap flagging vs a set-based model.
+# --------------------------------------------------------------------------
+
+
+def _grams8_model(toks):
+    """The engines' shared 8-gram convention: max(len-7, 1) windows; a
+    short doc yields ONE partial gram of all its tokens, and an EMPTY
+    doc yields none (arrays_zip of empty slices is empty)."""
+    if not toks:
+        return set()
+    n = max(len(toks) - 7, 1)
+    return {" ".join(toks[i : i + 8]) for i in range(n)}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_decontaminate_matches_set_model(spark, docs):
+    """With a 3-token alphabet and short docs, gram collisions between
+    random documents are common — the join-based flagging must equal the
+    brute-force set intersection, including the degenerate one-partial-
+    gram convention and empty documents."""
+    import hashlib
+
+    from streaming_data_ingestion_spark.queries.llm_pipeline import decontaminate
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.split, r.n_shared_grams, r.contaminated)
+        for r in decontaminate(df).collect()
+    }
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "test" if h in "ef" else ("val" if h in "cd" else "train")
+
+    test_grams = set()
+    for i, toks in enumerate(docs):
+        if split_of(i) == "test":
+            test_grams |= _grams8_model([t for t in toks if t])
+    want = {}
+    for i, toks in enumerate(docs):
+        sp = split_of(i)
+        if sp == "test":
+            continue
+        mine = _grams8_model([t for t in toks if t])
+        n = len(mine & test_grams)
+        want[i] = (sp, n, n > 0)
+    assert got == want
