@@ -595,3 +595,95 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), zero) / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_outlier — distance of each document from its source's centroid.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_outlier",
+    oracle=f"""
+WITH j AS (
+  SELECT d.doc_id, d.source, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+cd AS (
+  SELECT source, i,
+    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e10) AS BIGINT))
+         AS BIGINT) AS qsum,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM j CROSS JOIN range(1, {_DIM + 1}) r(i)
+  GROUP BY source, i
+),
+cent AS (
+  SELECT source,
+         list(CAST(qsum AS DOUBLE) / 1e10 / n ORDER BY i) AS centroid
+  FROM cd GROUP BY source
+)
+SELECT
+  j.doc_id,
+  j.source,
+  {_sql_dot("j.embedding", "cent.centroid")}
+    / ({_sql_norm("j.embedding")} * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, {_DIM + 1}),
+                       i -> cent.centroid[i] * cent.centroid[i])),
+        (acc, x) -> acc + x))) AS cos_to_centroid
+FROM j JOIN cent ON j.source = cent.source
+""",
+    tags=("llm", "similarity"),
+)
+def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier score: each document's cosine to its own
+    source's centroid — the curation signal that prunes mislabeled or
+    off-distribution documents before training (low cosine = outlier).
+
+    Cross-modality join (documents ⋈ embeddings on id), then the
+    emb_centroid machinery keyed by source with the per-dim means
+    re-assembled into centroid arrays (sort_array over (dim, value)
+    structs — deterministic order), broadcast back, and one sequential
+    cosine fold per document. Component means are floor-quantized exact
+    BIGINT sums and every later op is IEEE-correctly-rounded, so the
+    scores hash bit-exact unrounded. Scale: the centroid table is
+    |sources| rows; the corpus streams through one join + one fold.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "source", "embedding")
+    q = F.floor(F.col("val").cast("double") * F.lit(1e10))
+    cd = (
+        j.select("source", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("source", "pos")
+        .agg(
+            (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias(
+                "mean"
+            )
+        )
+    )
+    cent = cd.groupBy("source").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("mean")))
+            ),
+            lambda s: s["mean"],
+        ).alias("centroid")
+    )
+    cent_norm = F.sqrt(
+        _fold_sum(
+            F.zip_with(
+                F.col("centroid"), F.col("centroid"), lambda x, y: x * y
+            )
+        )
+    )
+    return (
+        j.join(F.broadcast(cent), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                _dot(F.col("embedding"), F.col("centroid"))
+                / (_norm(F.col("embedding")) * cent_norm)
+            ).alias("cos_to_centroid"),
+        )
+    )
