@@ -129,6 +129,14 @@ AUDITED = (
         "second shuffle.",
     ),
     (
+        "q_emb_outlier",
+        "Embedding outlier scoring. Read: every join is broadcast — the "
+        "docs dimension into the embeddings scan, the |sources|-row "
+        "centroid table back over the corpus; the two plain Exchanges "
+        "belong to the centroid aggregation, so the corpus is never "
+        "repartitioned.",
+    ),
+    (
         "q_emb_centroid",
         "Embedding centroids. Read: scan prunes to (label, embedding) "
         "before posexplode; partial HashAggregate collapses each task to "

@@ -277,3 +277,23 @@ def test_gap_fill_small_sides_broadcast(spark):
     plan = plan_of(spark, "q_gap_fill")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_emb_outlier_corpus_never_shuffles(spark):
+    """Outlier scoring: every join is broadcast (docs dim into the
+    embeddings scan; centroid table back over the corpus); the only
+    plain exchanges belong to the centroid aggregation, so the corpus
+    itself is never repartitioned."""
+    plan = plan_of(spark, "q_emb_outlier")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("+- Exchange") <= 2  # (source,dim) partials + collect
+
+
+def test_minhash_jaccard_bounded_scope(spark):
+    """Estimate-vs-truth runs on the candidate scope only: every join is
+    an equi hash join (band buckets, signatures, shingle sets) — no
+    nested loop may appear anywhere."""
+    plan = plan_of(spark, "q_minhash_jaccard")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
