@@ -14,6 +14,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     relational,
     streaming_analogs,
     subqueries,
+    tpch,
     udfs,
     windows,
 )

@@ -1,0 +1,344 @@
+"""TPC-H classic query shapes over the driver fixtures (SURVEY.md §2B).
+
+The reference repo has no analytical queries at all (its one dataflow is
+JSON decode → project → sink, `/root/reference/spark-streaming.py:159-171`),
+so this family is north-star mandate: the canonical multi-join +
+aggregate + top-k shapes every warehouse user runs, adapted to the fixture
+schema (no partsupp table; no l_shipmode/o_shippriority columns — the
+nearest fixture column stands in and the adaptation is noted per query).
+
+Scale posture shared by all five:
+- the fact-side filter is applied BEFORE any join so the parquet scan
+  prunes (PushedFilters) and the shuffle only carries surviving rows;
+- dimensions (customer at 1.5 M rows/sf, part, supplier, nation) ride as
+  broadcasts — the lineitem fact table never shuffles for them;
+- lineitem⋈orders is the one genuine big-big join: both sides shuffle on
+  the order key once, and AQE coalesces/skew-splits at runtime;
+- every top-k carries a total-order tie-breaker so results are
+  deterministic under any partitioning;
+- revenue aggregates go through DECIMAL(38,10) (compat.dsum) so the hash
+  matches DuckDB bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import (
+    DEC,
+    dsum,
+    sql_dec_to_double,
+    sql_dsum,
+)
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q3 — shipping priority: top-10 unshipped orders by revenue.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+SELECT
+  l.l_orderkey,
+  {sql_dsum(_REVENUE, "revenue")},
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): revenue of ordered-but-unshipped
+    orders for one market segment, top 10.
+
+    Adaptation: the fixture has no o_shippriority; o_orderpriority is
+    carried instead (same role: a small attribute riding the group key).
+
+    Plan: segment filter on customer → broadcast into orders; date
+    filters push into both parquet scans; one shuffled join
+    lineitem⋈orders; hash agg on the order key; TakeOrderedAndProject
+    for the top 10 (no global sort materialization).
+    """
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue_col(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q10 — returned-item reporting: top-20 customers by lost revenue.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  {sql_dsum(_REVENUE, "revenue")},
+  c.c_acctbal,
+  n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+    tags=("tpch", "join", "agg", "topk"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): which customers returned the most
+    revenue in one quarter — the classic churn-investigation query.
+
+    Plan: quarter filter prunes the orders scan, return-flag filter
+    prunes lineitem (both pushed to parquet); lineitem⋈orders is the one
+    shuffle; customer and nation broadcast; top-20 via
+    TakeOrderedAndProject with c_custkey tie-break.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_revenue_col(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q14 — promotion effect: promo share of monthly revenue.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+SELECT
+  100.0 * {sql_dec_to_double(
+      f"SUM(CASE WHEN p.p_type = 'PROMO' "
+      f"THEN CAST({_REVENUE} AS DECIMAL(38,10)) "
+      f"ELSE CAST(0 AS DECIMAL(38,10)) END)"
+  )}
+  / {sql_dec_to_double(f"SUM(CAST({_REVENUE} AS DECIMAL(38,10)))")}
+    AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+""",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percent of one month's revenue that
+    came from promotional parts.
+
+    The fixture's p_type enum contains a literal 'PROMO' value, so the
+    predicate is equality instead of the spec's LIKE 'PROMO%' — same
+    conditional-aggregate shape.
+
+    Plan: month filter prunes the lineitem scan; part broadcasts (it is
+    a dimension); a single partial+final conditional aggregate — no
+    shuffle of fact rows at all, just the two decimal sums, then ONE
+    IEEE division so the ratio is bit-identical cross-engine.
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    rev_dec = _revenue_col().cast(DEC)
+    zero_dec = F.lit(0).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(zero_dec)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("_promo"),
+            F.sum(rev_dec).cast("double").alias("_total"),
+        )
+        .select(
+            (100.0 * F.col("_promo") / F.col("_total")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q15 — top supplier(s) by quarterly revenue.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+WITH rev AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    SUM(CAST({_REVENUE} AS DECIMAL(38,10))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT
+  s.s_suppkey,
+  s.s_name,
+  {sql_dec_to_double("rev.r")} AS total_revenue
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.supplier_no
+WHERE rev.r = (SELECT MAX(r) FROM rev)
+ORDER BY s.s_suppkey ASC
+""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    equals the maximum — the spec's view + scalar-subquery shape.
+
+    The max comparison happens on the exact DECIMAL revenue (ties are
+    real equality, not float luck); the double cast is output-only.
+
+    Plan: quarter filter prunes the scan; one hash agg keyed on
+    l_suppkey (supplier-count-sized result); the 1-row global max
+    cross-joins back as a broadcast; supplier dimension broadcasts.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue_col().cast(DEC)).alias("r")
+    )
+    top = rev.agg(F.max("r").alias("r_max"))
+    return (
+        rev.join(F.broadcast(top), rev.r == top.r_max)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q18 — large-volume customers (the HAVING-subquery classic).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 300
+)
+SELECT
+  c.c_name,
+  c.c_custkey,
+  o.o_orderkey,
+  o.o_orderdate,
+  o.o_totalprice,
+  {sql_dsum("l.l_quantity", "sum_qty")}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+    tags=("tpch", "join", "agg", "subquery", "topk"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers, top-100 by price.
+
+    The quantity threshold is 300 (fixture p99 ≈ 262, max ≈ 458, so the
+    filter is selective like the spec's). The HAVING sum is exact
+    decimal, so the cut is deterministic cross-engine.
+
+    Plan: the `big` aggregate is keyed on l_orderkey — the SAME key as
+    the lineitem⋈orders join, so Spark reuses one shuffle partitioning
+    across agg → semi-join → re-agg; the surviving-order set is tiny and
+    broadcasts into the semi join. Customer broadcasts. Top-100 via
+    TakeOrderedAndProject.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            F.col("o_orderkey") == F.col("bk"),
+            "left_semi",
+        )
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -297,3 +297,32 @@ def test_minhash_jaccard_bounded_scope(spark):
     plan = plan_of(spark, "q_minhash_jaccard")
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_pushdown_and_topk(spark):
+    """Q3: both date predicates reach their parquet scans; customer rides
+    as a broadcast; the top-10 is TakeOrderedAndProject, not a global
+    sort of the aggregate."""
+    plan = plan_of(spark, "q_tpch_q3")
+    assert "PushedFilters:" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_no_fact_shuffle(spark):
+    """Q14: part broadcasts and the conditional aggregate partials
+    map-side — the only exchange carries one pre-aggregated row per
+    partition, never lineitem rows."""
+    plan = plan_of(spark, "q_tpch_q14")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q18_semi_join_broadcasts(spark):
+    """Q18: the HAVING-filtered big-order set (tiny) broadcasts into a
+    LeftSemi join — orders never shuffles against it."""
+    plan = plan_of(spark, "q_tpch_q18")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
