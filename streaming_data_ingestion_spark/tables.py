@@ -31,23 +31,31 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning for free.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader refuses ([PARQUET_TYPE_ILLEGAL]). We read it as raw
-    nanos (``nanosAsLong``) and truncate to microseconds with integer
-    division — the same truncation DuckDB applies when it reads the ns
-    column as its microsecond TIMESTAMP, so both engines see identical
-    values.
+    ``events.ts`` has shipped in two physical forms across driver testdata
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet reader
+    refuses — [PARQUET_TYPE_ILLEGAL] — so we read raw nanos via
+    ``nanosAsLong`` and truncate to microseconds) and naive TIMESTAMP(MICROS)
+    (which Spark 4 infers as TIMESTAMP_NTZ). Both are normalized here to the
+    session-zoned TIMESTAMP type under a UTC-pinned session, so every
+    downstream query sees one stable type with wall values identical to what
+    DuckDB reads (it treats the column as naive microseconds either way).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_field = next(f for f in df.schema.fields if f.name == "ts")
-        if ts_field.dataType.typeName() == "long":
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        tname = f_.dataType.typeName()
+        if name == "events" and f_.name == "ts" and tname == "long":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        elif tname == "timestamp_ntz":
+            # NTZ→LTZ cast interprets the wall time in the session zone;
+            # pin UTC so the conversion is the identity on wall values
+            # (the registry wrapper re-pins per query call as well).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
