@@ -288,7 +288,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "user_id",
         F.lit(None).cast("long").alias("purchase_event_id"),
-        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
         F.lit(0).alias("is_purchase"),
     )
     # at equal ts the purchase row must precede the click so `>=` matches

@@ -53,26 +53,26 @@ def read_json_stream(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over the events fixture parquet.
 
-    Applies the same TIMESTAMP(NANOS) → microsecond conversion as the
-    batch loader (tables.load) so streaming and batch see identical
-    event-time values — a prerequisite for the batch-equivalence tests.
+    Applies the batch loader's event-time normalization
+    (tables.normalize_event_time) so streaming and batch see the identical
+    TIMESTAMP type and values — ``withWatermark`` rejects TIMESTAMP_NTZ,
+    and the batch-equivalence tests require equal wall values.
     """
-    from pyspark.sql import functions as F
+    from streaming_data_ingestion_spark.tables import (
+        _parquet_has_nanos_ts,
+        normalize_event_time,
+    )
 
-    from streaming_data_ingestion_spark.tables import load
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    if _parquet_has_nanos_ts(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
     # the streaming file source lists a directory; select just the events
     # table out of the fixture dir with a glob filter
     df = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    ts_field = next(f for f in df.schema.fields if f.name == "ts")
-    if ts_field.dataType.typeName() == "long":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # keep column order identical to the batch loader
-    return df.select(*[f.name for f in load(spark, sf_dir, "events").schema.fields])
+    return normalize_event_time(df)

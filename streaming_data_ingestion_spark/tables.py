@@ -28,34 +28,59 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _parquet_has_nanos_ts(path: str) -> bool:
+    """Probe the parquet footer: does any column carry TIMESTAMP(NANOS)?
+
+    Spark's vectorized reader refuses nanosecond timestamps
+    ([PARQUET_TYPE_ILLEGAL]) unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is on; that conf is session-global and would also corrupt later reads
+    of *other* nanos files into raw longs, so it must only be enabled when
+    this file actually needs it. Footer read is a metadata-only operation.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return any(getattr(t, "unit", None) == "ns" for t in schema.types)
+    except Exception:
+        # directory datasets / unreadable footer: fall back to enabling the
+        # legacy conf (matches the only generation that needs it).
+        return True
+
+
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Normalize every event-time column to the session-zoned TIMESTAMP type.
+
+    ``events.ts`` has shipped in two physical forms across driver testdata
+    generations: TIMESTAMP(NANOS) (read as raw nanos longs under
+    ``nanosAsLong`` and truncated to microseconds here) and naive
+    TIMESTAMP(MICROS) (which Spark 4 infers as TIMESTAMP_NTZ; the NTZ→LTZ
+    cast is the identity on wall values under the UTC session pinned in
+    session.py). Shared by the batch loader AND the streaming reader
+    (sources/json_stream.read_events_stream) so batch and stream always see
+    the identical event-time type — ``withWatermark`` requires TIMESTAMP,
+    and the batch-equivalence tests require equal values.
+    """
+    for f_ in df.schema.fields:
+        tname = f_.dataType.typeName()
+        if f_.name == "ts" and tname == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif tname == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning for free.
 
-    ``events.ts`` has shipped in two physical forms across driver testdata
-    generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet reader
-    refuses — [PARQUET_TYPE_ILLEGAL] — so we read raw nanos via
-    ``nanosAsLong`` and truncate to microseconds) and naive TIMESTAMP(MICROS)
-    (which Spark 4 infers as TIMESTAMP_NTZ). Both are normalized here to the
-    session-zoned TIMESTAMP type under a UTC-pinned session, so every
-    downstream query sees one stable type with wall values identical to what
-    DuckDB reads (it treats the column as naive microseconds either way).
+    Event-time columns are normalized to one stable TIMESTAMP type (see
+    normalize_event_time) with wall values identical to what DuckDB reads
+    (it treats the column as naive microseconds either way).
     """
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and _parquet_has_nanos_ts(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for f_ in df.schema.fields:
-        tname = f_.dataType.typeName()
-        if name == "events" and f_.name == "ts" and tname == "long":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif tname == "timestamp_ntz":
-            # NTZ→LTZ cast interprets the wall time in the session zone;
-            # pin UTC so the conversion is the identity on wall values
-            # (the registry wrapper re-pins per query call as well).
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
-    return df
+    return normalize_event_time(spark.read.parquet(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -412,3 +412,17 @@ def test_catalog_ddl_and_stream_to_table(spark, tmp_path):
         assert dict(out.dtypes)["postcode"] == "string"
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_batch_stream_schema_parity(spark):
+    """Regression guard for the round-2 NTZ split: a testdata-generation
+    change must never again give batch and streaming readers different
+    event-time types. Asserts field-for-field (name, type) equality and
+    that ts is the watermark-eligible session-zoned TIMESTAMP."""
+    batch = load(spark, SF_DIR, "events").schema
+    stream = read_events_stream(spark, SF_DIR).schema
+    assert [(f.name, f.dataType) for f in stream.fields] == [
+        (f.name, f.dataType) for f in batch.fields
+    ]
+    ts_type = next(f.dataType for f in batch.fields if f.name == "ts")
+    assert ts_type.typeName() == "timestamp", ts_type
