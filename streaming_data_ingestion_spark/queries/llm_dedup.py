@@ -190,18 +190,9 @@ JOIN bands b
 """
 
 
-@query(
-    "q_dedup_minhash_pairs",
-    oracle=_SQL_PAIRS,
-    tags=("llm", "dedup", "lsh"),
-)
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: documents sharing any LSH band.
-
-    The join key is (band_idx, band_hash) — a hash join whose output is
-    the collision set only. This is the scale path: n² never happens;
-    skew (a degenerate band bucket) is handled by AQE skew-join splitting.
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH collision pairs — the shared candidate set for
+    every exact-verify stage (Jaccard, edit distance, cluster build)."""
     bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -217,6 +208,21 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=_SQL_PAIRS,
+    tags=("llm", "dedup", "lsh"),
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any LSH band.
+
+    The join key is (band_idx, band_hash) — a hash join whose output is
+    the collision set only. This is the scale path: n² never happens;
+    skew (a degenerate band bucket) is handled by AQE skew-join splitting.
+    """
+    return _lsh_candidate_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -285,49 +291,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, source, list_distinct({_SQL_TOKENS}) AS ts
+WITH pairs AS ({_SQL_PAIRS}),
+toks AS (
+  SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts
   FROM documents
-  WHERE source = 'src0'
 )
 SELECT
-  a.doc_id AS doc_a,
-  b.doc_id AS doc_b,
+  p.doc_a,
+  p.doc_b,
   CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
     / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
-FROM toks a
-JOIN toks b ON a.doc_id < b.doc_id
+FROM pairs p
+JOIN toks a ON p.doc_a = a.doc_id
+JOIN toks b ON p.doc_b = b.doc_id
 WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8
+    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.5
 """,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "lsh"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-token Jaccard over candidate pairs (one source
-    partition), keeping pairs ≥ 0.8.
+    """Exact distinct-token Jaccard verify over the LSH collision set,
+    keeping pairs ≥ 0.5.
 
-    The candidate scope (same source) stands in for the LSH band join of
-    q_dedup_minhash_pairs — in production the input is that collision
-    set; set sizes come from array_intersect/array_union sizes, which are
-    order-insensitive and engine-agnostic.
+    The candidate scope is q_dedup_minhash_pairs' band-collision output —
+    collision-sized, never n² — joined back to the token sets with two
+    equi hash joins on doc_id. This is the production verify stage: cheap
+    signatures shrink the pair space, exact Jaccard confirms. Set sizes
+    come from array_intersect/array_union, order-insensitive and
+    engine-agnostic.
     """
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("source") == "src0")
-        .select("doc_id", F.array_distinct(_tokens()).alias("ts"))
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("ts")
     )
-    a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast(
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")
+    )
+    jac = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast(
         "double"
-    ) / F.size(F.array_union(F.col("a.ts"), F.col("b.ts")))
+    ) / F.size(F.array_union(F.col("ts_a"), F.col("ts_b")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.8)
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -338,41 +348,44 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_edit_distance",
-    oracle="""
-WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0')
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    oracle=f"""
+WITH pairs AS ({_SQL_PAIRS})
+SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) <= 160
+FROM pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id
+WHERE levenshtein(a.text, b.text) <= 400
 """,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "lsh"),
 )
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level edit-distance verify over a candidate scope (one
-    source partition), keeping pairs within distance 160.
+    """Character-level edit-distance verify over the LSH collision set,
+    keeping pairs within distance 400.
 
     Levenshtein is the expensive exact check a dedup pipeline runs LAST,
     after cheap signatures (minhash bands, simhash) have shrunk the pair
-    space — the same plan position as q_dedup_ngram_jaccard but at
-    character granularity (catches edits inside words that token-level
-    Jaccard misses). Built-in JVM implementation in both engines, same
-    unit-cost DP definition, so distances are integer-identical.
+    space — so its input here is q_dedup_minhash_pairs' collision set
+    (joined back to text with two equi hash joins), never an all-pairs
+    scope. Character granularity catches edits inside words that
+    token-level Jaccard misses. Built-in JVM implementation in both
+    engines, same unit-cost DP definition, so distances are
+    integer-identical.
     """
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("source") == "src0")
-        .select("doc_id", "text")
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 160)
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 400)
     )
 
 

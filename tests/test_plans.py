@@ -326,3 +326,21 @@ def test_tpch_q18_semi_join_broadcasts(spark):
     plan = plan_of(spark, "q_tpch_q18")
     assert "BroadcastHashJoin LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_jaccard_verify_is_equi_join_only(spark):
+    """Exact-Jaccard verify must consume the LSH collision set: every
+    join carries an equality condition (band key, then doc_id lookups) —
+    an all-pairs nested loop over a document scope is the 100 TB
+    anti-pattern this pins against."""
+    plan = plan_of(spark, "q_dedup_ngram_jaccard")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_verify_is_equi_join_only(spark):
+    """Levenshtein verify: same contract — candidates come from the band
+    join, text arrives via doc_id equi hash joins, no nested loop."""
+    plan = plan_of(spark, "q_dedup_edit_distance")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
