@@ -57,14 +57,17 @@ _R02_DRIVER_GREEN = frozenset(
     }
 )
 # Deferred past the 50-row window this round (they'd crowd out families
-# with zero driver rows): the rows-only multimodal check plus six queries
-# whose plan shape is already represented by a driver-green twin
-# (stream-window batch analogs ≈ q_agg_group/q_sessionize; fingerprints ≈
-# q_hash_funcs; all remain locally oracle-green).
+# with zero driver rows): the rows-only multimodal check plus queries
+# whose plan shape is already represented by a driver-green twin or by
+# another family member in the front group (stream-window batch analogs ≈
+# q_agg_group/q_sessionize; fingerprints ≈ q_hash_funcs; quality/lang/
+# token/stats ≈ column arithmetic like q_str_funcs; sim_range ≈ the
+# broadcast shape of q_sim_topk; all remain locally oracle-green).
 _DEFER = (
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_fingerprint", "q_fingerprint_rolling", "q_lang_id",
-    "q_token_count", "q_text_stats", "q_multimodal_features",
+    "q_token_count", "q_text_stats", "q_quality_score", "q_sim_range",
+    "q_cast_types", "q_multimodal_features",
 )
 
 

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import (
     DEC,
+    davg,
     dsum,
+    sql_davg,
     sql_dec_to_double,
     sql_dsum,
 )
@@ -39,6 +41,66 @@ _REVENUE = "l_extendedprice * (1 - l_discount)"
 
 def _revenue_col() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q1 — pricing summary report (the TPC-H flagship aggregate).
+# --------------------------------------------------------------------------
+
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity", "sum_qty")},
+  {sql_dsum("l_extendedprice", "sum_base_price")},
+  {sql_dsum(_REVENUE, "sum_disc_price")},
+  {sql_dsum(_CHARGE, "sum_charge")},
+  {sql_davg("l_quantity", "avg_qty")},
+  {sql_davg("l_extendedprice", "avg_price")},
+  {sql_davg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the full spec aggregate set — four
+    sums, three averages, a count — per (returnflag, linestatus), with
+    the spec's trailing-90-day shipdate cutoff adapted to the fixture's
+    date range (max l_shipdate 2001-11-04 → cutoff 2001-08-06).
+
+    Plan: the cutoff pushes into the parquet scan; ONE partial+final
+    hash aggregate over ~6 groups — the shuffle carries one row per
+    (group × partition), never fact rows. Row-level charge math stays in
+    double (bit-identical per row), aggregation goes through
+    DECIMAL(38,10) so partial-aggregation order cannot change the hash.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp")
+    )
+    charge = _revenue_col() * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(_revenue_col(), "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -100,6 +162,115 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q5 — local supplier volume: revenue by nation within one region.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+SELECT
+  n.n_name,
+  {sql_dsum(_REVENUE, "revenue")}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+""",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): yearly revenue per nation from
+    lineitems where the customer and supplier share the nation, scoped
+    to one region — the 6-table star-join classic.
+
+    Plan: region filter → nation prunes to the 5 regional nations on the
+    driver-free broadcast path; supplier pre-joins that tiny nation set
+    (cutting ~4/5 of suppliers BEFORE the fact join) and broadcasts into
+    lineitem; the year filter prunes the orders scan; lineitem⋈orders is
+    the single big-big shuffle; customer broadcasts with the
+    same-nation equality as part of the join key. One nation-count-sized
+    aggregate.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    asian_n = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asian_n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_revenue_col(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q6 — forecasting revenue change: the pure-pushdown aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue that would have
+    been gained by eliminating small discounts on low-quantity items.
+
+    The whole query is predicate selectivity: ALL three filters (date
+    range, discount band, quantity cap) must reach the parquet scan as
+    PushedFilters so row groups outside the year are skipped on
+    min/max stats — at 100 TB this query reads a fraction of one column
+    stripe, not the table. One global decimal sum, no group keys.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 # --------------------------------------------------------------------------

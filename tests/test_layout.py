@@ -81,3 +81,43 @@ def test_salted_join_matches_plain_join(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_bucketed_minhash_band_join_no_shuffle(spark):
+    """The 100 TB dedup path: persist the LSH band table bucketed on
+    band_hash, and the candidate-pair self-join plans with ZERO
+    hash-partition exchanges — the write-time layout already satisfies
+    the join's distribution (band_hash is a subset of the equi keys), so
+    the all-corpus pair generation never shuffles the signature stream.
+    Results must equal the unbucketed q_dedup_minhash_pairs exactly."""
+    from streaming_data_ingestion_spark.queries.llm_dedup import (
+        _lsh_candidate_pairs,
+        _minhash_bands,
+    )
+
+    bands = _minhash_bands(spark, SF_DIR)
+    write_bucketed(bands, "bands_b", ["band_hash"], 8)
+    try:
+        b1 = spark.table("bands_b").alias("a")
+        b2 = spark.table("bands_b").alias("b")
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = b1.join(
+                b2,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            plan = _plan(joined)
+            assert "Exchange hashpartitioning" not in plan
+            got = joined.distinct().count()
+            want = _lsh_candidate_pairs(spark, SF_DIR).count()
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bands_b")

@@ -344,3 +344,38 @@ def test_edit_distance_verify_is_equi_join_only(spark):
     plan = plan_of(spark, "q_dedup_edit_distance")
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_pushdown_single_agg(spark):
+    """Q1: the shipdate cutoff reaches the parquet scan; ONE
+    partial+final hash exchange carries the fact aggregation (Catalyst
+    dedupes the avg sums into the same partials), and the only other
+    exchange is the ~6-row range sort."""
+    plan = plan_of(spark, "q_tpch_q1")
+    assert "PushedFilters:" in plan
+    assert "partial_sum" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("+- Exchange") == 2  # hash agg + trivial range sort
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    """Q5: region/nation/supplier/customer all ride broadcasts; the only
+    sort-merge-eligible join is lineitem⋈orders, and nothing degenerates
+    into a nested loop."""
+    plan = plan_of(spark, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_all_filters_pushed(spark):
+    """Q6 is pure predicate selectivity: date range, discount band, and
+    quantity cap must ALL reach the parquet scan so row-group stats can
+    skip — and the scan reads only the four referenced columns."""
+    plan = plan_of(spark, "q_tpch_q6")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
