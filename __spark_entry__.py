@@ -68,6 +68,9 @@ _DEFER = (
     "q_fingerprint", "q_fingerprint_rolling", "q_lang_id",
     "q_token_count", "q_text_stats", "q_quality_score", "q_sim_range",
     "q_cast_types", "q_multimodal_features",
+    # round-3 additions: locally oracle-proven this round; rotate into the
+    # driver window next round, after the 59-query backlog lands rows
+    "q_seq_pack", "q_emb_quantize", "q_skew_profile",
 )
 
 

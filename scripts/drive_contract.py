@@ -38,6 +38,12 @@ def compare(sp: pd.DataFrame, dp: pd.DataFrame) -> tuple[bool, bool, bool, str]:
     if ok_cols and ok_rows:
         sp = sp[sorted(sp.columns)]
         dp = dp[sorted(dp.columns)]
+        # normalize array cells (ndarray vs list depending on Arrow) so the
+        # repr sort keys are engine-independent
+        for df_ in (sp, dp):
+            for c in df_.columns:
+                if df_[c].dtype == object:
+                    df_[c] = df_[c].map(_canon_cell)
         key_s = sp.apply(lambda r: tuple(repr(v) for v in r), axis=1)
         key_d = dp.apply(lambda r: tuple(repr(v) for v in r), axis=1)
         if len(sp):
@@ -53,6 +59,15 @@ def compare(sp: pd.DataFrame, dp: pd.DataFrame) -> tuple[bool, bool, bool, str]:
                     b = b.astype(a.dtype)
                 except (TypeError, ValueError):
                     pass
+            if a.dtype == object or b.dtype == object:
+                # array-valued / mixed cells: element-wise exact compare
+                # (vector `ne` on ndarray cells raises ambiguous-truth)
+                for i, (x, y) in enumerate(zip(a.tolist(), b.tolist())):
+                    if not _cell_eq(x, y):
+                        detail += f" [{c}@{i}: {x!r} != {y!r}]"
+                        ok_vals = False
+                        break
+                continue
             eq = a.equals(b)
             if not eq:
                 neq = a.ne(b) & ~(a.isna() & b.isna())
@@ -61,6 +76,34 @@ def compare(sp: pd.DataFrame, dp: pd.DataFrame) -> tuple[bool, bool, bool, str]:
                     detail += f" [{c}@{i}: {a.iloc[i]!r} != {b.iloc[i]!r}]"
                     ok_vals = False
     return ok_cols, ok_rows, ok_vals, detail
+
+
+def _canon_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return [_canon_cell(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_canon_cell(x) for x in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _cell_eq(x, y) -> bool:
+    import numpy as np
+
+    if isinstance(x, (list, tuple, np.ndarray)) or isinstance(
+        y, (list, tuple, np.ndarray)
+    ):
+        x_l = list(x) if isinstance(x, (list, tuple, np.ndarray)) else [x]
+        y_l = list(y) if isinstance(y, (list, tuple, np.ndarray)) else [y]
+        return len(x_l) == len(y_l) and all(
+            _cell_eq(i, j) for i, j in zip(x_l, y_l)
+        )
+    if x is None or (isinstance(x, float) and pd.isna(x)):
+        return y is None or (isinstance(y, float) and pd.isna(y))
+    return x == y
 
 
 def main() -> int:

@@ -349,3 +349,50 @@ def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_n"),
         ((F.col("n") - prev).cast("double") / prev).alias("pct_change"),
     )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+SELECT
+  c.user_id,
+  CAST(c.n_events AS BIGINT) AS n_events,
+  CAST(c.n_events AS DOUBLE) / t.total AS share
+FROM counts c, tot t
+ORDER BY n_events DESC, c.user_id ASC
+LIMIT 10
+""",
+    tags=("events", "agg", "diagnostics"),
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile: the 10 heaviest user_id keys with their exact
+    event counts and share of total traffic — the diagnostic that decides
+    whether a downstream join on this key needs salting (layout.
+    salted_join) or AQE skew splitting suffices.
+
+    Plan: ONE partial+final hash aggregate over the fact table (the
+    shuffle carries per-key partials); the 1-row total rides back as a
+    broadcast nested-loop against the |keys|-sized count table, never the
+    facts; top-10 via TakeOrderedAndProject. At 100 TB this is the
+    cheapest possible full-key census — no distinct, no window over an
+    unpartitioned frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )

@@ -740,3 +740,71 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("n_kept"),
         (kept.cast("double") / F.count(F.lit(1))).alias("kept_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_seq_pack — sequence packing: assign documents to fixed-token-budget
+# training sequences. The step after chunking/sampling that turns a
+# filtered corpus into the contiguous ~context-length sequences a trainer
+# consumes.
+# --------------------------------------------------------------------------
+
+# Pack budget: 2048 whitespace tokens per training sequence.
+_PACK_BUDGET = 2048
+
+
+@query(
+    "q_seq_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+)
+SELECT
+  doc_id,
+  source,
+  n_tokens,
+  CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+  CAST((cum_tokens - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+""",
+    tags=("llm", "pipeline"),
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document a (pack_id, pack_offset)
+    inside fixed 2048-token training sequences, streamed per source in
+    doc_id order.
+
+    A document's pack is the sequence containing its START offset (the
+    running token total before it), so assignment is a pure prefix-sum:
+    one window cumulative sum per source partition — exactly one shuffle
+    on source, linear scan per partition, no iterative bin-packing loop.
+    At 100 TB the source partitions are themselves date/shard-split
+    upstream, so the window key has bounded cardinality per task; a
+    trainer reads back ordered by (source, pack_id, pack_offset) and
+    splits documents straddling a boundary at materialization time.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (start / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )

@@ -687,3 +687,71 @@ def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_to_centroid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_quantize — int8 scalar quantization of the embedding column: the
+# 4× storage/bandwidth compression step an ANN index applies before
+# persisting vectors at scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_quantize",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           1e-12
+         ) AS scale
+  FROM embeddings
+)
+SELECT
+  vec_id,
+  scale,
+  list_transform(
+    embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0) AS INTEGER)
+  ) AS q8,
+  CAST(floor(CAST(embedding[1] AS DOUBLE) / scale * 127.0) AS INTEGER)
+    * scale / 127.0 AS dequant_first
+FROM s
+""",
+    tags=("llm", "similarity"),
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization: scale = max(|x_i|), each
+    component mapped to floor(x/scale·127) ∈ [-127, 127], plus the
+    dequantized first component as a round-trip witness.
+
+    Zero shuffles — one narrow map over the corpus (the per-vector max
+    is a row-side array fold, never an aggregate). floor() is used for
+    the integer mapping because both engines floor identically, whereas
+    round-half cases can differ; the scale guard (1e-12) keeps
+    zero-vectors finite. At 100 TB this runs at scan speed and cuts
+    vector storage 4× before the bucketed/partitioned ANN layout is
+    written.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") * 127.0).cast("int"),
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        q8.alias("q8"),
+        (
+            F.floor(
+                F.col("embedding")[0].cast("double") / F.col("scale") * 127.0
+            ).cast("int")
+            * F.col("scale")
+            / 127.0
+        ).alias("dequant_first"),
+    )

@@ -52,6 +52,16 @@ def _sort_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cells_equal(a, b) -> bool:
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(
+        b, (list, tuple, np.ndarray)
+    ):
+        # array-valued cell: compare element-wise (numpy `==` would yield
+        # an ambiguous-truth array), still bit-exact per element
+        a_l = list(a) if isinstance(a, (list, tuple, np.ndarray)) else [a]
+        b_l = list(b) if isinstance(b, (list, tuple, np.ndarray)) else [b]
+        return len(a_l) == len(b_l) and all(
+            _cells_equal(x, y) for x, y in zip(a_l, b_l)
+        )
     if a is None or (isinstance(a, float) and math.isnan(a)):
         return b is None or (isinstance(b, float) and math.isnan(b))
     if isinstance(a, float) and isinstance(b, float):

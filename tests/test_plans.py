@@ -379,3 +379,30 @@ def test_tpch_q6_all_filters_pushed(spark):
     assert "l_quantity" in pushed
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_seq_pack_single_shuffle(spark):
+    """Sequence packing is one prefix-sum window per source: exactly one
+    hash exchange, and the scan reads only doc_id/source/text."""
+    plan = plan_of(spark, "q_seq_pack")
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "n_chars" not in read and "lang" not in read
+
+
+def test_emb_quantize_no_shuffle(spark):
+    """Quantization is a pure narrow map — per-vector scale is a row-side
+    array fold, so no Exchange may appear anywhere."""
+    plan = plan_of(spark, "q_emb_quantize")
+    assert "Exchange" not in plan
+
+
+def test_skew_profile_single_fact_agg(spark):
+    """The skew census aggregates the fact table exactly once (partial
+    map-side), broadcasts the 1-row total back, and takes the top-10 with
+    TakeOrderedAndProject — the fact stream never shuffles twice."""
+    plan = plan_of(spark, "q_skew_profile")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
