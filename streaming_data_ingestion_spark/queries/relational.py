@@ -343,3 +343,77 @@ def q_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["cust"]["nation"].alias("nation"),
         parsed["mkt"].alias("mkt"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_json_malformed — PERMISSIVE-mode decode of a partially-corrupt JSON
+# column: malformed records become NULL rows instead of failing the job,
+# and the query accounts for them explicitly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_json_malformed",
+    oracle="""
+WITH mangled AS (
+  SELECT
+    event_id,
+    event_type,
+    CASE WHEN event_id % 7 = 0
+         THEN substring(props, 1, length(props) - 1)
+         ELSE props END AS raw
+  FROM events
+),
+parsed AS (
+  SELECT
+    event_type,
+    CASE WHEN json_valid(raw)
+         THEN CAST(raw->>'$.k' AS INTEGER) END AS k
+  FROM mangled
+)
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (k IS NULL) AS BIGINT) AS n_bad,
+  CAST(COUNT(*) FILTER (k IS NULL) AS DOUBLE) / COUNT(*) AS bad_frac,
+  CAST(SUM(k) AS BIGINT) AS k_checksum
+FROM parsed
+GROUP BY event_type
+""",
+    tags=("json", "robustness"),
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance: a deterministic 1-in-7 slice of the JSON
+    column is truncated (unclosed object), decoded in PERMISSIVE mode —
+    Spark's from_json yields a NULL struct for unparseable input instead
+    of aborting — and the per-type malformed rate + a checksum of the
+    surviving values are reported.
+
+    The real-world contract this pins: a 100 TB ingest with a bad
+    producer must quantify its corrupt slice, not die on it (FAILFAST)
+    or silently drop it. Same single partial+final aggregate shape as
+    every count query; the mangling is a row-side narrow map. Oracle
+    mirrors via DuckDB's json_valid guard (both engines agree the
+    truncated form is invalid; trailing-garbage forms would NOT agree,
+    which is why corruption here is truncation).
+    """
+    ev = load(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props").cast("int") - 1),
+    ).otherwise(F.col("props"))
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    k = F.from_json(raw, schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("k").isNull()).alias("n_bad"),
+            (
+                F.count_if(F.col("k").isNull()).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bad_frac"),
+            F.sum("k").alias("k_checksum"),
+        )
+    )

@@ -513,3 +513,64 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q_tpch_q19 — discounted revenue: the disjunctive-predicate join classic.
+# --------------------------------------------------------------------------
+
+
+_Q19_BANDS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT {sql_dsum(_REVENUE, "revenue")}, CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE
+  {" OR ".join(
+      f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1} "
+      f"AND l.l_quantity BETWEEN {q0} AND {q1})"
+      for b, s0, s1, q0, q1 in _Q19_BANDS
+  )}
+""",
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR of three (brand, size-band,
+    quantity-band) conjunctions across the lineitem⋈part join — the
+    canonical disjunctive-predicate stress test.
+
+    Adaptation: the fixture's Brand#N space replaces the spec's
+    Brand#NM; the container/shipmode legs are absent from the fixture so
+    the disjunction is (brand, size, quantity), which preserves the
+    planning challenge — a predicate that references BOTH sides of the
+    join and cannot be fully pushed to either scan alone. The
+    single-side conjuncts Catalyst CAN extract (brand/size on part,
+    quantity bounds on lineitem) should still prune; part broadcasts;
+    one conditional aggregate, no fact shuffle.
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    cond = None
+    for b, s0, s1, q0, q1 in _Q19_BANDS:
+        leg = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        cond = leg if cond is None else (cond | leg)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(_revenue_col(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

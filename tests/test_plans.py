@@ -406,3 +406,22 @@ def test_skew_profile_single_fact_agg(spark):
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q19_extracts_single_side_conjuncts(spark):
+    """Q19's disjunction spans both join sides and cannot fully push, but
+    Catalyst must still extract the per-side common conjuncts — the part
+    scan gets brand/size filters pushed, the join stays a broadcast hash
+    join, and nothing degenerates into a nested loop."""
+    plan = plan_of(spark, "q_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "p_brand" in plan.split("PushedFilters:")[1]
+
+
+def test_json_malformed_single_agg(spark):
+    """Corrupt-slice accounting is one partial+final aggregate; the
+    mangling + decode is a narrow map that never shuffles raw JSON."""
+    plan = plan_of(spark, "q_json_malformed")
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan
