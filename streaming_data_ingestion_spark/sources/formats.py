@@ -1,0 +1,122 @@
+"""Multi-format batch source/sink helpers: CSV, JSON-lines, ORC.
+
+The reference ingests exactly one wire format (Kafka JSON,
+/root/reference/spark-streaming.py:150-171); a complete engine must also
+round-trip the interchange formats an analytics user brings. Shared
+discipline across all three:
+
+- **Schema is declared, never inferred** on read. Inference costs an extra
+  full pass at 100 TB and is non-deterministic under sampling; every reader
+  here takes an explicit StructType (or reuses a written table's known
+  schema).
+- **Columnar formats keep pushdown.** ORC scans support predicate pushdown
+  and column pruning exactly like parquet (asserted in
+  tests/test_sources.py); CSV/JSON are row formats — fine for interchange,
+  wrong for the 100 TB hot path, which is why the writers default to an
+  explicit compression codec and the docstrings steer bulk data to
+  parquet/ORC.
+- **Writers are partition-aware**: every writer accepts ``partition_cols``
+  so a converted dataset lands with the same pruning layout
+  (layout.write_partitioned) the parquet path uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Spark's default text-format timestamp pattern carries milliseconds only;
+# fixture event times are microsecond-precision, so every text write/read
+# pins a microsecond pattern or the round-trip silently truncates.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """CSV with header; quotes/escapes left at Spark defaults (RFC-ish).
+
+    CSV cannot carry types — the matching reader must re-declare the
+    schema. Timestamps are written as ISO-8601 so the declared-schema
+    read restores them losslessly.
+    """
+    w = (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("compression", compression)
+        .option("timestampFormat", _TS_FMT)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Declared-schema CSV read (no inference pass, deterministic types)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", _TS_FMT)
+        .csv(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """JSON-lines (one object per line) — the LLM-corpus interchange
+    format. Nested structs/arrays survive; timestamps are ISO-8601."""
+    w = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("timestampFormat", _TS_FMT)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Declared-schema JSON-lines read; malformed lines become NULL rows
+    (PERMISSIVE) instead of failing the job — audit them with the
+    q_json_malformed pattern, don't crash a 100 TB read."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC: the columnar alternative when the consumer is Hive/Trino-side.
+    Keeps min/max stride statistics → predicate pushdown on read."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — schema travels in the file footer (self-describing, no
+    declaration needed), pushdown/pruning supplied by the ORC reader."""
+    return spark.read.orc(path)

@@ -427,3 +427,58 @@ def test_decontaminate_matches_set_model(spark, docs):
         n = len(mine & test_grams)
         want[i] = (sp, n, n > 0)
     assert got == want
+
+
+def test_seq_pack_invariants(spark):
+    """Packing semantics on the real fixture: offsets stay inside the
+    budget, pack_ids are dense per source, and the running layout is
+    exactly reconstructible — pack_offset equals the prefix sum of
+    earlier documents' tokens modulo the budget."""
+    from streaming_data_ingestion_spark.queries.llm_pipeline import (
+        _PACK_BUDGET,
+        q_seq_pack,
+    )
+    from tests.conftest import SF_DIR
+
+    out = q_seq_pack(spark, SF_DIR).toPandas()
+    assert (out.pack_offset >= 0).all()
+    assert (out.pack_offset < _PACK_BUDGET).all()
+    for _, grp in out.groupby("source"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        # reconstruct: running start offset before each doc
+        start = 0
+        for r in g.itertuples():
+            assert r.pack_id == start // _PACK_BUDGET, r
+            assert r.pack_offset == start % _PACK_BUDGET, r
+            start += r.n_tokens
+        # pack ids are monotone and start at 0
+        assert g.pack_id.iloc[0] == 0
+        assert (g.pack_id.diff().dropna() >= 0).all()
+
+
+def test_emb_quantize_roundtrip_bound(spark):
+    """Quantization invariants: every q8 component is in [-127, 127],
+    and dequantization reconstructs the original within one quantization
+    step (scale/127)."""
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        q_emb_quantize,
+    )
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = q_emb_quantize(spark, SF_DIR).toPandas().set_index("vec_id")
+    orig = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(orig)
+    for vid in list(out.index)[:50]:
+        scale = out.loc[vid, "scale"]
+        q8 = list(out.loc[vid, "q8"])
+        emb = list(orig.loc[vid, "embedding"])
+        assert all(-127 <= q <= 127 for q in q8), vid
+        step = scale / 127.0
+        for q, x in zip(q8, emb):
+            assert abs(q * step - float(x)) <= step + 1e-12, (vid, q, x)

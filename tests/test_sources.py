@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from streaming_data_ingestion_spark.sources import http_source
+from streaming_data_ingestion_spark.tables import load
+
+from tests.conftest import SF_DIR
 
 
 def test_randomuser_datasource_offline(spark):
@@ -101,3 +106,78 @@ def test_randomuser_streaming_source(spark, tmp_path):
     out = spark.sql(f"SELECT full_name, email FROM {name}").collect()
     emails = [r.email for r in out]
     assert len(set(emails)) == len(emails)  # offsets advanced, no re-reads
+
+
+class TestFormats:
+    """CSV / JSON-lines / ORC round-trips must preserve schema and values
+    exactly, and the columnar path (ORC) must keep predicate pushdown."""
+
+    def test_csv_roundtrip_schema_and_values(self, spark, tmp_path):
+        from streaming_data_ingestion_spark.sources.formats import (
+            read_csv,
+            write_csv,
+        )
+
+        orig = load(spark, SF_DIR, "orders")
+        path = str(tmp_path / "orders_csv")
+        write_csv(orig, path)
+        back = read_csv(spark, path, orig.schema)
+        assert back.schema == orig.schema
+        assert back.count() == orig.count()
+        assert back.exceptAll(orig).count() == 0
+
+    def test_jsonl_roundtrip_schema_and_values(self, spark, tmp_path):
+        from streaming_data_ingestion_spark.sources.formats import (
+            read_jsonl,
+            write_jsonl,
+        )
+
+        orig = load(spark, SF_DIR, "events")
+        path = str(tmp_path / "events_jsonl")
+        write_jsonl(orig, path)
+        back = read_jsonl(spark, path, orig.schema)
+        assert back.schema == orig.schema
+        assert back.count() == orig.count()
+        assert back.exceptAll(orig).count() == 0
+
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        from streaming_data_ingestion_spark.sources.formats import (
+            read_orc,
+            write_orc,
+        )
+
+        orig = load(spark, SF_DIR, "lineitem")
+        path = str(tmp_path / "lineitem_orc")
+        write_orc(orig, path)
+        back = read_orc(spark, path)
+        assert back.schema == orig.schema
+        assert back.count() == orig.count()
+
+        filtered = back.filter(F.col("l_quantity") > 45).select(
+            "l_orderkey", "l_quantity"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = filtered._jdf.queryExecution().explainString(mode)
+        assert "PushedFilters:" in plan
+        assert "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+        read_cols = plan.split("ReadSchema:")[1].split("\n")[0]
+        assert "l_comment" not in read_cols and "l_tax" not in read_cols
+        want = orig.filter(F.col("l_quantity") > 45).count()
+        assert filtered.count() == want
+
+    def test_partitioned_csv_layout(self, spark, tmp_path):
+        from streaming_data_ingestion_spark.sources.formats import (
+            read_csv,
+            write_csv,
+        )
+
+        orig = load(spark, SF_DIR, "documents")
+        path = str(tmp_path / "docs_csv")
+        write_csv(orig, path, partition_cols=["source"])
+        back = read_csv(
+            spark, path, orig.select([c for c in orig.columns]).schema
+        )
+        assert back.count() == orig.count()
+        assert sorted(back.columns) == sorted(orig.columns)
