@@ -132,3 +132,73 @@ def ingest_users_from_json_dir(
 
     stream = read_json_stream(spark, in_dir)
     return run_ingest(decode_users_from_files(stream), out_dir, checkpoint_dir)
+
+
+def split_users_with_raw(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode wire JSON while KEEPING the raw line alongside the parsed
+    struct — the prerequisite for dead-letter routing (a dropped raw line
+    is an unreproducible bug report)."""
+    return raw.select(
+        F.col(value_col).alias("_raw"),
+        F.from_json(F.col(value_col), USERS_WIRE_SCHEMA).alias("data"),
+    )
+
+
+def dlq_writer(out_dir: str, dlq_dir: str):
+    """foreachBatch writer that routes each micro-batch in ONE pass:
+    parseable records (business key present) → the main sink, everything
+    else → a dead-letter sink with the verbatim raw line and the epoch.
+
+    The batch is cached for the two writes so the decode runs once. A
+    100 TB ingest with a misbehaving producer must quantify and preserve
+    its corrupt slice — FAILFAST aborts the pipeline, silent PERMISSIVE
+    dropping destroys the evidence; a DLQ does neither.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            ok = F.col("data").isNotNull() & F.col("data.full_name").isNotNull()
+            (
+                batch_df.filter(ok)
+                .select("data.*")
+                .withColumn("user_id", F.expr("uuid()"))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            (
+                batch_df.filter(~ok)
+                .select(
+                    F.col("_raw").alias("raw"),
+                    F.lit(int(epoch_id)).alias("epoch"),
+                )
+                .write.mode("append")
+                .parquet(dlq_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
+def run_ingest_with_dlq(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """End-to-end ingest with dead-letter routing: raw text lines →
+    decode-with-raw → valid records to the main sink, malformed lines to
+    the DLQ — checkpointed, so neither path re-processes on restart."""
+    raw = spark.readStream.text(in_dir)
+    writer = (
+        split_users_with_raw(raw)
+        .writeStream.foreachBatch(dlq_writer(out_dir, dlq_dir))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

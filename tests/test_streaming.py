@@ -426,3 +426,38 @@ def test_batch_stream_schema_parity(spark):
     ]
     ts_type = next(f.dataType for f in batch.fields if f.name == "ts")
     assert ts_type.typeName() == "timestamp", ts_type
+
+
+def test_ingest_dead_letter_queue(spark, tmp_path):
+    """Corrupt wire lines must land verbatim in the DLQ with their epoch,
+    valid records in the main sink — none dropped, none fatal, and a
+    checkpointed restart re-processes neither."""
+    from streaming_data_ingestion_spark.streaming.ingest import (
+        run_ingest_with_dlq,
+    )
+
+    in_dir = tmp_path / "wire"
+    in_dir.mkdir()
+    lines = fake_users_json_lines(20)
+    corrupt = ['{"full_name": "Broken Reco', "not json at all %%"]
+    (in_dir / "b0.jsonl").write_text("\n".join(lines + corrupt))
+
+    out_dir = str(tmp_path / "users_out")
+    dlq_dir = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_ingest_with_dlq(spark, str(in_dir), out_dir, dlq_dir, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 20
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+
+    dlq = spark.read.parquet(dlq_dir)
+    assert dlq.count() == 2
+    assert sorted(r.raw for r in dlq.collect()) == sorted(corrupt)
+
+    # restart on the same checkpoint: no new input -> no duplicates
+    q2 = run_ingest_with_dlq(spark, str(in_dir), out_dir, dlq_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 20
+    assert spark.read.parquet(dlq_dir).count() == 2
