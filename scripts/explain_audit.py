@@ -143,6 +143,51 @@ AUDITED = (
         "|labels|×64 rows, so the single Exchange is centroid-sized at "
         "any corpus size.",
     ),
+    (
+        "q_tpch_q1",
+        "TPC-H Q1 exact spec. Read: shipdate cutoff pushed to the scan; "
+        "Catalyst dedupes the avg numerators into the sum partials (6 "
+        "aggregate functions for 8 outputs); one hash Exchange carries "
+        "per-group partials, the trailing range Exchange sorts ~6 rows.",
+    ),
+    (
+        "q_tpch_q5",
+        "TPC-H Q5 6-table star. Read: region→nation→supplier reduce on "
+        "the broadcast path BEFORE the fact join (supplier set shrinks "
+        "~5×); lineitem⋈orders is the single big-big shuffle; customer "
+        "broadcasts with the same-nation equality in its join key.",
+    ),
+    (
+        "q_tpch_q19",
+        "Disjunctive-predicate join. Read: the OR-of-conjunctions spans "
+        "both sides, but the extractable brand/size conjuncts still reach "
+        "the part scan's PushedFilters; the join stays a broadcast hash "
+        "join with the residual disjunction as its filter.",
+    ),
+    (
+        "q_dedup_ngram_jaccard",
+        "Exact Jaccard verify. Read: candidates come from the LSH band "
+        "equi-join (collision-sized, never n²); token sets arrive via two "
+        "doc_id hash joins; no non-equi join appears anywhere.",
+    ),
+    (
+        "q_seq_pack",
+        "Sequence packing. Read: one Exchange on source feeds a single "
+        "Sort + Window prefix-sum; pack assignment is pure projection "
+        "arithmetic on the running total — no bin-packing iteration.",
+    ),
+    (
+        "q_emb_quantize",
+        "Int8 quantization. Read: per-vector scale and the quantized "
+        "array are row-side higher-order folds over a 2-column pruned "
+        "scan — zero Exchange, runs at scan speed.",
+    ),
+    (
+        "q_skew_profile",
+        "Key-skew census. Read: one partial+final count aggregate over "
+        "the fact table; the 1-row total returns as a "
+        "BroadcastNestedLoopJoin; TakeOrderedAndProject keeps 10 rows.",
+    ),
 )
 
 

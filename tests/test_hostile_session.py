@@ -22,6 +22,9 @@ HOSTILE_CHECKED = (
     "q_stream_tumbling",
     "q_cast_types",
     "q_sessionize",  # emits raw timestamps + gap decisions on event time
+    "q_tpch_q1",  # timestamp-literal cutoff + decimal aggregate hash
+    "q_tpch_q5",  # timestamp range predicates riding a 6-table join
+    "q_seq_pack",  # window ordering must not depend on shuffle width
 )
 
 
