@@ -71,7 +71,7 @@ _DEFER = (
     # round-3 additions: locally oracle-proven this round; rotate into the
     # driver window next round, after the 59-query backlog lands rows
     "q_seq_pack", "q_emb_quantize", "q_skew_profile",
-    "q_tpch_q19", "q_json_malformed",
+    "q_tpch_q19", "q_json_malformed", "q_approx_error",
 )
 
 

@@ -581,3 +581,45 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_approx_error — the value-checkable contract AROUND the HLL sketch:
+# each engine computes its own estimate, but both must satisfy the same
+# relative-error bound against the same exact count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_approx_error",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+    <= 0.15 * COUNT(DISTINCT l_partkey) AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)
+def q_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct ERROR contract: exact distinct count per
+    group plus a boolean asserting the engine's own HLL estimate lands
+    within 15% of it.
+
+    The estimates themselves are engine-specific (Spark HLL++ at
+    rsd=0.02 vs DuckDB's HLL) and can never hash-match — but the error
+    CONTRACT can: both engines emit the same exact counts and, for any
+    functioning sketch, the same `true` flags. This turns the q_agg_approx
+    rows-only escape hatch into a value-checked self-test of the sketch.
+    The 15% bound is ~7 standard deviations at rsd=0.02 — a false alarm
+    means the sketch is actually broken, not unlucky.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    exact = F.count_distinct(F.col("l_partkey"))
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.15 * exact).alias("within_bound"),
+    )
