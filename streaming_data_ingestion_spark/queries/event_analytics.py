@@ -396,3 +396,172 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_type IS NULL OR prev_type != event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+seg AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS seg_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, CAST(seg_id AS BIGINT) AS version, event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seg
+  GROUP BY user_id, seg_id, event_type
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY version
+       ) AS valid_to,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY version
+       ) IS NULL AS is_current,
+       n_events
+FROM intervals
+""",
+    tags=("events", "window", "scd"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build: collapse each user's event stream into
+    validity intervals — one row per run of equal event_type, with
+    [valid_from, valid_to) bounds and a current-row flag. The warehouse
+    pattern for turning a change log into a dimension history.
+
+    Plan: the change flag (lag), the running version number (sum over
+    the same ordering), the per-version rollup, AND the lead() that
+    closes each interval all share one hash partitioning on user_id —
+    Spark plans a single Exchange for the whole query (asserted in
+    test_plans). Ties break on event_id so versions are deterministic
+    under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    seg = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("seg_id"),
+    )
+    intervals = seg.groupBy(
+        "user_id", F.col("seg_id").cast("long").alias("version"), "event_type"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return intervals.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH stepped AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000000, 0) AS DECIMAL(38,0)) AS v_micro,
+         CAST(epoch_us(lead(ts) OVER w - ts) AS BIGINT) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT
+  user_id,
+  CAST(CAST(SUM(v_micro * CAST(dur_us AS DECIMAL(38,0))) AS VARCHAR)
+       AS DOUBLE)
+    / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0 AS twa_value,
+  CAST(SUM(dur_us) AS BIGINT) AS span_us
+FROM stepped
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+""",
+    tags=("events", "window", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each reading is held
+    until the next one (step interpolation), so its weight is the
+    microseconds until the user's next event — the hypertable/IoT
+    aggregate a plain AVG gets wrong when readings are irregular.
+
+    One window (lead over user_id/ts) and one aggregate share the same
+    user_id partitioning — a single Exchange end-to-end. Determinism:
+    the value is quantized to exact integer micro-units FIRST (round →
+    int), weights are exact integer microseconds, so the weighted sum is
+    pure integer-decimal arithmetic — no double→decimal quantization,
+    which diverges 1 ULP between engines for ~1e11-magnitude products.
+    The final double division sequence (sum / span / 1e6) is identical
+    IEEE math on identical operands.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).alias("dur_us")
+    v_micro = (
+        F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)")
+    ).alias("v_micro")
+    stepped = ev.select("user_id", v_micro, dur).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_micro") * F.col("dur_us").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("_wsum"),
+            F.sum("dur_us").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            (
+                F.col("_wsum") / F.col("span_us").cast("double") / 1000000.0
+            ).alias("twa_value"),
+            "span_us",
+        )
+    )

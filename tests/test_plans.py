@@ -425,3 +425,19 @@ def test_json_malformed_single_agg(spark):
     plan = plan_of(spark, "q_json_malformed")
     assert plan.count("+- Exchange") == 1
     assert "partial_count" in plan
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD2 interval build: change flag, version numbering, per-version
+    rollup, and the interval-closing lead() all reuse ONE user_id
+    partitioning — exactly one Exchange across three Window ops."""
+    plan = plan_of(spark, "q_scd2_intervals")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("Window (") >= 2
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """TWA: the lead() window and the weighted aggregate share the
+    user_id partitioning — one Exchange end-to-end."""
+    plan = plan_of(spark, "q_time_weighted_avg")
+    assert plan.count("+- Exchange") == 1
