@@ -73,3 +73,21 @@ def table_sink_writer(database: str = "profiles", table: str = "users"):
         )
 
     return write_batch
+
+
+def create_or_replace_view(
+    spark: SparkSession, name: str, query_sql: str
+) -> None:
+    """CREATE OR REPLACE VIEW over any engine SQL — the catalog's
+    logical-layer surface (the reference has no view concept; Cassandra
+    materialized views were its nearest analog)."""
+    spark.sql(f"CREATE OR REPLACE VIEW {name} AS {query_sql}")
+
+
+def create_table_as(
+    spark: SparkSession, table: str, query_sql: str
+) -> None:
+    """CTAS into a parquet-backed managed table: the one-statement
+    materialization path (schema inferred from the query, write
+    parallelism from the plan)."""
+    spark.sql(f"CREATE TABLE {table} USING parquet AS {query_sql}")

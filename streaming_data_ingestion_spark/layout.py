@@ -80,3 +80,30 @@ def salted_join(
     )
     out = big_salted.join(small_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite a dataset into right-sized files — the small-file
+    compaction every long-running 100 TB ingest needs.
+
+    Streaming micro-batches and over-parallel writes leave thousands of
+    KB-scale files; each costs a footer read + task at every scan, so a
+    million-file table spends more time listing than scanning. Compaction
+    = one repartition to ⌈rows / target⌉ output tasks, plus
+    ``maxRecordsPerFile`` as the hard per-file ceiling so a skewed
+    partition still cannot emit a giant file. Run it on cold partitions
+    (yesterday's date dir), not the one the stream is appending to.
+    """
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

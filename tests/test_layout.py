@@ -121,3 +121,33 @@ def test_bucketed_minhash_band_join_no_shuffle(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
     finally:
         spark.sql("DROP TABLE IF EXISTS bands_b")
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """A fragmented write (many tiny files) must compact to the computed
+    file count with identical rows."""
+    import glob
+
+    from streaming_data_ingestion_spark.layout import write_compacted
+
+    ev = load(spark, SF_DIR, "events")
+    n = ev.count()
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    target = (n + 3) // 4  # aim for ~4 files
+    write_compacted(spark.read.parquet(frag), compacted, target)
+    files = glob.glob(f"{compacted}/*.parquet")
+    # ~4 output tasks; round-robin imbalance may push a partition over
+    # the per-file ceiling, which then splits — still far from 64
+    assert 4 <= len(files) <= 6
+    # the maxRecordsPerFile ceiling is a hard invariant per file
+    import pyarrow.parquet as pq
+
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= target
+    back = spark.read.parquet(compacted)
+    assert back.count() == n
+    assert back.exceptAll(ev).count() == 0
