@@ -72,7 +72,7 @@ _DEFER = (
     # driver window next round, after the 59-query backlog lands rows
     "q_seq_pack", "q_emb_quantize", "q_skew_profile",
     "q_tpch_q19", "q_json_malformed", "q_approx_error",
-    "q_scd2_intervals", "q_time_weighted_avg",
+    "q_scd2_intervals", "q_time_weighted_avg", "q_ewma",
 )
 
 

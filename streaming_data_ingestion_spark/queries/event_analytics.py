@@ -565,3 +565,49 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_us",
         )
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+FROM per
+""",
+    tags=("events", "timeseries"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of `value` per user
+    (s_0 = x_0; s_i = α·x_i + (1-α)·s_{i-1}) — the smoothing fold that
+    has no closed window-function form because every output depends on
+    the entire prefix.
+
+    Cross-engine determinism by construction: α = 1/2 makes each step
+    two exact power-of-two scalings plus one IEEE addition, and both
+    engines run the SAME sequential fold over the SAME (ts, event_id)
+    ordering — Spark as `aggregate` over the sorted collected array,
+    DuckDB as `list_reduce` (which seeds from the first element exactly
+    like s_0 = x_0). One shuffle (the groupBy); per-user state is the
+    user's own event list, the same bound as any ordered-collect
+    aggregate — at 100 TB, cap the lookback window upstream
+    (filter ts >= horizon) rather than folding years of history.
+    """
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    per = ev.groupBy("user_id").agg(
+        arr.alias("rows"), F.count(F.lit(1)).alias("n_events")
+    )
+    vals = F.transform(F.col("rows"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return per.select("user_id", "n_events", ewma.alias("ewma_value"))

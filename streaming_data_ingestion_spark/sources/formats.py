@@ -120,3 +120,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC read — schema travels in the file footer (self-describing, no
     declaration needed), pushdown/pruning supplied by the ORC reader."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across schema generations (``mergeSchema``).
+
+    A long-lived 100 TB table accretes columns: files written before a
+    column existed simply lack it, and the unified read must surface it
+    as NULL for those rows instead of failing or silently dropping the
+    column (the default read takes one file's footer as THE schema).
+    ``mergeSchema`` unions all footers — pay its listing cost only on
+    tables that actually evolve; stable tables keep the cheap
+    single-footer default.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -181,3 +181,29 @@ class TestFormats:
         )
         assert back.count() == orig.count()
         assert sorted(back.columns) == sorted(orig.columns)
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Old files without the new column must read back with NULLs under
+    the merged schema; the default single-footer read is allowed to miss
+    the new column, which is exactly why the evolving reader exists."""
+    from streaming_data_ingestion_spark.sources.formats import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "evolving")
+    old = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    old.write.parquet(path)
+    new = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("quality", F.length("text").cast("double"))
+        .limit(100)
+    )
+    new.write.mode("append").parquet(path)
+
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"doc_id", "text", "quality"}
+    assert merged.count() == old.count() + 100
+    assert merged.filter(F.col("quality").isNull()).count() == old.count()
+    assert merged.filter(F.col("quality").isNotNull()).count() == 100
