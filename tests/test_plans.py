@@ -441,3 +441,52 @@ def test_time_weighted_avg_single_shuffle(spark):
     user_id partitioning — one Exchange end-to-end."""
     plan = plan_of(spark, "q_time_weighted_avg")
     assert plan.count("+- Exchange") == 1
+
+
+# Queries whose plan legitimately contains a 1-row or tiny-side
+# nested-loop/cross join (broadcast stats rows, scalar maxima, query-side
+# fan-out) — everything else must be free of cartesian shapes.
+_CARTESIAN_OK = {
+    "q_funnel",            # three 1-row counts cross-joined
+    "q_bm25",              # 1-row corpus stats broadcast
+    "q_zscore",            # per-source stats broadcast (BNLJ fallback ok)
+    "q_sim_topk",          # 3-row query side fan-out (BroadcastNestedLoop)
+    "q_sim_range",         # same broadcast fan-out
+    "q_sim_ivf",           # 6-row nprobe probe list broadcast fan-out
+    "q_sim_recall",        # composes q_sim_topk
+    "q_skew_profile",      # 1-row total broadcast
+    "q_agg_global",        # global aggregate scalar joins
+    "q_subquery_scalar",   # scalar subquery rewrites to 1-row join
+    "q_tpch_q14",          # single-row ratio
+    "q_tpch_q15",          # 1-row max broadcast
+    "q_text_tfidf",        # 1-row doc-count broadcast
+    "q_text_rarity",       # 1-row corpus size broadcast
+    "q_mix_weights",       # window over |sources| rows
+    "q_minhash_jaccard",   # bounded candidate scope composition
+    "q_gap_fill",          # generated spine × type dimension (tiny)
+    "q_approx_error",      # scalar comparisons
+    "q_emb_outlier",       # centroid table broadcast
+    "q_histogram",         # bin spine broadcast
+}
+# Iterative operators execute driver-coordinated jobs eagerly at build
+# time — too expensive for a plan sweep.
+_SWEEP_SKIP = {"q_dedup_clusters"}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Global guard: building EVERY registered query's physical plan,
+    none outside the explicit allowlist may contain a CartesianProduct
+    or BroadcastNestedLoopJoin. A future refactor that silently turns an
+    equi-join into an n x m join fails here, not at 100 TB."""
+    bad = {}
+    for name in sorted(all_queries()):
+        if name in _SWEEP_SKIP or name in _CARTESIAN_OK:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as e:  # rows-only queries must still plan
+            bad[name] = f"plan build failed: {e}"
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad[name] = "cartesian/nested-loop join in plan"
+    assert not bad, bad
