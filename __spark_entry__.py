@@ -73,6 +73,7 @@ _DEFER = (
     "q_seq_pack", "q_emb_quantize", "q_skew_profile",
     "q_tpch_q19", "q_json_malformed", "q_approx_error",
     "q_scd2_intervals", "q_time_weighted_avg", "q_ewma",
+    "q_sample_topk_hash",
 )
 
 

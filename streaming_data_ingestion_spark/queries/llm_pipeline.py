@@ -808,3 +808,55 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start / _PACK_BUDGET).cast("long").alias("pack_id"),
         (start % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sample_topk_hash — exact-size per-stratum sampling: exactly K docs per
+# source, chosen content-addressed (hash order), not by fraction.
+# --------------------------------------------------------------------------
+
+_TOPK_PER_SOURCE = 50
+
+
+@query(
+    "q_sample_topk_hash",
+    oracle=f"""
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|topk'), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= {_TOPK_PER_SOURCE}
+""",
+    tags=("llm", "pipeline", "sampling"),
+)
+def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: exactly K=50 documents per source,
+    ranked by a salted content hash — the fixed-budget companion to the
+    fraction-based q_sample_hash (a fraction cannot promise "exactly K
+    per stratum", which is what a balanced eval set needs).
+
+    Content-addressing makes the sample reproducible across runs,
+    engines, and partitionings (same docs always win); the doc_id
+    tie-break covers the astronomically-unlikely hash collision. One
+    window shuffle on source; WindowGroupLimit prunes to K rows per
+    partition map-side BEFORE the exchange, so the shuffle carries ~K
+    rows per (source × input partition), not the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|topk")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _TOPK_PER_SOURCE)
+    )

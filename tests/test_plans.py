@@ -490,3 +490,11 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             bad[name] = "cartesian/nested-loop join in plan"
     assert not bad, bad
+
+
+def test_sample_topk_hash_prunes_map_side(spark):
+    """Exact-K stratified sample: WindowGroupLimit must prune to K rows
+    per input partition BEFORE the single source exchange."""
+    plan = plan_of(spark, "q_sample_topk_hash")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("+- Exchange") == 1
