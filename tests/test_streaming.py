@@ -461,3 +461,41 @@ def test_ingest_dead_letter_queue(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 20
     assert spark.read.parquet(dlq_dir).count() == 2
+
+
+def test_streaming_metrics_collector(spark, tmp_path):
+    """The progress listener must record every micro-batch's row count —
+    totals across batches equal the rows ingested."""
+    import time
+
+    from streaming_data_ingestion_spark.streaming.ingest import (
+        ingest_users_from_json_dir,
+    )
+    from streaming_data_ingestion_spark.streaming.metrics import (
+        QueryProgressCollector,
+    )
+
+    collector = QueryProgressCollector.attach(spark)
+    try:
+        in_dir = tmp_path / "wire"
+        in_dir.mkdir()
+        (in_dir / "b0.jsonl").write_text("\n".join(fake_users_json_lines(30)))
+        out_dir = str(tmp_path / "users_out")
+        q = ingest_users_from_json_dir(
+            spark, str(in_dir), out_dir, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        # listener delivery is asynchronous; poll briefly
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            total = sum(
+                p["num_input_rows"] or 0 for p in collector.progress
+            )
+            if total >= 30:
+                break
+            time.sleep(0.5)
+        total_rows = sum(p["num_input_rows"] or 0 for p in collector.progress)
+        assert total_rows == 30
+        assert all(p["batch_id"] is not None for p in collector.progress)
+    finally:
+        collector.detach(spark)
