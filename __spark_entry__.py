@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # row, so the dict is now ordered as a coverage rotation: queries with no
 # driver-green row yet come first, the 50 keys already green in
 # CORRECTNESS_r02 come last. Every key is identical either way — only dict
-# order changes — and all 122 registered queries stay bit-exact against
+# order changes — and every registered query stays bit-exact against
 # DuckDB locally in tests/test_oracle.py regardless of order.
 _R02_DRIVER_GREEN = frozenset(
     {
@@ -74,7 +74,7 @@ _DEFER = (
     "q_seq_pack", "q_emb_quantize", "q_skew_profile",
     "q_tpch_q19", "q_json_malformed", "q_approx_error",
     "q_scd2_intervals", "q_time_weighted_avg", "q_ewma",
-    "q_sample_topk_hash",
+    "q_sample_topk_hash", "q_markov_transitions",
 )
 
 

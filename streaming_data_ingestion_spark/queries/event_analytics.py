@@ -611,3 +611,57 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
     )
     return per.select("user_id", "n_events", ewma.alias("ewma_value"))
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+WITH stepped AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS src
+  FROM events
+),
+pairs AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM stepped WHERE src IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       CAST(n AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY src) AS p
+FROM pairs
+""",
+    tags=("events", "analytics", "markov"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    (previous event → next event) pair within a user's timeline, the
+    transition count and conditional probability P(dst | src) — the
+    behavioral-model input for next-action prediction and anomaly
+    scoring.
+
+    Plan: one user_id window (lag) produces the transition pairs; the
+    pair aggregate collapses to at most |types|² rows, so the row-share
+    window normalizing each source row operates on a tiny relation —
+    the fact table is shuffled once and everything after is
+    constant-sized. Probabilities are exact-integer counts through one
+    IEEE division, hash-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    pairs = stepped.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    share = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(share)).alias("p"),
+    )

@@ -498,3 +498,12 @@ def test_sample_topk_hash_prunes_map_side(spark):
     plan = plan_of(spark, "q_sample_topk_hash")
     assert "WindowGroupLimit" in plan
     assert plan.count("+- Exchange") == 1
+
+
+def test_markov_transitions_single_fact_shuffle(spark):
+    """Transition matrix: the fact table shuffles once (user window);
+    the pair aggregate and share window act on a ≤|types|² relation."""
+    plan = plan_of(spark, "q_markov_transitions")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window (") >= 1
+    assert "partial_count" in plan
