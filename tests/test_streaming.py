@@ -499,3 +499,62 @@ def test_streaming_metrics_collector(spark, tmp_path):
         assert all(p["batch_id"] is not None for p in collector.progress)
     finally:
         collector.detach(spark)
+
+
+def test_incremental_materialized_daily_counts(spark, tmp_path):
+    """The incrementally-maintained rollup must equal the from-scratch
+    batch aggregate after every ingestion wave, and a checkpointed
+    restart must not double-count."""
+    from streaming_data_ingestion_spark.streaming.mv import (
+        _daily_counts,
+        maintain_daily_counts,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "src")
+    table = str(tmp_path / "daily_counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: first 60% of events (by event_id) — multiple files so the
+    # stream sees several micro-batches
+    n = ev.count()
+    cut = int(n * 0.6)
+    wave1 = ev.filter(F.col("event_id") < cut)
+    wave1.repartition(3).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = maintain_daily_counts(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    def read_table():
+        return spark.read.parquet(table).select(
+            F.col("day").cast("date"), "event_type", F.col("n").cast("long")
+        )
+
+    run_stream()
+    got = read_table()
+    want = _daily_counts(wave1)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # wave 2: the rest lands as new files; restart maintains incrementally
+    ev.filter(F.col("event_id") >= cut).repartition(2).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_stream()
+    got2 = read_table()
+    want2 = _daily_counts(ev)
+    assert got2.count() == want2.count()
+    assert got2.exceptAll(want2).count() == 0
+
+    # restart with no new input: no double counting
+    run_stream()
+    got3 = read_table()
+    assert got3.exceptAll(want2).count() == 0
