@@ -75,6 +75,11 @@ _DEFER = (
     "q_tpch_q19", "q_json_malformed", "q_approx_error",
     "q_scd2_intervals", "q_time_weighted_avg", "q_ewma",
     "q_sample_topk_hash", "q_markov_transitions",
+    # TPC-H suite completion (round 3, second batch): locally
+    # oracle-proven; rotate into the driver window after the backlog
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
 )
 
 

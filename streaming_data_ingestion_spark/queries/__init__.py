@@ -15,6 +15,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     streaming_analogs,
     subqueries,
     tpch,
+    tpch_full,
     udfs,
     windows,
 )

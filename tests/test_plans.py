@@ -459,6 +459,8 @@ _CARTESIAN_OK = {
     "q_subquery_scalar",   # scalar subquery rewrites to 1-row join
     "q_tpch_q14",          # single-row ratio
     "q_tpch_q15",          # 1-row max broadcast
+    "q_tpch_q11",          # 1-row total broadcast for the HAVING threshold
+    "q_tpch_q22",          # 1-row avg-balance broadcast (scalar subquery)
     "q_text_tfidf",        # 1-row doc-count broadcast
     "q_text_rarity",       # 1-row corpus size broadcast
     "q_mix_weights",       # window over |sources| rows
