@@ -509,3 +509,55 @@ def test_markov_transitions_single_fact_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Window (") >= 1
     assert "partial_count" in plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """Q4's correlated EXISTS must plan as ONE semi join (equi key +
+    residual lateness predicate) — not a join-then-distinct, which would
+    duplicate fact rows before collapsing them."""
+    plan = plan_of(spark, "q_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q21_exists_pair_as_counters(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is one per-order aggregate: the fact
+    table must appear in exactly one scan (no self-joins) and the late-
+    supplier logic must ride the count-distinct Expand."""
+    plan = plan_of(spark, "q_tpch_q21")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" in plan  # multi-count_distinct planning
+
+
+def test_tpch_q16_excludes_via_broadcast_anti(spark):
+    """Q16's NOT IN supplier exclusion must be a broadcast ANTI join, and
+    the part slice a broadcast — the only exchange the fact pays is the
+    distinct pair projection."""
+    plan = plan_of(spark, "q_tpch_q16")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_anti_join_no_fact_shuffle(spark):
+    """Q22: the NOT EXISTS is a broadcast ANTI join against the distinct
+    recent-orderer keys; customer rows never shuffle for it."""
+    plan = plan_of(spark, "q_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_tpch_q17_decorrelated_avg_broadcasts_back(spark):
+    """Q17: the per-part AVG side must come back as a broadcast (equi
+    join on partkey), so the sliced fact is scanned twice, shuffled never."""
+    plan = plan_of(spark, "q_tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_min_window_after_agg(spark):
+    """Q2: the min-per-part window must run over the (part,supplier)
+    aggregate, i.e. the plan has a hash aggregate BELOW the window."""
+    plan = plan_of(spark, "q_tpch_q2")
+    assert "Window" in plan
+    i_agg = plan.index("HashAggregate")
+    i_win = plan.index("Window")
+    assert i_win < i_agg  # formatted plan prints top-down: window above agg
