@@ -80,6 +80,7 @@ _DEFER = (
     "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q17", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_pq_encode", "q_anomaly_mad", "q_cross_dedup",
 )
 
 

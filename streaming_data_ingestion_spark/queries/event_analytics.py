@@ -665,3 +665,79 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(share)).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_anomaly_mad — robust outlier detection (median absolute deviation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type
+)
+SELECT
+  e.event_type,
+  med.med,
+  mad.mad,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN abs(e.value - med.med) > 3.0 * 1.4826 * mad.mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type, med.med, mad.mad
+ORDER BY e.event_type
+""",
+    tags=("events", "analytics", "quality"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: median / MAD (median absolute
+    deviation) per event type, and how many events sit outside the
+    3σ-equivalent band (|x − med| > 3·1.4826·MAD — 1.4826 scales MAD to
+    σ under normality). Median-based detection survives the exact heavy
+    tails that break mean/stddev z-scores (q_zscore is the parametric
+    twin).
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    linearly interpolate over exactly-sorted doubles and agree
+    bit-for-bit (the midpoint is one IEEE (a+b)/2), so med, MAD, and
+    the outlier cut all value-check with no tolerance.
+
+    Plan: three passes over a pushed-down 2-column scan — median per
+    type, MAD per type (needs pass 1's result), then the census. Each
+    aggregate is |event_types|-sized and the intermediate tables ride
+    back as broadcasts; the fact table is never shuffled (exact
+    percentile aggregates partial per partition — sorted-merge at the
+    |types| reducers). At 100 TB swap the exact percentile for
+    ``approx_percentile`` in pass 1/2 and keep pass 3 unchanged.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    out = F.when(
+        F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

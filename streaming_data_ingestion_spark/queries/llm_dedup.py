@@ -731,3 +731,71 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# q_cross_dedup — cross-source duplicate contamination matrix.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cross_dedup",
+    oracle=f"""
+WITH pairs AS ({_SQL_PAIRS}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT
+  LEAST(sa.source, sb.source) AS source_a,
+  GREATEST(sa.source, sb.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT CASE WHEN sa.source <= sb.source
+                           THEN p.doc_a ELSE p.doc_b END) AS BIGINT)
+    AS n_docs_a
+FROM pairs p
+JOIN src sa ON p.doc_a = sa.doc_id
+JOIN src sb ON p.doc_b = sb.doc_id
+WHERE sa.source <> sb.source
+GROUP BY source_a, source_b
+ORDER BY n_pairs DESC, source_a, source_b
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    corpus sources, how many LSH near-dup candidate pairs span them,
+    and how many distinct documents of the lexically-smaller source are
+    involved. This is the dataset-curation question ("how much of
+    source B is already in source A?") that decides dedup-before-mix
+    weighting — and the per-pair twin of q_decontaminate's train/test
+    overlap check.
+
+    Plan: the candidate set is the LSH collision join (never n²); the
+    two source lookups are hash joins on doc_id against a 2-column
+    pruned documents scan (at 100 TB: sort-merge on doc_id, or a
+    broadcast if the id→source map is dimension-sized); the matrix
+    aggregate is ≤|sources|²-sized with map-side partials.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    doc_in_a = F.when(
+        F.col("src_a") <= F.col("src_b"), F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct(doc_in_a).alias("n_docs_a"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("source_a"), F.col("source_b"))
+    )

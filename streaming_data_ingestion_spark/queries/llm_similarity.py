@@ -755,3 +755,106 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 127.0
         ).alias("dequant_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_pq_encode — product quantization: 64-d float vector → 8 code bytes.
+# --------------------------------------------------------------------------
+
+_PQ_SUB = 8      # subspaces
+_PQ_SUBDIM = _DIM // _PQ_SUB
+_PQ_K = 16       # centroids per subspace
+
+
+def _pq_sql_dists(s: int) -> str:
+    """DuckDB: the 16 squared distances of subspace ``s`` (same fold
+    structure and order as the Spark side)."""
+    cent = (
+        f"(CAST((c * 31 + d * 17 + {s} * 7) % 13 AS DOUBLE) - 6.0) / 6.0"
+    )
+    diff = (
+        f"(CAST(embedding[{s * _PQ_SUBDIM} + d + 1] AS DOUBLE) - {cent})"
+    )
+    return (
+        f"list_transform(range(0, {_PQ_K}), c -> "
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, {_PQ_SUBDIM}), d -> {diff} * {diff})), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+_PQ_ORACLE = f"""
+WITH dists AS (
+  SELECT
+    vec_id,
+    {", ".join(f"{_pq_sql_dists(s)} AS d{s}" for s in range(_PQ_SUB))}
+  FROM embeddings
+)
+SELECT
+  vec_id,
+  [{", ".join(f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER)"
+              for s in range(_PQ_SUB))}] AS codes,
+  {" + ".join(f"list_min(d{s})" for s in range(_PQ_SUB))} AS sq_err
+FROM dists
+ORDER BY vec_id
+"""
+
+
+@query("q_pq_encode", oracle=_PQ_ORACLE, tags=("llm", "similarity", "ann"))
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: split each 64-d vector into 8
+    subspaces of 8 dims, assign each subspace to the nearest of 16
+    codebook centroids → 8 small codes per vector (a 32× compression of
+    the float vector), plus the total squared quantization error.
+
+    The codebook is plan-constant and formula-derived (centroid value =
+    ``((c·31 + d·17 + s·7) mod 13 − 6) / 6``), standing in for a trained
+    codebook exactly like q_sim_ann_lsh's plan-constant hyperplanes — at
+    100 TB the trained codebook is likewise a broadcast constant (the
+    k-means trainer in ml/kmeans.py produces one); encode cost and plan
+    shape are identical. Distances are sequential double folds (Spark
+    ``aggregate`` ≡ DuckDB ``list_reduce``), squaring via explicit
+    multiply (never ``pow``, whose libm rounding may differ per engine),
+    argmin via first-position-of-min in both engines — so codes AND the
+    error are value-checked bit-exact.
+
+    Zero shuffles: one narrow map over the corpus at scan speed. PQ
+    codes are what a 100 TB ANN index stores per vector; IVF cell
+    (q_sim_ivf) + PQ code is the standard IVFPQ layout.
+    """
+    e = load(spark, sf_dir, "embeddings")
+
+    def dists(s: int) -> Column:
+        def sqdist(c: Column) -> Column:
+            def step(acc: Column, d: Column) -> Column:
+                cent = (
+                    ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double")
+                    - 6.0
+                ) / 6.0
+                x = F.element_at(
+                    "embedding", (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
+                ).cast("double")
+                diff = x - cent
+                return acc + diff * diff
+
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)), F.lit(0.0), step
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_K - 1)), sqdist
+        ).alias(f"d{s}")
+
+    with_d = e.select("vec_id", "embedding", *[dists(s) for s in range(_PQ_SUB)])
+    code = lambda s: (  # noqa: E731
+        F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")) - 1
+    ).cast("integer")
+    err = None
+    for s in range(_PQ_SUB):
+        m = F.array_min(f"d{s}")
+        err = m if err is None else err + m
+    return with_d.select(
+        "vec_id",
+        F.array(*[code(s) for s in range(_PQ_SUB)]).alias("codes"),
+        err.alias("sq_err"),
+    ).orderBy("vec_id")
