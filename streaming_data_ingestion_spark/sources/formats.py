@@ -23,6 +23,7 @@ discipline across all three:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Spark's default text-format timestamp pattern carries milliseconds only;
@@ -134,3 +135,68 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     single-footer default.
     """
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Media-file ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content).
+
+    This is the real on-ramp for the multimodal pipeline
+    (multimodal/binary_ops.py): raw image/audio/video files on object
+    storage become binary rows WITHOUT a driver-side listing loop — the
+    file index distributes, and ``pathGlobFilter`` prunes by extension
+    at listing time (no content read for skipped files).
+
+    Scale notes: each file is one row, read whole — the source is for
+    media objects (KB–MB), not for concatenated archives; cap partition
+    weight with ``spark.sql.files.maxPartitionBytes`` so a partition of
+    blobs fits executor memory. Files larger than
+    ``spark.sql.sources.binaryFile.maxLength`` (default 2 GiB) fail
+    loudly rather than truncate.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def binary_files_to_docs(files: DataFrame) -> DataFrame:
+    """Adapt a ``binaryFile`` DataFrame to the multimodal document shape
+    (doc_id, payload, meta{mime, n_bytes, digest}) consumed by
+    multimodal/binary_ops.py.
+
+    doc_id is content-addressed (first 16 hex digits of the payload
+    sha256) so re-ingesting the same object store prefix — or the same
+    file moved between prefixes — yields stable ids and digest-dedup
+    (multimodal digest grouping) works across ingest runs. The mime
+    guess is extension-based at this layer (cheap, prune-friendly);
+    real type sniffing belongs in the decode operator where the bytes
+    are already in hand.
+    """
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "png", "image/png")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp3", "audio/mpeg")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    digest = F.sha2(F.col("content"), 256)
+    return files.select(
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+            digest.alias("digest"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+    )
