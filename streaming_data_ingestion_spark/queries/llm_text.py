@@ -807,3 +807,68 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("dl").cast("double") - mean) / F.sqrt(var)).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_dataset_card — per-source corpus report card (the dataset-curation
+# summary every training-data pipeline publishes alongside the data).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+  {sql_davg(f"len({_SQL_TOKENS})", "avg_tokens")},
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+    AS n_exact_dups,
+  (CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE))
+    / COUNT(*) AS dup_rate,
+  (CAST(SUM(CASE WHEN len({_SQL_TOKENS}) < 50 THEN 1 ELSE 0 END) AS DOUBLE))
+    / COUNT(*) AS short_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("llm", "text", "pipeline"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset report card: document and token counts, mean
+    length, language spread, exact-duplicate mass, and the short-doc
+    share — the summary table a curation pipeline publishes with every
+    corpus drop (the per-source row of a "dataset card").
+
+    One pass, one shuffle: every statistic — including the duplicate
+    count via COUNT(DISTINCT digest) and the distinct-language count —
+    partial-aggregates map-side per source; token counts are row-side
+    array math on a 3-column pruned scan. The two ratios are single
+    IEEE divisions on exact integer counts, so the whole card
+    value-checks bit-exact. At 100 TB this is the cheapest complete
+    profile of a corpus: one scan, |sources| output rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    n = F.count(F.lit(1))
+    n_dups = (n - F.count_distinct(digest)).alias("n_exact_dups")
+    return (
+        d.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("total_tokens"),
+            davg(n_tok.cast("double"), "avg_tokens"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            n_dups,
+            ((n - F.count_distinct(digest)).cast("double") / n).alias(
+                "dup_rate"
+            ),
+            (
+                F.sum(F.when(n_tok < 50, 1).otherwise(0)).cast("double") / n
+            ).alias("short_rate"),
+        )
+        .orderBy("source")
+    )

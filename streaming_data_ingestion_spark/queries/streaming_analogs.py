@@ -155,3 +155,74 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_time_rollup — multi-resolution time rollup (hypertable continuous
+# aggregate shape): hour and day grains in ONE pass via GROUPING SETS.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_time_rollup",
+    oracle=f"""
+SELECT
+  CASE WHEN GROUPING(h) = 1 THEN '1d' ELSE '1h' END AS grain,
+  COALESCE(h, d) AS bucket_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {sql_dsum("value", "sum_value")}
+FROM (
+  SELECT
+    date_trunc('day', ts) AS d,
+    date_trunc('hour', ts) AS h,
+    event_type,
+    value
+  FROM events
+)
+GROUP BY GROUPING SETS ((d, event_type), (d, h, event_type))
+ORDER BY grain, bucket_start, event_type
+""",
+    tags=("streaming-analog", "agg"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup — the hypertable / continuous-
+    aggregate shape: hourly AND daily per-type aggregates computed in
+    ONE pass over the fact table with GROUPING SETS, instead of two
+    scans (or a second rollup job re-reading the hourly output).
+
+    Plan: Expand replicates each row once per grain (2×), then a single
+    partial+final hash aggregate covers both grains — at 100 TB this
+    halves scan cost vs grain-per-query, and the per-grain outputs are
+    exactly what a materialized rollup table would store (the streaming
+    twin maintains the same rollup incrementally via
+    streaming/materialized.py). GROUPING() distinguishes the day rows
+    from hour rows; the bucket column is the finest non-null grain.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["d", "event_type"], ["d", "h", "event_type"]],
+            "d",
+            "h",
+            "event_type",
+        )
+        .agg(
+            F.grouping("h").cast("int").alias("_g_h"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.when(F.col("_g_h") == 1, "1d").otherwise("1h").alias("grain"),
+            F.coalesce("h", "d").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("grain", "bucket_start", "event_type")
+    )
