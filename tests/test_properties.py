@@ -482,3 +482,143 @@ def test_emb_quantize_roundtrip_bound(spark):
         step = scale / 127.0
         for q, x in zip(q8, emb):
             assert abs(q * step - float(x)) <= step + 1e-12, (vid, q, x)
+
+
+# --------------------------------------------------------------------------
+# Round-3 operator invariants (TPC-H completion + new LLM ops).
+# --------------------------------------------------------------------------
+
+
+def test_time_rollup_grains_consistent(spark):
+    """The day grain must be exactly the sum of its hour rows — the
+    invariant that makes a multi-resolution rollup trustworthy (and the
+    one a grain-mismatched GROUPING SETS bug would break)."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = all_queries()["q_time_rollup"].fn(spark, SF_DIR).collect()
+    days = {}
+    hours = {}
+    for r in out:
+        key = (r["bucket_start"].date() if r["grain"] == "1h"
+               else r["bucket_start"].date(), r["event_type"])
+        if r["grain"] == "1d":
+            days[key] = (r["n_events"], r["sum_value"])
+        else:
+            n, s = hours.get(key, (0, 0.0))
+            hours[key] = (n + r["n_events"], s + r["sum_value"])
+    assert set(days) == set(hours)
+    for key, (n_d, _) in days.items():
+        assert n_d == hours[key][0]
+    total_events = load(spark, SF_DIR, "events").count()
+    assert sum(n for n, _ in days.values()) == total_events
+
+
+def test_pq_encode_matches_sequential_model(spark):
+    """PQ codes and error must equal a plain sequential-Python model of
+    the same folds — pinning argmin tie-breaks and fold order (the things
+    a 'mostly right' vectorized rewrite silently changes)."""
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _PQ_K,
+        _PQ_SUB,
+        _PQ_SUBDIM,
+    )
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["vec_id"]: r
+        for r in all_queries()["q_pq_encode"].fn(spark, SF_DIR).collect()
+    }
+    vecs = load(spark, SF_DIR, "embeddings").limit(50).collect()
+    for row in vecs:
+        emb = row["embedding"]
+        codes, err = [], 0.0
+        for s in range(_PQ_SUB):
+            dists = []
+            for c in range(_PQ_K):
+                acc = 0.0
+                for d in range(_PQ_SUBDIM):
+                    cent = (float((c * 31 + d * 17 + s * 7) % 13) - 6.0) / 6.0
+                    diff = float(emb[s * _PQ_SUBDIM + d]) - cent
+                    acc = acc + diff * diff
+                dists.append(acc)
+            m = min(dists)
+            codes.append(dists.index(m))
+            err = err + m
+        r = got[row["vec_id"]]
+        assert list(r["codes"]) == codes
+        assert r["sq_err"] == err
+        assert all(0 <= c < _PQ_K for c in codes)
+
+
+def test_dataset_card_mass_conservation(spark):
+    """Card totals must reconcile with direct counts: docs per source sum
+    to the corpus, token totals match q_token_count, rates are in [0,1]."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    card = all_queries()["q_dataset_card"].fn(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in card) == docs.count()
+    tok_total = sum(
+        r["n_ws_tokens"]
+        for r in all_queries()["q_token_count"].fn(spark, SF_DIR).collect()
+    )
+    assert sum(r["total_tokens"] for r in card) == tok_total
+    for r in card:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["short_rate"] <= 1.0
+        assert r["n_exact_dups"] <= r["n_docs"]
+
+
+def test_cross_dedup_bounds(spark):
+    """Matrix rows are canonical (source_a < source_b) and doc counts
+    never exceed pair counts; total pairs equal the cross-source subset
+    of the LSH collision set."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F2
+
+    matrix = all_queries()["q_cross_dedup"].fn(spark, SF_DIR).collect()
+    for r in matrix:
+        assert r["source_a"] < r["source_b"]
+        assert 1 <= r["n_docs_a"] <= r["n_pairs"]
+    pairs = all_queries()["q_dedup_minhash_pairs"].fn(spark, SF_DIR)
+    src = load(spark, SF_DIR, "documents").select("doc_id", "source")
+    cross = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("source", "sb"), "doc_b")
+        .filter(F2.col("sa") != F2.col("sb"))
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in matrix) == cross
+
+
+def test_tpch_mass_conservation(spark):
+    """Distribution/aggregate mass checks: Q13's histogram covers every
+    customer exactly once; Q1's order counts cover the filtered fact."""
+    from pyspark.sql import functions as F2
+
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    q13 = all_queries()["q_tpch_q13"].fn(spark, SF_DIR).collect()
+    n_cust = load(spark, SF_DIR, "customer").count()
+    assert sum(r["custdist"] for r in q13) == n_cust
+
+    q1 = all_queries()["q_tpch_q1"].fn(spark, SF_DIR).collect()
+    n_li = (
+        load(spark, SF_DIR, "lineitem")
+        .filter(F2.col("l_shipdate") <= F2.lit("2001-08-06").cast("timestamp"))
+        .count()
+    )
+    assert sum(r["count_order"] for r in q1) == n_li
