@@ -67,6 +67,14 @@ HEADLINE = (
     "q_udf_pandas",          # Arrow UDF path
 )
 
+# The full TPC-H suite, timed as its own group (reported under
+# "tpch"/"tpch_total", NOT mixed into the headline total, so the
+# headline number stays longitudinally comparable across rounds).
+TPCH = tuple(
+    f"q_tpch_q{i}" for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                             13, 14, 15, 16, 17, 18, 19, 20, 21, 22)
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,6 +113,24 @@ def main() -> int:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
 
+    # TPC-H suite group: same warm-up + median-of-N discipline.
+    for name in TPCH:
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    tpch_samples: dict[str, list[float]] = {name: [] for name in TPCH}
+    for _ in range(N_PASSES):
+        for name in TPCH:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tpch_samples[name].append(time.perf_counter() - t0)
+    tpch_timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in tpch_samples.items()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +139,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch": tpch_timings,
+                "tpch_total": round(sum(tpch_timings.values()), 3),
                 "sf": sf,
             }
         )

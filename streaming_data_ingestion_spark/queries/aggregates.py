@@ -623,3 +623,55 @@ def q_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_parts"),
         (F.abs(approx - exact) <= 0.15 * exact).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_approx_quantile — the same value-checkable contract for quantile
+# sketches: exact quantiles (bit-exact cross-engine) + a band assertion
+# on each engine's own approximate-quantile estimate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_approx_quantile",
+    oracle="""
+SELECT
+  event_type,
+  quantile_cont(value, 0.5) AS p50_exact,
+  quantile_cont(value, 0.95) AS p95_exact,
+  approx_quantile(value, 0.95)
+    BETWEEN quantile_cont(value, 0.90) AND quantile_cont(value, 0.99)
+    AS approx95_in_band
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "approx", "events"),
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile ERROR contract (the quantile twin of
+    q_approx_error): exact p50/p95 per event type — Spark ``percentile``
+    and DuckDB ``quantile_cont`` interpolate identically, so these
+    hash-match bit-for-bit — plus a boolean asserting the engine's OWN
+    quantile sketch lands inside the exact [p90, p99] band.
+
+    The sketches differ per engine (Spark KLL/GK-style
+    ``approx_percentile`` vs DuckDB t-digest) and can never hash-match;
+    the band contract can, and a `false` here means a broken sketch, not
+    an unlucky one. At 100 TB the approx path is the one that runs
+    (single-pass, fixed memory, map-side mergeable) — this query is the
+    standing proof it tracks the exact answer.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+            F.expr("percentile(value, 0.95D)").alias("p95_exact"),
+            F.expr(
+                "approx_percentile(value, 0.95D, 10000) "
+                "BETWEEN percentile(value, 0.90D) AND percentile(value, 0.99D)"
+            ).alias("approx95_in_band"),
+        )
+        .orderBy("event_type")
+    )

@@ -49,3 +49,6 @@ def test_bench_headline_is_registered():
     registered = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in registered]
     assert not missing, f"bench HEADLINE not in registry: {missing}"
+    missing_tpch = [n for n in bench.TPCH if n not in registered]
+    assert not missing_tpch, f"bench TPCH not in registry: {missing_tpch}"
+    assert len(bench.TPCH) == 22
