@@ -858,3 +858,113 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[code(s) for s in range(_PQ_SUB)]).alias("codes"),
         err.alias("sq_err"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q_sim_pq_adc — PQ asymmetric-distance top-k (the IVFPQ query path).
+# --------------------------------------------------------------------------
+
+
+def _adc_sql_term(s: int) -> str:
+    """DuckDB: squared distance of query subspace ``s`` to the corpus
+    vector's ASSIGNED centroid (code looked up from the PQ codes list) —
+    same fold structure/order as the Spark side."""
+    c = f"codes[{s + 1}]"
+    cent = f"(CAST(({c} * 31 + d * 17 + {s} * 7) % 13 AS DOUBLE) - 6.0) / 6.0"
+    diff = f"(CAST(q_emb[{s * _PQ_SUBDIM} + d + 1] AS DOUBLE) - {cent})"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, {_PQ_SUBDIM}), d -> {diff} * {diff})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q_sim_pq_adc",
+    oracle=f"""
+WITH codes AS ({_PQ_ORACLE}),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({_SQL_QUERY_IDS})
+),
+scored AS (
+  SELECT
+    q.q_id,
+    c.vec_id,
+    {" + ".join(_adc_sql_term(s) for s in range(_PQ_SUB))} AS adc_dist
+  FROM q, codes c
+  WHERE c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, adc_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+ORDER BY q_id, adc_dist ASC, vec_id ASC
+""",
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: score each query against the
+    corpus's PQ CODES (8 small ints/vector), never its float vectors —
+    the query half of IVFPQ. The query subvector-to-centroid distance is
+    recomputed from the plan-constant codebook per pair (equivalent to
+    the classic per-query 8×16 lookup table, expressed relationally);
+    distance folds and the final 8-term sum use the same sequential
+    order as DuckDB's list_reduce, so ADC scores hash-match bit-exact.
+
+    Plan: the 3-row query side broadcasts across the code table (one
+    narrow scan — 8 ints + id per corpus row instead of 64 floats: this
+    is the 100 TB win, the scored relation reads ~3% of the vector
+    bytes); window top-5 per query with id tie-break. At scale the scan
+    is additionally cell-pruned by IVF (q_sim_ivf) before ADC scoring,
+    and only the ~5 survivors are re-ranked on exact float vectors.
+    """
+    codes = q_pq_encode(spark, sf_dir).select("vec_id", "codes")
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    def make_step(s: int, c: Column):
+        def step(acc: Column, d: Column) -> Column:
+            cent = (
+                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double") - 6.0
+            ) / 6.0
+            x = F.element_at(
+                "q_emb", (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
+            ).cast("double")
+            diff = x - cent
+            return acc + diff * diff
+
+        return step
+
+    adc = None
+    for s in range(_PQ_SUB):
+        c = F.element_at("codes", s + 1)
+        term = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
+            F.lit(0.0),
+            make_step(s, c),
+        )
+        adc = term if adc is None else adc + term
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "vec_id", "adc_dist")
+        .orderBy("q_id", F.col("adc_dist").asc(), F.col("vec_id").asc())
+    )

@@ -451,6 +451,7 @@ _CARTESIAN_OK = {
     "q_bm25",              # 1-row corpus stats broadcast
     "q_zscore",            # per-source stats broadcast (BNLJ fallback ok)
     "q_sim_topk",          # 3-row query side fan-out (BroadcastNestedLoop)
+    "q_sim_pq_adc",        # same 3-row query fan-out over the code table
     "q_sim_range",         # same broadcast fan-out
     "q_sim_ivf",           # 6-row nprobe probe list broadcast fan-out
     "q_sim_recall",        # composes q_sim_topk
