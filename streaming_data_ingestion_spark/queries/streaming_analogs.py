@@ -196,7 +196,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves scan cost vs grain-per-query, and the per-grain outputs are
     exactly what a materialized rollup table would store (the streaming
     twin maintains the same rollup incrementally via
-    streaming/materialized.py). GROUPING() distinguishes the day rows
+    streaming/mv.py). GROUPING() distinguishes the day rows
     from hour rows; the bucket column is the finest non-null grain.
     """
     ev = load(spark, sf_dir, "events").select(
