@@ -1,0 +1,149 @@
+"""IVFPQ index: the end-to-end ANN layout for 100 TB vector corpora.
+
+Composes the pieces the query registry proves individually into the
+standard two-level index (the IVF+PQ design of Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011):
+
+- **IVF (coarse quantizer)**: k-means cells (ml/kmeans.py) partition the
+  corpus; the index is WRITTEN hive-partitioned by cell
+  (layout.write_partitioned), so probing nprobe cells is *partition
+  pruning* — the scan never lists, let alone reads, the other cells.
+- **PQ (fine quantizer)**: each vector stored as 8 small codes
+  (queries/llm_similarity.pq_encode_df) — the probe scan reads ~3% of
+  the vector bytes.
+- **Query**: probe-cell selection is driver-side math on the tiny
+  centroid table; candidates are scored with the classic per-query
+  ADC lookup table (8×16 floats, precomputed once per query, riding
+  into the plan as literal arrays); the top `rerank` candidates are
+  re-scored exactly on the stored float vectors; top-k of that is the
+  answer.
+
+At deployment the exact `embedding` column lives in the index only for
+the re-rank column read (parquet column pruning means ADC scoring never
+touches it); with rerank ≪ cell size the exact reads are per-candidate
+row lookups, not scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.layout import write_partitioned
+from streaming_data_ingestion_spark.ml.kmeans import assign_cells, kmeans_fit
+from streaming_data_ingestion_spark.queries.llm_similarity import (
+    _PQ_K,
+    _PQ_SUB,
+    _PQ_SUBDIM,
+    pq_encode_df,
+)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    k_cells: int = 4,
+    n_iters: int = 3,
+) -> list[list[float]]:
+    """Train the coarse quantizer, PQ-encode, and write the index
+    partitioned by cell. Returns the trained centroids (the query-side
+    routing table — at scale, a broadcast/file of k×d floats).
+
+    ``df`` needs (vec_id, embedding). One corpus pass for assignment +
+    encode (both narrow maps) and one partitioned write; k-means
+    training cost is bounded by n_iters centroid-sized shuffles.
+    """
+    cents, _ = kmeans_fit(df, k=k_cells, n_iters=n_iters)
+    assigned = assign_cells(df.select("vec_id", "embedding"), cents)
+    coded = pq_encode_df(assigned.select("vec_id", "cell", "embedding"))
+    # keep the float vector for exact re-rank; ADC never reads it
+    # (column pruning), so the probe scan stays code-sized.
+    indexed = coded.join(
+        df.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "cell", "codes", "sq_err", "embedding")
+    write_partitioned(indexed, path, ["cell"])
+    return cents
+
+
+def _probe_cells(
+    q_emb: list[float], cents: list[list[float]], nprobe: int
+) -> list[int]:
+    """nprobe nearest cells for a query — driver-side math over the k×d
+    centroid table (ties break toward the lower cell id, matching
+    kmeans assignment)."""
+    dists = [
+        (sum((float(x) - float(c)) ** 2 for x, c in zip(q_emb, cent)), i)
+        for i, cent in enumerate(cents)
+    ]
+    return [i for _, i in sorted(dists)[:nprobe]]
+
+
+def _adc_table(q_emb: list[float]) -> list[list[float]]:
+    """The classic ADC lookup table: per subspace, the squared distance
+    of the query subvector to each of the 16 codebook centroids —
+    8×16 floats computed once per query (same centroid formula as
+    pq_encode_df)."""
+    table = []
+    for s in range(_PQ_SUB):
+        row = []
+        for c in range(_PQ_K):
+            acc = 0.0
+            for d in range(_PQ_SUBDIM):
+                cent = (float((c * 31 + d * 17 + s * 7) % 13) - 6.0) / 6.0
+                diff = float(q_emb[s * _PQ_SUBDIM + d]) - cent
+                acc = acc + diff * diff
+            row.append(acc)
+        table.append(row)
+    return table
+
+
+def query_ivfpq(
+    spark: SparkSession,
+    path: str,
+    cents: list[list[float]],
+    q_emb: list[float],
+    nprobe: int = 2,
+    k: int = 5,
+    rerank: int = 20,
+) -> DataFrame:
+    """Top-k neighbors of ``q_emb``: partition-pruned probe → ADC lookup
+    scoring → exact re-rank of the top ``rerank`` ADC candidates.
+
+    The cell filter is a literal IN-list over the partition column, so
+    it lands in PartitionFilters (asserted in tests/test_ivfpq.py) —
+    non-probed cells cost nothing. ADC is one element_at per subspace
+    against the 8×16 literal table; only the ``rerank`` survivors read
+    the float vectors for exact scoring.
+    """
+    probes = _probe_cells(q_emb, cents, nprobe)
+    table = _adc_table(q_emb)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
+
+    adc = None
+    for s in range(_PQ_SUB):
+        lut = F.array(*[F.lit(v) for v in table[s]])
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        adc = term if adc is None else adc + term
+
+    candidates = (
+        idx.select("vec_id", "cell", "embedding", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            q_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.select(
+            "vec_id", "cell", "adc_dist", exact.alias("exact_dist")
+        )
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

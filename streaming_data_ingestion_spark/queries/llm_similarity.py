@@ -822,7 +822,15 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes are what a 100 TB ANN index stores per vector; IVF cell
     (q_sim_ivf) + PQ code is the standard IVFPQ layout.
     """
-    e = load(spark, sf_dir, "embeddings")
+    return pq_encode_df(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).orderBy("vec_id")
+
+
+def pq_encode_df(e: DataFrame) -> DataFrame:
+    """PQ-encode any (…, embedding) DataFrame → (original cols minus
+    embedding/d*, codes array<int>, sq_err double). The reusable core of
+    q_pq_encode, shared with the IVFPQ index builder (ml/ivfpq.py)."""
 
     def dists(s: int) -> Column:
         def sqdist(c: Column) -> Column:
@@ -845,7 +853,8 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.lit(_PQ_K - 1)), sqdist
         ).alias(f"d{s}")
 
-    with_d = e.select("vec_id", "embedding", *[dists(s) for s in range(_PQ_SUB)])
+    keep = [c for c in e.columns if c != "embedding"]
+    with_d = e.select(*keep, "embedding", *[dists(s) for s in range(_PQ_SUB)])
     code = lambda s: (  # noqa: E731
         F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}")) - 1
     ).cast("integer")
@@ -854,10 +863,10 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = F.array_min(f"d{s}")
         err = m if err is None else err + m
     return with_d.select(
-        "vec_id",
+        *keep,
         F.array(*[code(s) for s in range(_PQ_SUB)]).alias("codes"),
         err.alias("sq_err"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
