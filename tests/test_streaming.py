@@ -558,3 +558,59 @@ def test_incremental_materialized_daily_counts(spark, tmp_path):
     run_stream()
     got3 = read_table()
     assert got3.exceptAll(want2).count() == 0
+
+
+def test_incremental_time_rollup_matches_batch_query(spark, tmp_path):
+    """The incrementally-maintained two-grain rollup must equal the
+    registered batch q_time_rollup bit-exactly after every wave — the
+    decimal merge makes batch-split boundaries invisible — and a
+    checkpointed restart must not double-count."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.streaming.mv import (
+        maintain_time_rollup,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "src")
+    table = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    n = ev.count()
+    cut = int(n * 0.5)
+    ev.filter(F.col("event_id") < cut).repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = maintain_time_rollup(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    def read_table():
+        # project to the batch query's shape: decimal -> double, drop the
+        # partition-key day column
+        return spark.read.parquet(table).select(
+            "grain",
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+
+    run_stream()
+    ev.filter(F.col("event_id") >= cut).repartition(2).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_stream()
+
+    got = read_table()
+    want = all_queries()["q_time_rollup"].fn(spark, SF_DIR)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0  # bit-exact incl. double sums
+
+    # idempotent restart
+    run_stream()
+    assert read_table().exceptAll(want).count() == 0
