@@ -129,7 +129,13 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array for each of the 12 signature columns after CollapseProject
     inlined it: 12× the work.)
     """
-    d = load(spark, sf_dir, "documents")
+    return minhash_sigs_df(load(spark, sf_dir, "documents"))
+
+
+def minhash_sigs_df(d: DataFrame) -> DataFrame:
+    """Signature core over any (doc_id, text) DataFrame — shared with the
+    streaming dedup path (streaming/dedup_stream.py), which uses it to
+    band the HISTORICAL side."""
     ex = d.select("doc_id", F.explode(_shingles(_tokens())).alias("s"))
     hashed = ex.select(
         "doc_id",
@@ -146,7 +152,13 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id × (band_idx, band_hash): the signatures folded into 3 LSH
     bands of 4 (see _minhash_sigs for the signature scale shape)."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    return minhash_bands_df(load(spark, sf_dir, "documents"))
+
+
+def minhash_bands_df(d: DataFrame) -> DataFrame:
+    """Band table over any (doc_id, text) DataFrame — the LSH index
+    build, shared with streaming/dedup_stream.py's historical side."""
+    sigs = minhash_sigs_df(d)
     bands = [
         sigs.select(
             "doc_id",

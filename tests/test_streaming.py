@@ -614,3 +614,60 @@ def test_incremental_time_rollup_matches_batch_query(spark, tmp_path):
     # idempotent restart
     run_stream()
     assert read_table().exceptAll(want).count() == 0
+
+
+def test_streaming_neardup_flags_match_batch(spark, tmp_path):
+    """Streaming near-dup detection: new docs arriving as a stream must
+    be flagged against the historical band table exactly as the batch
+    LSH pipeline would flag them — including that the row-side streaming
+    signature equals the explode+groupBy batch signature bit-for-bit."""
+    from streaming_data_ingestion_spark.queries.llm_dedup import (
+        minhash_bands_df,
+    )
+    from streaming_data_ingestion_spark.streaming.dedup_stream import (
+        band_stream,
+        flag_neardups,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 300)
+
+    # row-side banding ≡ batch banding on identical input
+    a = band_stream(new)
+    b = minhash_bands_df(new)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+    hist_bands = minhash_bands_df(hist)
+    hist_bands.persist()
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    new.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = flag_neardups(stream, hist_bands, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]
+        for r in band_stream(new)
+        .join(hist_bands, ["band_idx", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    hist_bands.unpersist()
+    assert got == want
+    assert want, "fixture should contain at least one cross-wave near-dup"
+    # restart with no new files: no duplicate flags
+    q2 = flag_neardups(stream, hist_bands, out, ckpt)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out).groupBy("doc_id").count()
+    assert again.filter(F.col("count") > 1).count() == 0
