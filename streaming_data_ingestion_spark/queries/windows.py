@@ -276,3 +276,65 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_trailing_1h"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_win_rolling_quantile — trailing-window p95 (the SLO/alerting window).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_win_rolling_quantile",
+    oracle=f"""
+WITH daily AS (
+  SELECT
+    event_type,
+    date_trunc('day', ts) AS day,
+    {sql_dec_to_double("SUM(CAST(value AS DECIMAL(38,10)))")} AS daily_value
+  FROM events
+  GROUP BY event_type, day
+)
+SELECT
+  event_type,
+  day,
+  daily_value,
+  quantile_cont(daily_value, 0.95) OVER (
+    PARTITION BY event_type ORDER BY day ASC
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+  ) AS p95_7d
+FROM daily
+ORDER BY event_type, day
+""",
+    tags=("window", "events"),
+)
+def q_win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day p95 of daily volume per event type — the rolling
+    tail-quantile every SLO/alerting pipeline computes (a static
+    threshold can't track load growth; a trailing quantile can).
+
+    Exactness: daily totals go through decimal sums (bit-exact), and
+    Spark's ``percentile`` over a ROWS frame interpolates exactly like
+    DuckDB's windowed ``quantile_cont`` over the same frame — so even
+    the interpolated quantiles hash-match.
+
+    Plan: the expensive pass is the daily aggregate (one shuffle,
+    map-side partials); the window then runs over a |types|×|days|
+    relation — at 100 TB the fact table never feeds a window directly,
+    the pre-aggregate does (the same two-level shape as q_pct_change
+    and q_gap_fill).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("daily_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.expr("percentile(daily_value, 0.95D)").over(w).alias("p95_7d"),
+    ).orderBy("event_type", "day")
