@@ -82,7 +82,7 @@ _DEFER = (
     "q_tpch_q17", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_pq_encode", "q_anomaly_mad", "q_cross_dedup",
     "q_time_rollup", "q_dataset_card", "q_approx_quantile",
-    "q_sim_pq_adc", "q_win_rolling_quantile",
+    "q_sim_pq_adc", "q_win_rolling_quantile", "q_dq_audit",
 )
 
 

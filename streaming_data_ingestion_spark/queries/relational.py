@@ -417,3 +417,82 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_dq_audit — one-pass data-quality audit (nulls, orphans, dup keys,
+# range violations) over the star schema.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+SELECT
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+    AS li_null_orderkey,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    AS li_orphan_orders,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS o_orphan_customers,
+  CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    AS o_dup_orderkeys,
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    AS li_bad_discount,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    AS li_bad_quantity
+""",
+    tags=("relational", "quality"),
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit across the star schema: null keys, referential
+    orphans (fact rows whose parent is missing — the anti-join check),
+    duplicate primary keys, and domain-range violations. One row of
+    counters; all zeros on healthy data, and any non-zero is the exact
+    defect census a pipeline gate alerts on.
+
+    Plan: each check is either a pushed-filter count (nulls, ranges), a
+    broadcast/shuffle ANTI join count (orphans — never a driver-side
+    lookup loop), or a count-vs-count-distinct aggregate (dup keys).
+    The six 1-row results cross-join into the report row — at 100 TB
+    each check stays one scan, and the orphan anti joins reuse the same
+    co-bucketed layout the production joins use.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    null_ok = li.filter(F.col("l_orderkey").isNull()).agg(
+        F.count(F.lit(1)).alias("li_null_orderkey")
+    )
+    li_orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("li_orphan_orders"))
+    o_orphans = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("o_orphan_customers"))
+    dup_keys = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "o_dup_orderkeys"
+        )
+    )
+    bad_disc = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("li_bad_discount"))
+    bad_qty = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("li_bad_quantity")
+    )
+    return (
+        null_ok.crossJoin(li_orphans)
+        .crossJoin(o_orphans)
+        .crossJoin(dup_keys)
+        .crossJoin(bad_disc)
+        .crossJoin(bad_qty)
+    )
