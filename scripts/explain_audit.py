@@ -188,6 +188,42 @@ AUDITED = (
         "the fact table; the 1-row total returns as a "
         "BroadcastNestedLoopJoin; TakeOrderedAndProject keeps 10 rows.",
     ),
+    (
+        "q_tpch_q21",
+        "Waiting-supplier counters. Read: the EXISTS/NOT-EXISTS pair is "
+        "ONE per-order aggregate — the fact table appears in exactly one "
+        "scan; Expand feeds the two count_distincts; supplier/nation "
+        "broadcast; TakeOrderedAndProject keeps 100 rows.",
+    ),
+    (
+        "q_tpch_q2",
+        "Min-cost supplier. Read: part slice and the region-scoped "
+        "supplier dimension broadcast into the fact scan; the hash "
+        "aggregate is (part, supplier)-keyed, and the min-per-part "
+        "Window runs ABOVE it — on the aggregated relation, never on "
+        "fact rows.",
+    ),
+    (
+        "q_time_rollup",
+        "Multi-grain rollup. Read: Expand duplicates each event once per "
+        "grain (2×), then ONE partial+final HashAggregate covers hour "
+        "and day buckets together — half the scans of grain-per-query.",
+    ),
+    (
+        "q_sim_pq_adc",
+        "PQ asymmetric-distance top-k. Read: codes are encoded inline "
+        "here (the oracle-checkable form), so the scan still reads "
+        "embeddings — the stored-codes path where ADC reads ~3% of the "
+        "vector bytes is ml/ivfpq.py's index. The 3-row query side is a "
+        "BroadcastNestedLoopJoin fan-out; Window top-5 per query; no "
+        "corpus shuffle.",
+    ),
+    (
+        "q_dataset_card",
+        "Per-source report card. Read: ONE source-keyed Exchange; the "
+        "Expand feeds distinct-digest and distinct-lang partials "
+        "map-side; every card statistic comes out of the same aggregate.",
+    ),
 )
 
 
