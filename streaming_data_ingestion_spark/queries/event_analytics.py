@@ -11,7 +11,7 @@ aggregates; no self-cartesian anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.registry import query
@@ -740,4 +740,164 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out).cast("long").alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_attribution — last-touch attribution (purchase ← most recent click).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_attribution",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts_raw,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id_raw
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, kind,
+    last_value(c_ts_raw IGNORE NULLS) OVER w AS c_ts,
+    last_value(c_id_raw IGNORE NULLS) OVER w AS c_id
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, kind ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT
+  event_id AS purchase_id,
+  user_id,
+  ts AS p_ts,
+  CASE WHEN c_ts >= ts - INTERVAL 7 DAY THEN c_id END AS click_id,
+  CASE WHEN c_ts >= ts - INTERVAL 7 DAY THEN c_ts END AS click_ts
+FROM carried
+WHERE kind = 1
+ORDER BY purchase_id
+""",
+    tags=("events", "analytics"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click at-or-before it, within a 7-day window — the
+    marketing-analytics twin of the as-of join (q_join_asof), with an
+    attribution-window cutoff and NULL for organic purchases.
+
+    Determinism: the carry-forward orders by (ts, kind, event_id) with
+    clicks before purchases on equal timestamps, so a same-instant
+    click is attributable and ties pick the highest… lowest event_id
+    deterministically in both engines (same total order).
+
+    Plan: ONE exchange on user_id feeds a shared sort and both
+    IGNORE-NULLS carry-forward windows (same frame ⇒ same physical
+    Window operator); the 7-day cutoff is a post-window projection.
+    The union trick means clicks and purchases are never self-joined —
+    at 100 TB this is sort + single pass, not an interval join.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    kind = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        kind.alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts_raw"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "c_id_raw"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("c_ts_raw", ignorenulls=True).over(w).alias("c_ts"),
+        F.last("c_id_raw", ignorenulls=True).over(w).alias("c_id"),
+    )
+    in_window = F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.when(in_window, F.col("c_id")).alias("click_id"),
+            F.when(in_window, F.col("c_ts")).alias("click_ts"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_path_3gram — most common 3-step event paths (sequence mining).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_path_3gram",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS types
+  FROM events
+  GROUP BY user_id
+),
+grams AS (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(types) - 1, 1)),
+    i -> concat_ws(' > ', types[i], types[i+1], types[i+2])
+  )) AS path
+  FROM seqs
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 10
+""",
+    tags=("events", "analytics", "sequence"),
+)
+def q_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths across users — sequence
+    mining over the behavioral stream (which journeys dominate, the
+    input to funnel design and anomaly triage).
+
+    Plan: one shuffle to per-user granularity (sort_array(collect_list)
+    of (ts, event_id, type) structs makes ordering deterministic under
+    any partitioning — same total order as the oracle's ordered list
+    aggregate); 3-grams are the same row-side zip-of-slices used by the
+    shingle machinery (no second explode pass over windows); the path
+    counts partial-aggregate map-side and top-10 is
+    TakeOrderedAndProject with a path tie-break.
+    """
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    t = F.col("types")
+    m = F.greatest(F.size(t) - 2, F.lit(1))
+    z = F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m), F.slice(t, 3, m))
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" > ", s["0"], s["1"], s["2"])
+    )
+    return (
+        seqs.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
     )
