@@ -563,3 +563,55 @@ def test_tpch_q2_min_window_after_agg(spark):
     i_agg = plan.index("HashAggregate")
     i_win = plan.index("Window")
     assert i_win < i_agg  # formatted plan prints top-down: window above agg
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: with a selective dimension side and a
+    non-broadcast join, Catalyst must inject a Bloom filter built from
+    the dimension keys into the fact scan (`might_contain` on
+    l_orderkey) — at 100 TB this is what keeps a sort-merge join from
+    shuffling fact rows that can never match. Fixture sizes are below
+    the default thresholds, so the test pins the *capability* with
+    thresholds relaxed, then restores the session confs."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        from pyspark.sql import functions as F
+        from streaming_data_ingestion_spark.tables import load
+
+        o = load(spark, SF_DIR, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        )
+        li = load(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in plan  # fact-side membership probe
+        assert "bloom_filter_agg" in plan  # dimension-side filter build
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
