@@ -1,0 +1,82 @@
+"""Engine-surface capabilities beyond the query registry: join-strategy
+hints, the Observation metrics API, parameterized SQL, and the
+pandas-on-Spark interop layer. Each is a capability a user switching to
+this engine expects to keep; each test pins that it works against the
+fixture tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.tables import load, register_views
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df):
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_join_strategy_hints_respected(spark):
+    """SHUFFLE_HASH and MERGE hints must override the planner's default
+    choice — the per-query escape hatch when a stats misestimate picks
+    the wrong strategy at scale."""
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders")
+    shuffle_hash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in _plan(shuffle_hash)
+    merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in _plan(merge)
+
+
+def test_observation_metrics_piggyback_on_query(spark):
+    """df.observe collects audit metrics during the SAME pass as the
+    query — no second scan for row counts / null counts (at 100 TB a
+    separate audit scan doubles cost; this is the free alternative)."""
+    obs = Observation("audit")
+    li = load(spark, SF_DIR, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+    )
+    out = li.filter(F.col("l_quantity") > 25).count()
+    got = obs.get
+    assert got["rows_seen"] == load(spark, SF_DIR, "lineitem").count()
+    assert got["null_qty"] == 0
+    assert 0 < out < got["rows_seen"]
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named parameters: literals bind server-side (injection-
+    safe, plan-cache friendly) and must match the DataFrame filter."""
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > :q",
+        args={"q": 25},
+    ).collect()[0]["n"]
+    want = (
+        load(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") > 25).count()
+    )
+    assert got == want
+
+
+def test_pandas_on_spark_interop(spark):
+    """The pandas-API-on-Spark layer must work over the engine's tables:
+    a pandas-style groupby over a fixture table, distributed under the
+    hood, matching the DataFrame aggregate."""
+    import pyspark.pandas as ps
+
+    psdf = load(spark, SF_DIR, "orders").pandas_api()
+    got = psdf.groupby("o_orderpriority")["o_totalprice"].count().to_dict()
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
