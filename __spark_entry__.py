@@ -83,7 +83,7 @@ _DEFER = (
     "q_pq_encode", "q_anomaly_mad", "q_cross_dedup",
     "q_time_rollup", "q_dataset_card", "q_approx_quantile",
     "q_sim_pq_adc", "q_win_rolling_quantile", "q_dq_audit",
-    "q_attribution", "q_path_3gram",
+    "q_attribution", "q_path_3gram", "q_pagerank",
 )
 
 

@@ -811,3 +811,121 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), F.col("source_a"), F.col("source_b"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_pagerank — 3 power iterations over the LSH candidate graph.
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+
+
+def _pr_sql() -> str:
+    """DuckDB: unrolled power iteration (3 steps) over the collision
+    graph, with decimal-exact contribution sums mirroring the Spark
+    side's fold order-independence."""
+    prelude = f"""
+WITH pairs AS ({_SQL_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS r FROM nodes)
+"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f"""
+r{i + 1} AS (
+  SELECT
+    nodes.id,
+    (1.0 - {_PR_D}) / (SELECT n FROM n)
+      + {_PR_D} * COALESCE(CAST(CAST(SUM(
+          CAST(r{i}.r / deg.d AS DECIMAL(38,18))
+        ) AS VARCHAR) AS DOUBLE), 0.0) AS r
+  FROM nodes
+  LEFT JOIN edges ON edges.dst = nodes.id
+  LEFT JOIN r{i} ON r{i}.id = edges.src
+  LEFT JOIN deg ON deg.id = edges.src
+  GROUP BY nodes.id
+)""")
+    return (
+        prelude
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT id AS doc_id, r AS rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, doc_id ASC
+LIMIT 20
+"""
+    )
+
+
+@query("q_pagerank", oracle=_pr_sql(), tags=("llm", "dedup", "graph"))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the LSH candidate
+    graph: which documents sit at the center of near-dup neighborhoods
+    — the centrality ranking that picks canonical keepers and surfaces
+    boilerplate hubs (template pages collide with everything and rank
+    high).
+
+    Exactness across engines for an ITERATIVE float algorithm: each
+    node's incoming contributions (r/deg — one IEEE division per edge)
+    are summed through DECIMAL(38,18), so within-iteration aggregation
+    order cannot drift, and the per-iteration scalar math is identical
+    IEEE. The oracle unrolls the same three steps as nested CTEs.
+
+    Scale shape: per iteration ONE join of the edge list (collision-
+    sized, never n²) against the current rank vector on src, then a
+    dst-keyed aggregate — the q_dedup_clusters iteration pattern minus
+    the fixpoint loop (fixed 3 steps ⇒ plan fully unrolled, no
+    driver-side convergence scalar needed).
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    )
+    edges.persist()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n = nodes.count()
+
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src_id"),
+                       F.col("src") == F.col("src_id"))
+            .join(deg.withColumnRenamed("id", "deg_id"),
+                  F.col("src") == F.col("deg_id"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("r") / F.col("d")).cast("decimal(38,18)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("id").agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - _PR_D) / n)
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    out = (
+        ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return out
