@@ -8,6 +8,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     joins,
     llm_dedup,
     llm_pipeline,
+    llm_quality,
     llm_similarity,
     llm_text,
     multimodal_q,

@@ -622,3 +622,52 @@ def test_tpch_mass_conservation(spark):
         .count()
     )
     assert sum(r["count_order"] for r in q1) == n_li
+
+
+def test_quality_gopher_invariants(spark):
+    """Gopher battery: one row per document, `passes` is exactly the
+    conjunction of the five rule flags, and ratio-rule cross-multiplied
+    booleans agree with the float ratios they encode."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q_quality_gopher"].fn(spark, SF_DIR).collect()
+    assert len(rows) == load(spark, SF_DIR, "documents").count()
+    flags = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_alpha_ratio", "r_stopwords")
+    seen = {True: 0, False: 0}
+    for r in rows:
+        assert r["passes"] == all(r[f] for f in flags)
+        assert r["n_tokens"] > 0
+        seen[r["passes"]] += 1
+    # thresholds are tuned so the battery genuinely splits the fixture
+    assert seen[True] > 0 and seen[False] > 0
+
+
+def test_dup_substring_finds_planted_near_dups(spark):
+    """The fixture plants near-duplicate documents (no exact copies), so
+    shared 5-gram spans must exist; counts stay within bounds and the
+    sharing relation is symmetric in aggregate (a gram shared by doc A is
+    shared by at least one other doc, so flagged docs can't number one)."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q_dup_substring"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    flagged = [r for r in rows if r["n_dup_grams"] > 0]
+    assert len(flagged) >= 2  # sharing needs at least two participants
+
+
+def test_lang_id_eval_mass_conservation(spark):
+    """Confusion-matrix counts cover the corpus exactly once and the
+    prediction space is the classifier's codomain."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q_lang_id_eval"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == load(spark, SF_DIR, "documents").count()
+    assert {r["predicted_lang"] for r in rows} <= {"en", "und"}
