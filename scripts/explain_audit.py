@@ -219,6 +219,22 @@ AUDITED = (
         "corpus shuffle.",
     ),
     (
+        "q_dup_substring",
+        "Duplicated-span fraction. Read: 5-gram shingling, md5 hashing and "
+        "array_distinct are all row-side before the single Generate; the "
+        "gram-count aggregate partial-combines map-side so its Exchange "
+        "carries 16-byte digests; the count table joins back as a hash "
+        "join on the digest (broadcast at this sf, shuffled-hash via AQE "
+        "at corpus scale) and the per-doc rollup partial-aggregates "
+        "before its doc_id Exchange.",
+    ),
+    (
+        "q_quality_gopher",
+        "Gopher rule battery. Read: all five rules and the verdict are "
+        "one narrow codegen'd projection over a 2-column pruned scan — "
+        "zero Exchange; a 100 TB pass is scan-bound.",
+    ),
+    (
         "q_dataset_card",
         "Per-source report card. Read: ONE source-keyed Exchange; the "
         "Expand feeds distinct-digest and distinct-lang partials "

@@ -615,3 +615,26 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quality_gopher_no_shuffle_and_pruned(spark):
+    """The Gopher rule battery is a pure scan-side projection: no Exchange,
+    no Generate, and the parquet read prunes to (doc_id, text)."""
+    plan = plan_of(spark, "q_quality_gopher")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "text" in plan and "n_chars" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_dup_substring_digest_shuffle_only(spark):
+    """Duplicated-span detection: exactly one Generate (the gram explode),
+    gram counts partial-aggregate before their Exchange, and the join back
+    onto the gram stream is an equi hash join on the digest — never a
+    nested-loop."""
+    plan = plan_of(spark, "q_dup_substring")
+    # the gram stream feeds two consumers (count + join-back), so the
+    # row-local shingle build is recomputed per branch — acceptable; what
+    # must hold: map-side partial counts, digest equi-join, no blow-up
+    assert "partial_count" in plan
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
