@@ -75,6 +75,21 @@ TPCH = tuple(
                              13, 14, 15, 16, 17, 18, 19, 20, 21, 22)
 )
 
+# Late-round-3 additions, timed as a third group ("extended"/
+# "extended_total") — again separate from the headline so that number
+# stays longitudinally comparable.
+EXTENDED = (
+    "q_quality_gopher",   # zero-shuffle rule battery
+    "q_dup_substring",    # 5-gram inverted dup-span count
+    "q_lang_id_eval",     # prediction + confusion-matrix agg
+    "q_entropy",          # vocab-sized -p·ln p reduction
+    "q_corr_matrix",      # exact-moment correlations
+    "q_linreg",           # exact-moment OLS
+    "q_join_interval",    # grid-binned interval-overlap join
+    "q_graph_triangles",  # compact-forward triangle census
+    "q_sim_knn_graph",    # within-cell k-NN graph
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,6 +146,24 @@ def main() -> int:
         for name, ts in tpch_samples.items()
     }
 
+    # Extended group: same warm-up + median-of-N discipline.
+    for name in EXTENDED:
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    ext_samples: dict[str, list[float]] = {name: [] for name in EXTENDED}
+    for _ in range(N_PASSES):
+        for name in EXTENDED:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ext_samples[name].append(time.perf_counter() - t0)
+    ext_timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in ext_samples.items()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -141,6 +174,8 @@ def main() -> int:
                 "queries": timings,
                 "tpch": tpch_timings,
                 "tpch_total": round(sum(tpch_timings.values()), 3),
+                "extended": ext_timings,
+                "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf,
             }
         )

@@ -353,3 +353,83 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_join_interval — interval-overlap join via grid binning.
+# --------------------------------------------------------------------------
+
+_HR_US = 3_600_000_000  # one hour of microseconds = the grid cell width
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+WITH a AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         epoch_us(MIN(ts)) AS a_start, epoch_us(MAX(ts)) AS a_end
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         epoch_us(date_trunc('hour', ts)) AS b_start,
+         epoch_us(date_trunc('hour', ts)) + 3600000000 AS b_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT a.user_id, a.day, b.event_type, b.hour_start, b.n_events,
+       CAST(least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start) AS BIGINT)
+         AS overlap_us
+FROM a JOIN b ON least(a.a_end, b.b_end) > greatest(a.a_start, b.b_start)
+""",
+    tags=("join", "interval"),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's daily activity span [min ts,
+    max ts] against every busy hour (≥3 events of one type), with the
+    exact overlap duration.
+
+    Both sides are genuine intervals, so no equi key exists and a naive
+    formulation is a BroadcastNestedLoopJoin over *every* pair. The scale
+    path is grid binning (what engines that special-case range joins do
+    internally): explode each span onto the hour cells it covers (bounded
+    fan-out: ≤24/day), bin each busy hour onto its single cell, equi-join
+    on the cell id, and evaluate the overlap as a residual filter. Because
+    the busy-hour side occupies exactly one cell, every overlapping pair
+    meets in exactly one cell — no post-join dedup. The oracle is the
+    direct non-equi join, proving the binned plan is result-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    # DATE collects as python objects but TIMESTAMP compares identically
+    # across engines — same convention as event_analytics.q_gap_fill
+    a = ev.groupBy(
+        "user_id", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("a_start"),
+        F.unix_micros(F.max("ts")).alias("a_end"),
+    )
+    b = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= 3)
+        .withColumn("b_start", F.unix_micros(F.col("hour_start")))
+        .withColumn("b_end", F.col("b_start") + F.lit(_HR_US))
+    )
+    a_cells = a.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start DIV {_HR_US}"), F.expr(f"a_end DIV {_HR_US}")
+            )
+        ),
+    )
+    b_cells = b.withColumn("cell", F.expr(f"b_start DIV {_HR_US}"))
+    overlap = F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+    return (
+        a_cells.join(F.broadcast(b_cells), "cell")
+        .where(overlap > 0)
+        .select(
+            "user_id", "day", "event_type", "hour_start", "n_events",
+            overlap.alias("overlap_us"),
+        )
+    )

@@ -929,3 +929,104 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# q_graph_triangles — triangle census of the LSH candidate graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH pairs AS ({_SQL_PAIRS}),
+tri AS (
+  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  )
+  GROUP BY node
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+SELECT
+  deg.id AS doc_id,
+  COALESCE(tn.n_triangles, 0) AS n_triangles,
+  deg.degree,
+  CASE WHEN deg.degree >= 2
+       THEN CAST(2 * COALESCE(tn.n_triangles, 0) AS DOUBLE)
+            / (deg.degree * (deg.degree - 1))
+       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg LEFT JOIN tn ON tn.node = deg.id
+ORDER BY n_triangles DESC, doc_id ASC
+LIMIT 20
+""",
+    tags=("llm", "dedup", "graph"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + local clustering coefficient over the LSH
+    candidate graph: triangle-dense neighborhoods are template/boilerplate
+    families (every page collides with every other), the structures a
+    dedup policy treats differently from isolated near-dup pairs.
+
+    Enumeration is the compact-forward algorithm on canonical edges
+    (doc_a < doc_b): two equi self-joins of the collision-sized edge
+    list — each triangle found exactly once as x<y<z, never a cartesian.
+    The per-node rollup explodes each triangle to its 3 corners and
+    partial-aggregates map-side; clustering = 2·tri / (deg·(deg−1)) is
+    exact-integer math with one IEEE division.
+    """
+    p = _lsh_candidate_pairs(spark, sf_dir).persist()
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("x"),
+            F.col("e1.doc_b").alias("y"),
+            F.col("e2.doc_b").alias("z"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = p.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        p.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.join(tn, deg.id == tn.node, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("doc_id"))
+        .limit(20)
+    )

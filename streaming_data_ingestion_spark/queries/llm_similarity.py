@@ -977,3 +977,74 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "adc_dist")
         .orderBy("q_id", F.col("adc_dist").asc(), F.col("vec_id").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_knn_graph — within-cell k-NN graph over the embedding corpus.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+@query(
+    "q_sim_knn_graph",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    a.vec_id,
+    b.vec_id AS neighbor_id,
+    {_sql_dot("a.embedding", "b.embedding")}
+      / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT
+    vec_id, neighbor_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {_KNN_K}
+""",
+    tags=("llm", "similarity", "graph"),
+)
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the embedding corpus: each vector's top-5 exact
+    cosine neighbors within its coarse cell — the input structure for
+    SemDeDup-style semantic dedup, cluster pruning, and diversity
+    sampling.
+
+    Same scale shape as q_emb_neardup: the label equi-join bounds
+    candidates to Σ_cell n_cell² (a coarse quantizer supplies cells in
+    production; the fixture's label column plays that role), then one
+    window per vec_id keeps k rows — WindowGroupLimit prunes to 5
+    map-side before the window's Exchange, so the shuffled volume is
+    k·n edges, not the candidate set. Ties break on neighbor_id for a
+    deterministic graph.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    )
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,227 @@
+"""Statistical-analysis operators (SURVEY.md §2B — analytics breadth the
+reference's ingest pipeline feeds but never computes).
+
+Pearson correlation and OLS regression re-expressed as *exact moment sums*:
+Spark's built-in ``corr``/``regr_slope`` accumulate in floating point with
+partition-order-dependent results, which can never hash-match another
+engine. Instead every query here reduces to the five classical moments
+(n, Σx, Σy, Σxy, Σx², Σy²) summed through DECIMAL(38,10) — exact and
+order-independent, still one map-side-combined partial aggregate — and the
+closed-form result is a short IEEE-deterministic double expression on top.
+At 100 TB this is the cheapest possible statistics pass: one scan, one
+group-sized Exchange, no second pass, no transcendentals except a
+correctly-rounded sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+
+def _m(expr: Column) -> Column:
+    """Order-independent moment: decimal-sum a per-row double, back to double."""
+    return F.sum(expr.cast(DEC)).cast("double")
+
+
+def _sql_m(expr: str) -> str:
+    return sql_dec_to_double(f"SUM(CAST({expr} AS DECIMAL(38,10)))")
+
+
+# --------------------------------------------------------------------------
+# q_corr_matrix — Pearson correlations between lineitem measures.
+# --------------------------------------------------------------------------
+
+_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+)
+
+
+def _corr_sql(x: str, y: str) -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx, sy = _sql_m(x), _sql_m(y)
+    sxy, sxx, syy = _sql_m(f"{x} * {y}"), _sql_m(f"{x} * {x}"), _sql_m(f"{y} * {y}")
+    return (
+        f"(({n} * {sxy}) - ({sx} * {sy})) / "
+        f"sqrt((({n} * {sxx}) - ({sx} * {sx})) * (({n} * {syy}) - ({sy} * {sy})))"
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {_corr_sql('l_quantity', 'l_extendedprice')} AS corr_qty_price,
+  {_corr_sql('l_quantity', 'l_discount')} AS corr_qty_disc,
+  {_corr_sql('l_extendedprice', 'l_discount')} AS corr_price_disc,
+  {_corr_sql('l_extendedprice', 'l_tax')} AS corr_price_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("stats", "agg"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between four lineitem measure pairs, per
+    return-flag stratum, computed from exact decimal moments.
+
+    One pass computes every moment for every pair simultaneously (Catalyst
+    dedupes shared partials like Σquantity across the four correlations),
+    so adding pairs widens the aggregate, never adds a scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+
+    def corr(x: str, y: str) -> Column:
+        cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+        sx, sy = _m(cx), _m(cy)
+        sxy, sxx, syy = _m(cx * cy), _m(cx * cx), _m(cy * cy)
+        return (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        corr("l_quantity", "l_discount").alias("corr_qty_disc"),
+        corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
+        corr("l_extendedprice", "l_tax").alias("corr_price_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_linreg — per-group OLS fit: extendedprice ~ quantity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_linreg",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_sql_m('l_quantity')} AS sx,
+    {_sql_m('l_extendedprice')} AS sy,
+    {_sql_m('l_quantity * l_extendedprice')} AS sxy,
+    {_sql_m('l_quantity * l_quantity')} AS sxx,
+    {_sql_m('l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+  (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+    AS intercept,
+  (((n * sxy) - (sx * sy)) / sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))))
+    * (((n * sxy) - (sx * sy)) / sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))))
+    AS r2
+FROM m
+""",
+    tags=("stats", "agg"),
+)
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extendedprice on quantity per return flag:
+    slope, intercept, and R², from the same exact-moment aggregate.
+
+    The distributed cost is identical to a plain grouped sum — the
+    regression algebra runs on the handful of post-aggregate rows. (The
+    moment formulation is how every MPP engine's REGR_* family works;
+    re-derived here for bit-exactness instead of the engine's
+    float-accumulating built-in.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _m(x).alias("sx"),
+        _m(y).alias("sy"),
+        _m(x * y).alias("sxy"),
+        _m(x * x).alias("sxx"),
+        _m(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (r * r).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_entropy — Shannon entropy of each source's token distribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_entropy",
+    oracle=f"""
+WITH tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest(list_filter(str_split(trim(text), ' '), t -> t != '')) AS term
+    FROM documents
+  )
+  GROUP BY source, term
+),
+tot AS (
+  SELECT source, SUM(c) AS total, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM tc GROUP BY source
+)
+SELECT
+  tc.source,
+  tot.n_terms,
+  ROUND({sql_dec_to_double(
+      "SUM(CAST(-(CAST(tc.c AS DOUBLE) / tot.total) "
+      "* ln(CAST(tc.c AS DOUBLE) / tot.total) AS DECIMAL(38,10)))"
+  )}, 6) AS entropy_nats
+FROM tc JOIN tot USING (source)
+GROUP BY tc.source, tot.n_terms
+""",
+    tags=("stats", "llm", "text"),
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the token unigram distribution per source —
+    the corpus-diversity signal mixture tuning reads before weighting
+    sources.
+
+    Term counts are exact integers; each term's −p·ln p contribution is one
+    IEEE-deterministic double, decimal-summed so the reduction order can't
+    change the result, and rounded to 6 dp to absorb the cross-engine
+    libm ln() ULP (same absorber q_text_tfidf uses). Shuffles are
+    vocabulary-sized: explode partial-aggregates map-side into (source,
+    term) counts, and everything after operates on that reduced relation.
+    """
+    from streaming_data_ingestion_spark.queries.llm_text import _tokens
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_terms")
+    )
+    p = F.col("c").cast("double") / F.col("total")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_terms")
+        .agg(F.round(F.sum((-p * F.log(p)).cast(DEC)).cast("double"), 6).alias("entropy_nats"))
+    )

@@ -638,3 +638,12 @@ def test_dup_substring_digest_shuffle_only(spark):
     assert "partial_count" in plan
     assert "HashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_interval_is_binned_equi_join(spark):
+    """The interval-overlap join must plan as an equi hash join on the
+    grid cell with the overlap predicate as a residual — never a
+    BroadcastNestedLoopJoin over the interval pairs."""
+    plan = plan_of(spark, "q_join_interval")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
