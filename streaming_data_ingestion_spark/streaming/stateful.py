@@ -41,7 +41,10 @@ def _update_user_totals(
 ) -> Iterator[pd.DataFrame]:
     """Running per-user (count, total value), emitted every micro-batch."""
     (user_id,) = key
-    n, total = state.get() if state.exists else (0, 0.0)
+    # GroupState.get is a *property* in PySpark 4 (raises if absent);
+    # calling it only ever worked here because single-run tests start
+    # with empty state — caught by the two-phase anomaly-detector test
+    n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())

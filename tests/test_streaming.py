@@ -671,3 +671,74 @@ def test_streaming_neardup_flags_match_batch(spark, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(out).groupBy("doc_id").count()
     assert again.filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_anomaly_scores_against_prior_state(spark, tmp_path):
+    """Two-phase run of the streaming z-score detector: wave 1 builds the
+    per-type running stats; wave 2 (restarted on the same checkpoint) must
+    be scored against exactly wave 1's statistics — verified by recomputing
+    mean/std from wave 1 in batch and z-scoring wave 2 by hand."""
+    import math
+
+    from streaming_data_ingestion_spark.streaming.anomaly import (
+        Z_THRESHOLD,
+        detect_value_anomalies,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    wave1 = ev.filter(F.col("event_id") % 2 == 0)
+    wave2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wave1.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(out_dir):
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch_df, _epoch):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            detect_value_anomalies(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "out1"))
+    # wave 2 arrives as new files on the same checkpointed query
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    out2 = str(tmp_path / "out2")
+    run(out2)
+    got = {r["event_id"]: r for r in spark.read.parquet(out2).collect()}
+    assert set(got) == {r["event_id"] for r in wave2.collect()}
+
+    # batch replication of wave-1 statistics per event_type
+    stats = {
+        r["event_type"]: r
+        for r in wave1.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+        .collect()
+    }
+    n_anom = 0
+    for r in wave2.collect():
+        st = stats[r["event_type"]]
+        mean = st["s"] / st["n"]
+        var = (st["s2"] - st["s"] * st["s"] / st["n"]) / (st["n"] - 1)
+        std = math.sqrt(var) if var > 0 else 0.0
+        want_z = (r["value"] - mean) / std if std > 0 else 0.0
+        g = got[r["event_id"]]
+        assert abs(g["z"] - want_z) < 1e-6, (r["event_id"], g["z"], want_z)
+        assert g["is_anomaly"] == (abs(want_z) > Z_THRESHOLD)
+        n_anom += int(g["is_anomaly"])
+    # the detector must be selective: some anomalies, far from all
+    assert 0 < n_anom < wave2.count() * 0.2
