@@ -221,12 +221,11 @@ AUDITED = (
     (
         "q_dup_substring",
         "Duplicated-span fraction. Read: 5-gram shingling, md5 hashing and "
-        "array_distinct are all row-side before the single Generate; the "
-        "gram-count aggregate partial-combines map-side so its Exchange "
-        "carries 16-byte digests; the count table joins back as a hash "
-        "join on the digest (broadcast at this sf, shuffled-hash via AQE "
-        "at corpus scale) and the per-doc rollup partial-aggregates "
-        "before its doc_id Exchange.",
+        "array_distinct are all row-side before the ONE Generate; the "
+        "digest stream shuffles once into a gram-partitioned count Window "
+        "(no join-back — the agg+join form would recompute the whole "
+        "shingle pass for the stream's second consumer), then the per-doc "
+        "rollup partial-aggregates before its doc_id Exchange.",
     ),
     (
         "q_quality_gopher",

@@ -675,3 +675,61 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_agg_mode — deterministic per-group statistical mode.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+SELECT
+  l_returnflag,
+  mode_qty,
+  mode_count
+FROM (
+  SELECT
+    l_returnflag,
+    l_quantity AS mode_qty,
+    CAST(COUNT(*) AS BIGINT) AS mode_count,
+    ROW_NUMBER() OVER (
+      PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC
+    ) AS rn
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+)
+WHERE rn = 1
+""",
+    tags=("agg",),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode of l_quantity per return flag, with a pinned
+    tie-break (highest count, then smallest value) — engines' built-in
+    ``mode()`` picks an arbitrary winner on ties, which can never
+    hash-match across engines; this formulation is deterministic by
+    construction.
+
+    Two-level aggregate: (group, value) counts partial-aggregate map-side,
+    then a WindowGroupLimit keeps one row per group — both shuffles carry
+    group-sized relations, never the fact table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("mode_count"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            "mode_count",
+        )
+    )

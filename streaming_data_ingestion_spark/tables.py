@@ -87,3 +87,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Widen a DataFrame to the cluster's parallelism IF its scan arrived
+    narrower — for CPU-dominant narrow passes (shingling, per-element
+    vector folds) whose cost dwarfs one round-robin shuffle of the input.
+
+    A 100 TB scan already arrives in thousands of row-group splits, so
+    this is a no-op there (the conditional matters: an unconditional
+    repartition would be a pointless full shuffle at scale). Small
+    fixtures, however, are single-row-group files — the scan cannot be
+    split below one row group no matter how maxPartitionBytes is tuned,
+    and a 64-hash-per-row pass would serialize onto one core.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

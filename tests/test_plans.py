@@ -627,16 +627,14 @@ def test_quality_gopher_no_shuffle_and_pruned(spark):
 
 
 def test_dup_substring_digest_shuffle_only(spark):
-    """Duplicated-span detection: exactly one Generate (the gram explode),
-    gram counts partial-aggregate before their Exchange, and the join back
-    onto the gram stream is an equi hash join on the digest — never a
+    """Duplicated-span detection: the shingle/md5 pass runs ONCE (one
+    Generate), the count comes from a window over the single digest-keyed
+    Exchange (no join-back recompute), and nothing degenerates into a
     nested-loop."""
     plan = plan_of(spark, "q_dup_substring")
-    # the gram stream feeds two consumers (count + join-back), so the
-    # row-local shingle build is recomputed per branch — acceptable; what
-    # must hold: map-side partial counts, digest equi-join, no blow-up
-    assert "partial_count" in plan
-    assert "HashJoin" in plan
+    assert plan.count("- Generate") == 1  # tree form: one explode total
+    assert "Window" in plan
+    assert "Join" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
