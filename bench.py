@@ -88,6 +88,12 @@ EXTENDED = (
     "q_join_interval",    # grid-binned interval-overlap join
     "q_graph_triangles",  # compact-forward triangle census
     "q_sim_knn_graph",    # within-cell k-NN graph
+    "q_semdedup",         # semantic dedup decisions
+    "q_lm_score",         # unigram-LM cross-entropy filter
+    "q_graph_reach",      # recursive-CTE BFS over the LSH graph
+    "q_agg_mode",         # deterministic per-group mode
+    "q_seasonality",      # DOW seasonal profile
+    "q_changepoint",      # CUSUM changepoint
 )
 
 

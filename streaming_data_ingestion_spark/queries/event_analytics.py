@@ -901,3 +901,167 @@ def q_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q_seasonality — day-of-week seasonal profile per event type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT
+    event_type,
+    (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow_idx,
+    value
+  FROM events
+),
+g AS (
+  SELECT
+    event_type, dow_idx,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+      / COUNT(*) AS avg_value
+  FROM d GROUP BY event_type, dow_idx
+)
+SELECT
+  event_type,
+  CAST(dow_idx AS INTEGER) AS dow_idx,
+  n_events,
+  avg_value,
+  CAST(n_events * 7 AS DOUBLE)
+    / SUM(n_events) OVER (PARTITION BY event_type) AS seasonal_index
+FROM g
+""",
+    tags=("events", "timeseries"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: volume, mean value,
+    and a seasonal index (1.0 = uniform; >1 = over-represented day) — the
+    load-shaping signal capacity planning and anomaly baselines read.
+
+    The day bucket is epoch-days mod 7 rather than an engine DOW function
+    (Spark and DuckDB disagree on week-start conventions; integer date
+    arithmetic is identical everywhere). One fact-table aggregate to 7×
+    |types| rows; the index's denominator is a window sum over that tiny
+    aggregate, not a second scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .alias("dow_idx"),
+        "value",
+    )
+    g = d.groupBy("event_type", "dow_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    return g.select(
+        "event_type",
+        F.col("dow_idx").cast("int").alias("dow_idx"),
+        "n_events",
+        "avg_value",
+        (
+            (F.col("n_events") * 7).cast("double")
+            / F.sum("n_events").over(Window.partitionBy("event_type"))
+        ).alias("seasonal_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_changepoint — CUSUM changepoint candidate per event type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+dev AS (
+  SELECT
+    event_type, day, n,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+    CAST(n - CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY event_type)
+         AS DECIMAL(38,10)) AS d
+  FROM daily
+),
+cs AS (
+  SELECT
+    event_type, day, n_days,
+    SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dev
+),
+r AS (
+  SELECT
+    event_type, day, n_days, cusum,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(cusum) DESC, day ASC) AS rn
+  FROM cs
+)
+SELECT
+  event_type,
+  day AS changepoint_day,
+  CAST(CAST(cusum AS VARCHAR) AS DOUBLE) AS cusum_at,
+  CAST(n_days AS BIGINT) AS n_days
+FROM r WHERE rn = 1
+""",
+    tags=("events", "timeseries"),
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per event type: the day where the
+    cumulative deviation of daily volume from the type's own mean peaks
+    in magnitude — the classic level-shift locator over a counter series.
+
+    Deviations are cast to DECIMAL before the running window sum, so the
+    result is exact no matter how either engine associates the cumulative
+    sum (float window sums are NOT sequential in every engine). One
+    fact-table aggregate to |types|×|days| rows; every window after that
+    operates on the tiny daily relation.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        (
+            F.col("n")
+            - F.sum("n").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+        )
+        .cast("decimal(38,10)")
+        .alias("d"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.withColumn("cusum", F.sum("d").over(wc))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("day")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum").cast("double").alias("cusum_at"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )

@@ -1030,3 +1030,65 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q_graph_reach — bounded-depth BFS over the LSH graph (recursive CTE).
+# --------------------------------------------------------------------------
+
+_REACH_DEPTH = 3
+
+
+@query(
+    "q_graph_reach",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_SQL_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+seed AS (SELECT MIN(doc_a) AS id FROM pairs),
+reach(id, d) AS (
+  SELECT id, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.d < {_REACH_DEPTH}
+)
+SELECT id AS doc_id, CAST(MIN(d) AS INTEGER) AS dist
+FROM reach GROUP BY id
+""",
+    tags=("llm", "dedup", "graph", "sql"),
+)
+def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance (≤3 hops) from the lowest-id document in the LSH
+    collision graph, written as a SQL ``WITH RECURSIVE`` CTE — Spark 4's
+    recursive-query support, exercised against DuckDB's identical
+    recursive semantics.
+
+    The neighborhood a dedup reviewer walks outward from a seed document:
+    how far does this near-dup family extend? The recursion is
+    depth-bounded (each recursive step is one edge-list hash join against
+    the frontier), and the final MIN(d) aggregate collapses path
+    multiplicity into BFS distance. At 100 TB the frontier join is
+    collision-sized per step; unbounded recursion would instead use the
+    q_dedup_clusters fixpoint loop with its active-vertex pruning.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("__reach_pairs")
+    return spark.sql(f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM __reach_pairs
+  UNION ALL SELECT doc_b, doc_a FROM __reach_pairs
+),
+seed AS (SELECT MIN(doc_a) AS id FROM __reach_pairs),
+reach(id, d) AS (
+  SELECT id, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.d < {_REACH_DEPTH}
+)
+SELECT id AS doc_id, CAST(MIN(d) AS INT) AS dist
+FROM reach GROUP BY id
+""")

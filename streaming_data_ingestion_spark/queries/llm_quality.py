@@ -1,7 +1,7 @@
 """Corpus-quality operators in the style of published pre-training data
 pipelines (SURVEY.md §2B "LLM-data-pipeline operators").
 
-Three shapes the reference's ingest pipeline has no analog for, but that any
+Shapes the reference's ingest pipeline has no analog for, but that any
 100 TB training-data curation run needs:
 
 * ``q_quality_gopher`` — the per-document rule battery popularized by the
@@ -20,6 +20,8 @@ Three shapes the reference's ingest pipeline has no analog for, but that any
   (``q_lang_id``) against the corpus's gold ``lang`` labels: the
   self-evaluation loop that tells you whether the classifier is good enough
   to gate a corpus on.
+* ``q_lm_score`` — per-document cross-entropy under the corpus's own
+  unigram LM: the distributable core of the CCNet/KenLM perplexity filter.
 
 Reference parity note: the reference repo (nikhilgy/streaming-data-ingestion,
 spark-streaming.py:158-171) stops at flatten-and-store; these operators are
@@ -262,4 +264,67 @@ def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_lm_score — unigram-LM cross-entropy per document (CCNet-style filter).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+WITH tc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term
+),
+tot AS (SELECT SUM(c) AS n FROM tc),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+)
+SELECT
+  tok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(CAST(CAST(SUM(CAST(
+      -ln(CAST(tc.c AS DOUBLE) / (SELECT n FROM tot))
+    AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS ce_nats
+FROM tok JOIN tc USING (term)
+GROUP BY tok.doc_id
+""",
+    tags=("llm", "quality"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model — the CCNet/KenLM-style perplexity quality filter with the LM
+    reduced to its distributable core (a production deployment swaps in a
+    trained 5-gram model as a broadcast table; the plumbing is identical).
+
+    Low cross-entropy = stereotypical high-frequency text (boilerplate),
+    high = rare-token noise; curation keeps the middle band. Two passes:
+    the vocabulary-sized term-count table (map-side-combined explode)
+    broadcasts back onto the token stream, and each document reduces to
+    one decimal-summed mean of −ln p(term) — round(6) absorbs the
+    cross-engine libm ln() ULP, everything else is exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(F.sum("c").alias("n"))
+    tc_p = tc.crossJoin(F.broadcast(tot)).select(
+        "term", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    nll = -F.log(F.col("p"))
+    return (
+        tok.join(F.broadcast(tc_p), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll.cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ce_nats"),
+        )
     )

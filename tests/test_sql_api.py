@@ -101,3 +101,29 @@ def test_sql_api_joins_and_aggs_match(spark):
     g = got.select(*sorted(common))
     w = want.select(*sorted(common))
     assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+
+def test_sql_lateral_join_matches_window_topk(spark):
+    """LATERAL correlated subquery (Spark 4 SQL surface): per-source top-2
+    docs by n_chars must equal the window-function formulation."""
+    register_views(spark, SF_DIR)
+    lateral = spark.sql("""
+        SELECT s.source, l.doc_id, l.n_chars
+        FROM (SELECT DISTINCT source FROM documents) s,
+        LATERAL (
+          SELECT doc_id, n_chars FROM documents d
+          WHERE d.source = s.source
+          ORDER BY n_chars DESC, doc_id ASC LIMIT 2
+        ) l
+    """)
+    windowed = spark.sql("""
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) rn
+          FROM documents
+        ) WHERE rn <= 2
+    """)
+    assert lateral.exceptAll(windowed).count() == 0
+    assert windowed.exceptAll(lateral).count() == 0
+    assert lateral.count() > 0
