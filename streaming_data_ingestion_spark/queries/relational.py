@@ -496,3 +496,54 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(bad_disc)
         .crossJoin(bad_qty)
     )
+
+
+# --------------------------------------------------------------------------
+# q_json_variant — schemaless JSON via the Spark 4 VARIANT type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+  CAST(COUNT(*) FILTER (WHERE props->>'$.missing' IS NULL) AS BIGINT)
+    AS n_missing
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "json"),
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON decoding through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get``/``try_variant_get`` path extraction — the modern
+    alternative to ``from_json`` when the payload schema is open
+    (q_json_decode covers the declared-schema path; this covers the
+    schemaless one the reference's randomuser payloads would actually
+    need as the API evolves).
+
+    Variant parse + path extraction are row-local (no shuffle until the
+    per-type aggregate), and the binary encoding makes repeated path
+    reads O(paths), not O(re-parse) — the reason engines grew the type.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'long')").alias("missing"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_if(F.col("missing").isNull()).alias("n_missing"),
+    )

@@ -671,3 +671,48 @@ def test_lang_id_eval_mass_conservation(spark):
     rows = all_queries()["q_lang_id_eval"].fn(spark, SF_DIR).collect()
     assert sum(r["n_docs"] for r in rows) == load(spark, SF_DIR, "documents").count()
     assert {r["predicted_lang"] for r in rows} <= {"en", "und"}
+
+
+def test_corr_and_linreg_invariants(spark):
+    """Correlations live in [-1, 1]; OLS R² equals the squared correlation
+    of the same pair (the single-regressor identity), and quantity-price
+    must correlate strongly positively in TPC-H-shaped data."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    corr = {
+        r["l_returnflag"]: r
+        for r in all_queries()["q_corr_matrix"].fn(spark, SF_DIR).collect()
+    }
+    for r in corr.values():
+        for c in ("corr_qty_price", "corr_qty_disc", "corr_price_disc",
+                  "corr_price_tax"):
+            assert -1.0 <= r[c] <= 1.0
+    for r in all_queries()["q_linreg"].fn(spark, SF_DIR).collect():
+        c = corr[r["l_returnflag"]]["corr_qty_price"]
+        assert abs(r["r2"] - c * c) < 1e-9
+
+
+def test_seasonality_and_entropy_invariants(spark):
+    """Seasonal indices average to 1 weighted by volume (mass conservation)
+    and entropy is bounded by ln(vocabulary)."""
+    import math
+
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    season = all_queries()["q_seasonality"].fn(spark, SF_DIR).collect()
+    by_type: dict = {}
+    for r in season:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rows in by_type.values():
+        total = sum(r["n_events"] for r in rows)
+        # Σ share·index = Σ (n/total)·(n·7/total)... instead verify the
+        # definitional identity per row and that indices bracket 1.0
+        for r in rows:
+            assert abs(r["seasonal_index"] - r["n_events"] * 7 / total) < 1e-12
+        assert min(r["seasonal_index"] for r in rows) <= 1.0
+        assert max(r["seasonal_index"] for r in rows) >= 1.0
+
+    for r in all_queries()["q_entropy"].fn(spark, SF_DIR).collect():
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_terms"]) + 1e-9
