@@ -94,6 +94,8 @@ EXTENDED = (
     "q_agg_mode",         # deterministic per-group mode
     "q_seasonality",      # DOW seasonal profile
     "q_changepoint",      # CUSUM changepoint
+    "q_rfm",              # RFM segmentation
+    "q_json_variant",     # Spark 4 VARIANT decode
 )
 
 

@@ -1065,3 +1065,81 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("bigint").alias("n_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_rfm — recency/frequency/monetary segmentation per user.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS now FROM events),
+per_user AS (
+  SELECT
+    user_id,
+    CAST(date_diff('day', MAX(ts), (SELECT now FROM mx)) AS BIGINT)
+      AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+      AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT
+  user_id, recency_days, frequency, monetary,
+  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS INTEGER)
+    AS r_score,
+  CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER)
+    AS f_score,
+  CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER)
+    AS m_score
+FROM per_user
+""",
+    tags=("events", "window"),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event, relative
+    to the corpus's own max timestamp — reproducible, no wall clock),
+    frequency, monetary total, and NTILE(4) scores on each axis with
+    user_id tie-breaks so quartile boundaries are deterministic.
+
+    One fact aggregate to |users| rows; the three global NTILEs sort the
+    small per-user relation, not the fact table. (At 100 TB |users| can
+    still be large — swap the global NTILE for percentile thresholds via
+    `approx_percentile` broadcast if the user table stops fitting a
+    single sort; same output contract.)
+    """
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )

@@ -80,3 +80,30 @@ def test_pandas_on_spark_interop(spark):
         .collect()
     }
     assert got == want
+
+
+def test_collated_grouping_matches_lower(spark):
+    """Spark 4 collation support: grouping on a UTF8_LCASE-collated
+    column must equal grouping on lower(col) — the engine-level
+    alternative to normalize-then-group for case-insensitive analytics."""
+    from streaming_data_ingestion_spark.tables import load
+
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents")
+    d.createOrReplaceTempView("__coll_docs")
+    collated = {
+        (r["s"].lower(), r["n"])
+        for r in spark.sql(
+            """SELECT source COLLATE UTF8_LCASE AS s, COUNT(*) AS n
+               FROM __coll_docs GROUP BY source COLLATE UTF8_LCASE"""
+        ).collect()
+    }
+    lowered = {
+        (r["s"], r["n"])
+        for r in spark.sql(
+            """SELECT lower(source) AS s, COUNT(*) AS n
+               FROM __coll_docs GROUP BY lower(source)"""
+        ).collect()
+    }
+    assert collated == lowered and collated
