@@ -1084,14 +1084,22 @@ _SEM_TAU = 0.35
 @query(
     "q_semdedup",
     oracle=f"""
-WITH s AS (
+WITH u AS (
+  SELECT
+    vec_id, label,
+    list_transform(range(1, {_DIM + 1}),
+                   i -> CAST(embedding[i] AS DOUBLE) / {_sql_norm("embedding")})
+      AS uv
+  FROM embeddings
+),
+s AS (
   SELECT
     a.vec_id,
-    MAX({_sql_dot("a.embedding", "b.embedding")}
-        / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}))
-      AS max_cos_lower
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND b.vec_id < a.vec_id
+    MAX(list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(1, {_DIM + 1}), i -> a.uv[i] * b.uv[i])),
+      (acc, x) -> acc + x)) AS max_cos_lower
+  FROM u a
+  JOIN u b ON a.label = b.label AND b.vec_id < a.vec_id
   GROUP BY a.vec_id
 )
 SELECT
@@ -1117,13 +1125,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX of IEEE-identical doubles is order-independent, so no decimal
     machinery is needed. Candidates stay cell-bounded (Σ_cell n_cell²),
     the rollup partial-aggregates one max per vector map-side, and the
-    corpus rejoin is a broadcast-sized id→max table.
+    corpus rejoin is a broadcast-sized id→max table. Vectors unit-
+    normalize before the join (q_sim_knn_graph's optimization: one fold
+    per vector, single dot product on the quadratic path).
     """
-    e = load(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    cos = (
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
+    e = spread_for_cpu(load(spark, sf_dir, "embeddings"))
+    nrm = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    u = nrm.select(
+        "vec_id",
+        "label",
+        F.transform(
+            _as_double(F.col("embedding")), lambda x: x / F.col("nrm")
+        ).alias("uv"),
+    )
+    a, b = u.alias("a"), u.alias("b")
+    cos = _fold_sum(
+        F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y)
     )
     s = (
         a.join(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 
 
 def _m(expr: Column) -> Column:
@@ -75,9 +75,16 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass computes every moment for every pair simultaneously (Catalyst
     dedupes shared partials like Σquantity across the four correlations),
-    so adding pairs widens the aggregate, never adds a scan.
+    so adding pairs widens the aggregate, never adds a scan. The ~12
+    decimal partial sums are CPU-dominant, so the narrow input spreads to
+    full parallelism when the scan arrives single-row-group (no-op on a
+    wide 100 TB scan).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = spread_for_cpu(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     n = F.count(F.lit(1)).cast("double")
 
     def corr(x: str, y: str) -> Column:
@@ -140,7 +147,11 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived here for bit-exactness instead of the engine's
     float-accumulating built-in.)
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = spread_for_cpu(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     x = F.col("l_quantity").cast("double")
     y = F.col("l_extendedprice").cast("double")
     m = li.groupBy("l_returnflag").agg(
