@@ -25,6 +25,10 @@ HOSTILE_CHECKED = (
     "q_tpch_q1",  # timestamp-literal cutoff + decimal aggregate hash
     "q_tpch_q5",  # timestamp range predicates riding a 6-table join
     "q_seq_pack",  # window ordering must not depend on shuffle width
+    "q_join_interval",  # to_date + date_trunc + unix_micros grid cells
+    "q_seasonality",  # epoch-day DOW bucket from event time
+    "q_changepoint",  # daily bucketing + running window
+    "q_rfm",  # recency day-diff against the corpus max ts
 )
 
 
