@@ -234,6 +234,29 @@ AUDITED = (
         "zero Exchange; a 100 TB pass is scan-bound.",
     ),
     (
+        "q_semdedup",
+        "Semantic dedup decisions. Read: unit-normalization is a row-side "
+        "fold BEFORE the label equi-join, so the quadratic path is one "
+        "dot product per candidate; the max-per-vector aggregate "
+        "partial-combines map-side and the corpus rejoin is a "
+        "broadcast-sized id→max table.",
+    ),
+    (
+        "q_lm_score",
+        "Unigram-LM scoring. Read: the vocabulary count table reduces "
+        "through one partial+final aggregate, rides back as a "
+        "BroadcastExchange onto the token stream (the 1-row total is the "
+        "only BroadcastNestedLoopJoin), and each document folds to one "
+        "decimal-summed mean — no token-stream shuffle anywhere.",
+    ),
+    (
+        "q_changepoint",
+        "CUSUM changepoint. Read: ONE fact-table aggregate reduces to the "
+        "daily relation; the deviation, running-sum and argmax windows "
+        "all share the event_type partitioning, so the plan re-sorts "
+        "within partitions but never re-shuffles the fact table.",
+    ),
+    (
         "q_dataset_card",
         "Per-source report card. Read: ONE source-keyed Exchange; the "
         "Expand feeds distinct-digest and distinct-lang partials "
