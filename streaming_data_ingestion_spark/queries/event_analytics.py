@@ -1143,3 +1143,77 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
         .alias("m_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_cohort_matrix — first-seen cohort × week-age retention matrix.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_matrix",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first_wk AS (
+  SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id
+),
+m AS (
+  SELECT
+    f.cohort,
+    CAST(date_diff('day', f.cohort, uw.wk) / 7 AS INTEGER) AS age_weeks,
+    CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM uw JOIN first_wk f ON uw.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT
+  cohort,
+  age_weeks,
+  n_active,
+  CAST(SUM(CASE WHEN age_weeks = 0 THEN n_active ELSE 0 END)
+    OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+  CAST(n_active AS DOUBLE)
+    / SUM(CASE WHEN age_weeks = 0 THEN n_active ELSE 0 END)
+      OVER (PARTITION BY cohort) AS retention
+FROM m
+""",
+    tags=("events", "analytics"),
+)
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cohort-retention matrix: users grouped by first-seen week,
+    tracked across week ages — the triangular table every growth
+    dashboard renders (q_retention is its one-step diagonal).
+
+    Distinct (user, week) pairs reduce the fact table once; the first-seen
+    aggregate and the matrix rollup both key on user/cohort, and the
+    cohort-size denominator is a window sum over the tiny matrix itself
+    (age-0 row = cohort size by construction), not another scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first_wk = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    m = (
+        uw.join(first_wk, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort")
+    size = F.sum(
+        F.when(F.col("age_weeks") == 0, F.col("n_active")).otherwise(F.lit(0))
+    ).over(wc)
+    return m.select(
+        "cohort",
+        "age_weeks",
+        "n_active",
+        size.alias("cohort_size"),
+        (F.col("n_active").cast("double") / size).alias("retention"),
+    )

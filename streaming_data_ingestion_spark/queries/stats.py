@@ -236,3 +236,96 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_terms")
         .agg(F.round(F.sum((-p * F.log(p)).cast(DEC)).cast("double"), 6).alias("entropy_nats"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_ttest — Welch's two-sample t over event values, from exact moments.
+# --------------------------------------------------------------------------
+
+_TT_A, _TT_B = "click", "purchase"
+
+
+@query(
+    "q_ttest",
+    oracle=f"""
+WITH m AS (
+  SELECT
+    event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_sql_m('value')} AS s,
+    {_sql_m('value * value')} AS s2
+  FROM events
+  WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+  GROUP BY event_type
+),
+p AS (
+  SELECT
+    (SELECT n FROM m WHERE event_type = '{_TT_A}') AS na,
+    (SELECT s FROM m WHERE event_type = '{_TT_A}') AS sa,
+    (SELECT s2 FROM m WHERE event_type = '{_TT_A}') AS sa2,
+    (SELECT n FROM m WHERE event_type = '{_TT_B}') AS nb,
+    (SELECT s FROM m WHERE event_type = '{_TT_B}') AS sb,
+    (SELECT s2 FROM m WHERE event_type = '{_TT_B}') AS sb2
+)
+SELECT
+  CAST(na AS BIGINT) AS n_a,
+  CAST(nb AS BIGINT) AS n_b,
+  (sa / na) - (sb / nb) AS mean_diff,
+  ((sa / na) - (sb / nb)) / sqrt(
+      (((sa2 - (sa * sa) / na) / (na - 1)) / na)
+    + (((sb2 - (sb * sb) / nb) / (nb - 1)) / nb)
+  ) AS t_stat,
+  (((((sa2 - (sa * sa) / na) / (na - 1)) / na)
+    + (((sb2 - (sb * sb) / nb) / (nb - 1)) / nb))
+   * ((((sa2 - (sa * sa) / na) / (na - 1)) / na)
+    + (((sb2 - (sb * sb) / nb) / (nb - 1)) / nb)))
+  / (
+      ((((sa2 - (sa * sa) / na) / (na - 1)) / na)
+        * (((sa2 - (sa * sa) / na) / (na - 1)) / na)) / (na - 1)
+    + ((((sb2 - (sb * sb) / nb) / (nb - 1)) / nb)
+        * (((sb2 - (sb * sb) / nb) / (nb - 1)) / nb)) / (nb - 1)
+  ) AS welch_df
+FROM p
+""",
+    tags=("stats", "events"),
+)
+def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (click vs purchase event values):
+    mean difference, t statistic, and Welch–Satterthwaite degrees of
+    freedom — the experimentation-analytics primitive, computed from the
+    same exact decimal moments as the rest of the family, so the result
+    is bit-identical at any parallelism.
+
+    One filtered aggregate produces both groups' (n, Σx, Σx²); the test
+    algebra runs on a 1-row relation. A 100 TB A/B readout is exactly
+    this plan with the variant id as the group key.
+    """
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_TT_A, _TT_B)
+    )
+    v = F.col("value").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _m(v).alias("s"),
+        _m(v * v).alias("s2"),
+    )
+    a = m.where(F.col("event_type") == _TT_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("s2").alias("sa2")
+    )
+    b = m.where(F.col("event_type") == _TT_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("s2").alias("sb2")
+    )
+    p = a.crossJoin(b)
+    na, sa, sa2 = F.col("na"), F.col("sa"), F.col("sa2")
+    nb, sb, sb2 = F.col("nb"), F.col("sb"), F.col("sb2")
+    va = ((sa2 - sa * sa / na) / (na - 1)) / na  # s²_a / n_a
+    vb = ((sb2 - sb * sb / nb) / (nb - 1)) / nb
+    diff = sa / na - sb / nb
+    return p.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        diff.alias("mean_diff"),
+        (diff / F.sqrt(va + vb)).alias("t_stat"),
+        (((va + vb) * (va + vb)) / (va * va / (na - 1) + vb * vb / (nb - 1)))
+        .alias("welch_df"),
+    )

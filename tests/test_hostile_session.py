@@ -29,6 +29,7 @@ HOSTILE_CHECKED = (
     "q_seasonality",  # epoch-day DOW bucket from event time
     "q_changepoint",  # daily bucketing + running window
     "q_rfm",  # recency day-diff against the corpus max ts
+    "q_cohort_matrix",  # week truncation of event time
 )
 
 
