@@ -96,6 +96,10 @@ EXTENDED = (
     "q_changepoint",      # CUSUM changepoint
     "q_rfm",              # RFM segmentation
     "q_json_variant",     # Spark 4 VARIANT decode
+    "q_ttest",            # Welch two-sample readout
+    "q_cohort_matrix",    # cohort-retention matrix
+    "q_rolling_active",   # DAU/WAU/stickiness
+    "q_multimodal_meta",  # decode-free media accounting
 )
 
 

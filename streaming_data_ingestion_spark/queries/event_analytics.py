@@ -1217,3 +1217,75 @@ def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.alias("cohort_size"),
         (F.col("n_active").cast("double") / size).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_rolling_active — trailing-7-day active users (WAU) per day.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_rolling_active",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT ud.user_id, unnest(generate_series(ud.day, ud.day + 6, INTERVAL 1 DAY)) AS wday
+  FROM ud
+),
+wau AS (
+  SELECT CAST(contrib.wday AS DATE) AS day,
+         CAST(COUNT(DISTINCT contrib.user_id) AS BIGINT) AS wau
+  FROM contrib JOIN days ON CAST(contrib.wday AS DATE) = days.day
+  GROUP BY 1
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+)
+SELECT
+  CAST(wau.day AS TIMESTAMP) AS day,
+  dau.dau,
+  wau.wau,
+  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM wau JOIN dau ON wau.day = dau.day
+""",
+    tags=("events", "analytics"),
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and DAU/WAU stickiness per day — the
+    engagement time series every growth dashboard opens with.
+
+    A windowed COUNT(DISTINCT) doesn't partial-aggregate; the scale
+    formulation explodes each (user, day) membership onto the ≤7 window
+    end-days it supports (bounded fan-out, like q_join_interval's grid)
+    and counts distinct per end-day — the shuffle carries 7× the
+    user-day relation, which is already orders smaller than the fact
+    table. Ghost days (windows ending after the data) are dropped by the
+    semi-join against observed days.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    )
+    wau = (
+        contrib.join(F.broadcast(days), contrib.wday == days.day)
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, wau.wday == dau.day)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

@@ -30,6 +30,7 @@ HOSTILE_CHECKED = (
     "q_changepoint",  # daily bucketing + running window
     "q_rfm",  # recency day-diff against the corpus max ts
     "q_cohort_matrix",  # week truncation of event time
+    "q_rolling_active",  # day truncation + date_add window ends
 )
 
 
