@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,10)"
+from streaming_data_ingestion_spark.compat import DEC
 
 
 def _assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:

@@ -30,7 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,10)"
+from streaming_data_ingestion_spark.compat import DEC
 
 
 @dataclass(frozen=True)

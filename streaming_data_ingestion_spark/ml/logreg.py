@@ -30,7 +30,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,10)"
+from streaming_data_ingestion_spark.compat import DEC
 
 
 @dataclass(frozen=True)
@@ -68,11 +68,21 @@ def fit_logistic(
     y = F.col(label).cast("double")
     theta = np.zeros(p)
 
+    def _z(th: np.ndarray) -> Column:
+        z = F.lit(float(th[0])) * xs[0]
+        for k in range(1, p):
+            z = z + F.lit(float(th[k])) * xs[k]
+        return z
+
+    def _softplus(z: Column) -> Column:
+        # ln(1+e^z) overflows to inf for z ≳ 709, and CAST(inf AS DECIMAL)
+        # is silently NULL (= dropped from the sum); the stable form
+        # max(z,0) + log1p(e^{−|z|}) never overflows.
+        return F.greatest(z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z)))
+
     it = 0
     for it in range(1, max_iter + 1):
-        z = F.lit(float(theta[0])) * xs[0]
-        for k in range(1, p):
-            z = z + F.lit(float(theta[k])) * xs[k]
+        z = _z(theta)
         prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         w = prob * (F.lit(1.0) - prob)
         r = y - prob
@@ -87,13 +97,6 @@ def fit_logistic(
                     .cast("double")
                     .alias(f"h_{i}_{j}")
                 )
-        # exact log-likelihood pieces for the convergence report:
-        # ll = Σ [y·z − ln(1 + e^z)]
-        aggs.append(
-            F.sum((y * z - F.log(F.lit(1.0) + F.exp(z))).cast(DEC))
-            .cast("double")
-            .alias("ll")
-        )
         aggs.append(F.count(F.lit(1)).alias("n"))
         row = df.agg(*aggs).collect()[0]
 
@@ -107,11 +110,19 @@ def fit_logistic(
         if np.max(np.abs(step)) < tol:
             break
 
+    # ll = Σ [y·z − softplus(z)] — evaluated at the FINAL θ (computing it
+    # inside the loop would report the pre-step model's likelihood).
+    zf = _z(theta)
+    final = df.agg(
+        F.sum((y * zf - _softplus(zf)).cast(DEC)).cast("double").alias("ll"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
     return LogitModel(
         features=tuple(features),
         intercept=float(theta[0]),
         coef=tuple(float(t) for t in theta[1:]),
-        n=int(row["n"]),
+        n=int(final["n"]),
         iterations=it,
-        log_likelihood=float(row["ll"]),
+        log_likelihood=float(final["ll"]),
     )

@@ -987,6 +987,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side; clustering = 2·tri / (deg·(deg−1)) is
     exact-integer math with one IEEE division.
     """
+    # persist: the pair set feeds three self-join arms + the degree pass.
+    # Spark's CacheManager dedupes by canonicalized plan, so repeated
+    # invocations (bench warm-up + timed passes) reuse ONE cache entry
+    # rather than accumulating copies; same lifecycle as q_pagerank's
+    # edge cache.
     p = _lsh_candidate_pairs(spark, sf_dir).persist()
     e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
     tri = (

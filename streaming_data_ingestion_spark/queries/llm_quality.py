@@ -40,6 +40,8 @@ from streaming_data_ingestion_spark.queries.llm_text import (
     _SQL_TOKENS,
     _STOPWORDS,
     _tokens,
+    SQL_LANG_PRED,
+    lang_prediction,
 )
 
 # --------------------------------------------------------------------------
@@ -192,19 +194,18 @@ def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     argue for the agg+join form plus a salted count.)
     """
     d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = _tokens()
-    n = F.size(toks)
-    shingled = (
-        d.where(n >= _K)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(_tokens()) - _K + 1),
-                    lambda i: F.md5(F.array_join(F.slice(_tokens(), i, _K), " ")),
-                )
-            ).alias("grams"),
-        )
+    # project the token array ONCE: higher-order lambdas are interpreted
+    # (CodegenFallback), so inlining _tokens() in the transform body would
+    # re-split the whole text per shingle index — O(len·n_tokens)/doc
+    toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= _K)
+    shingled = toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _K + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _K), " ")),
+            )
+        ).alias("grams"),
     )
     per_gram = shingled.select("doc_id", F.explode("grams").alias("gram"))
     counted = per_gram.withColumn(
@@ -233,10 +234,7 @@ SELECT
 FROM (
   SELECT
     lang AS labeled_lang,
-    CASE WHEN CAST(len(list_filter({_SQL_TOKENS},
-              t -> list_contains({_SQL_STOPWORDS}, t))) AS DOUBLE)
-              / len({_SQL_TOKENS}) >= 0.08
-         THEN 'en' ELSE 'und' END AS predicted_lang
+    {SQL_LANG_PRED} AS predicted_lang
   FROM documents
 )
 GROUP BY labeled_lang, predicted_lang
@@ -250,18 +248,16 @@ def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The self-evaluation loop for a corpus gate: before filtering 100 TB on a
     classifier, measure it on the labeled slice. One row-local prediction
     plus one grouped count — the aggregate output is |langs|² rows, so the
-    shuffle is trivially small at any scale.
+    shuffle is trivially small at any scale. The predictor is IMPORTED from
+    q_lang_id (lang_prediction / SQL_LANG_PRED), so this always evaluates
+    the classifier actually gating the corpus.
     """
     d = load(spark, sf_dir, "documents")
-    toks = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    en_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / F.size(toks)
-    )
-    pred = F.when(en_ratio >= 0.08, "en").otherwise("und")
     return (
-        d.select(F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_prediction().alias("predicted_lang"),
+        )
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -57,6 +57,42 @@ def _sql_norm(a: str) -> str:
     return f"sqrt({_sql_dot(a, a)})"
 
 
+def _unit_vectors(df: DataFrame) -> DataFrame:
+    """(vec_id, label, uv): embeddings scaled to unit norm — ONE fold per
+    vector, so quadratic candidate paths downstream pay a single dot
+    product per pair instead of dot + two norms. Shared by
+    q_sim_knn_graph and q_semdedup; the SQL twin is _SQL_UNIT."""
+    nrm = df.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    return nrm.select(
+        "vec_id",
+        "label",
+        F.transform(
+            _as_double(F.col("embedding")), lambda x: x / F.col("nrm")
+        ).alias("uv"),
+    )
+
+
+def _sql_unit() -> str:
+    """DuckDB CTE body mirroring _unit_vectors element-for-element."""
+    return (
+        f"SELECT vec_id, label, list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) / {_sql_norm('embedding')}) AS uv "
+        "FROM embeddings"
+    )
+
+
+def _sql_uv_dot() -> str:
+    """Dot product of two unit vectors a.uv / b.uv (same fold order as
+    _fold_sum(zip_with(...)))."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_DIM + 1}), i -> a.uv[i] * b.uv[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
 _QUERY_IDS = (0, 1, 2)
 _SQL_QUERY_IDS = ", ".join(str(i) for i in _QUERY_IDS)
 
@@ -989,21 +1025,12 @@ _KNN_K = 5
 @query(
     "q_sim_knn_graph",
     oracle=f"""
-WITH u AS (
-  SELECT
-    vec_id, label,
-    list_transform(range(1, {_DIM + 1}),
-                   i -> CAST(embedding[i] AS DOUBLE) / {_sql_norm("embedding")})
-      AS uv
-  FROM embeddings
-),
+WITH u AS ({_sql_unit()}),
 scored AS (
   SELECT
     a.vec_id,
     b.vec_id AS neighbor_id,
-    list_reduce(list_prepend(0.0::DOUBLE,
-      list_transform(range(1, {_DIM + 1}), i -> a.uv[i] * b.uv[i])),
-      (acc, x) -> acc + x) AS cosine
+    {_sql_uv_dot()} AS cosine
   FROM u a
   JOIN u b ON a.label = b.label AND a.vec_id != b.vec_id
 ),
@@ -1042,15 +1069,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streaming_data_ingestion_spark.tables import spread_for_cpu
 
-    e = spread_for_cpu(load(spark, sf_dir, "embeddings"))
-    nrm = e.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    u = nrm.select(
-        "vec_id",
-        "label",
-        F.transform(
-            _as_double(F.col("embedding")), lambda x: x / F.col("nrm")
-        ).alias("uv"),
-    )
+    u = _unit_vectors(spread_for_cpu(load(spark, sf_dir, "embeddings")))
     a, b = u.alias("a"), u.alias("b")
     cos = _fold_sum(
         F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y)
@@ -1084,20 +1103,11 @@ _SEM_TAU = 0.35
 @query(
     "q_semdedup",
     oracle=f"""
-WITH u AS (
-  SELECT
-    vec_id, label,
-    list_transform(range(1, {_DIM + 1}),
-                   i -> CAST(embedding[i] AS DOUBLE) / {_sql_norm("embedding")})
-      AS uv
-  FROM embeddings
-),
+WITH u AS ({_sql_unit()}),
 s AS (
   SELECT
     a.vec_id,
-    MAX(list_reduce(list_prepend(0.0::DOUBLE,
-      list_transform(range(1, {_DIM + 1}), i -> a.uv[i] * b.uv[i])),
-      (acc, x) -> acc + x)) AS max_cos_lower
+    MAX({_sql_uv_dot()}) AS max_cos_lower
   FROM u a
   JOIN u b ON a.label = b.label AND b.vec_id < a.vec_id
   GROUP BY a.vec_id
@@ -1132,16 +1142,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_data_ingestion_spark.tables import spread_for_cpu
 
     e = spread_for_cpu(load(spark, sf_dir, "embeddings"))
-    nrm = e.select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    u = nrm.select(
-        "vec_id",
-        "label",
-        F.transform(
-            _as_double(F.col("embedding")), lambda x: x / F.col("nrm")
-        ).alias("uv"),
-    )
+    u = _unit_vectors(e)
     a, b = u.alias("a"), u.alias("b")
     cos = _fold_sum(
         F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y)

@@ -224,7 +224,38 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q_lang_id — n-gram/stopword-heuristic language ID.
+#
+# The classifier (ratio expression + threshold) is exported so evaluation
+# queries (llm_quality.q_lang_id_eval) measure EXACTLY the predictor that
+# gates the corpus — retuning it here retunes the eval automatically.
 # --------------------------------------------------------------------------
+
+LANG_EN_THRESHOLD = 0.08
+
+_SQL_EN_RATIO = (
+    f"CAST(len(list_filter({_SQL_TOKENS}, "
+    f"t -> list_contains({_SQL_STOPWORDS}, t))) AS DOUBLE)"
+    f" / len({_SQL_TOKENS})"
+)
+SQL_LANG_PRED = (
+    f"CASE WHEN {_SQL_EN_RATIO} >= {LANG_EN_THRESHOLD} "
+    "THEN 'en' ELSE 'und' END"
+)
+
+
+def lang_en_ratio() -> Column:
+    """English-stopword density of the whitespace token stream."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / F.size(toks)
+    )
+
+
+def lang_prediction() -> Column:
+    """The gate's predicted language column ('en' / 'und')."""
+    return F.when(lang_en_ratio() >= LANG_EN_THRESHOLD, "en").otherwise("und")
 
 
 @query(
@@ -233,17 +264,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   doc_id,
   lang AS labeled_lang,
-  en_ratio,
-  CASE WHEN en_ratio >= 0.08 THEN 'en' ELSE 'und' END AS predicted_lang
-FROM (
-  SELECT
-    doc_id,
-    lang,
-    CAST(len(list_filter({_SQL_TOKENS},
-         t -> list_contains({_SQL_STOPWORDS}, t))) AS DOUBLE)
-      / len({_SQL_TOKENS}) AS en_ratio
-  FROM documents
-)
+  {_SQL_EN_RATIO} AS en_ratio,
+  {SQL_LANG_PRED} AS predicted_lang
+FROM documents
 """,
     tags=("llm", "text"),
 )
@@ -256,17 +279,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists per language.)
     """
     d = load(spark, sf_dir, "documents")
-    toks = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    en_ratio = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / F.size(toks)
-    )
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        en_ratio.alias("en_ratio"),
-        F.when(en_ratio >= 0.08, "en").otherwise("und").alias("predicted_lang"),
+        lang_en_ratio().alias("en_ratio"),
+        lang_prediction().alias("predicted_lang"),
     )
 
 

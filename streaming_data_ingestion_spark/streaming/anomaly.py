@@ -63,17 +63,22 @@ def _score_and_fold(
             mean, std = 0.0, 0.0
         v = pdf["value"].astype(float)
         z = (v - mean) / std if std > 0 else v * 0.0
+        if std > 0:
+            flag = z.abs() > Z_THRESHOLD
+        elif n >= 2:
+            # degenerate history (every prior value identical): any
+            # deviation from that constant is an anomaly — without this
+            # branch a zero-variance key would mask arbitrary level shifts
+            flag = v != mean
+        else:
+            flag = pd.Series(False, index=pdf.index)
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": event_type,
                 "value": v,
                 "z": z,
-                "is_anomaly": (
-                    z.abs() > Z_THRESHOLD
-                    if std > 0
-                    else pd.Series(False, index=pdf.index)
-                ),
+                "is_anomaly": flag,
             }
         )
         n += len(v)

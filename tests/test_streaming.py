@@ -736,9 +736,12 @@ def test_streaming_anomaly_scores_against_prior_state(spark, tmp_path):
         var = (st["s2"] - st["s"] * st["s"] / st["n"]) / (st["n"] - 1)
         std = math.sqrt(var) if var > 0 else 0.0
         want_z = (r["value"] - mean) / std if std > 0 else 0.0
+        want_flag = (
+            abs(want_z) > Z_THRESHOLD if std > 0 else r["value"] != mean
+        )
         g = got[r["event_id"]]
         assert abs(g["z"] - want_z) < 1e-6, (r["event_id"], g["z"], want_z)
-        assert g["is_anomaly"] == (abs(want_z) > Z_THRESHOLD)
+        assert g["is_anomaly"] == want_flag
         n_anom += int(g["is_anomaly"])
     # the detector must be selective: some anomalies, far from all
     assert 0 < n_anom < wave2.count() * 0.2
