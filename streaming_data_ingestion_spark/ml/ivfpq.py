@@ -55,12 +55,21 @@ def build_ivfpq_index(
     """
     cents, _ = kmeans_fit(df, k=k_cells, n_iters=n_iters)
     assigned = assign_cells(df.select("vec_id", "embedding"), cents)
-    coded = pq_encode_df(assigned.select("vec_id", "cell", "embedding"))
+    # carry the float vector through encoding under a second name —
+    # pq_encode_df drops `embedding` from its output, and re-attaching it
+    # with a vec_id join would shuffle the whole corpus (the one wide
+    # stage in what is otherwise a pure narrow-map build)
+    coded = pq_encode_df(
+        assigned.select(
+            "vec_id", "cell", F.col("embedding").alias("emb_keep"), "embedding"
+        )
+    )
     # keep the float vector for exact re-rank; ADC never reads it
     # (column pruning), so the probe scan stays code-sized.
-    indexed = coded.join(
-        df.select("vec_id", "embedding"), "vec_id"
-    ).select("vec_id", "cell", "codes", "sq_err", "embedding")
+    indexed = coded.select(
+        "vec_id", "cell", "codes", "sq_err",
+        F.col("emb_keep").alias("embedding"),
+    )
     write_partitioned(indexed, path, ["cell"])
     return cents
 

@@ -60,8 +60,6 @@ def kmeans_fit(
 ) -> tuple[list[list[float]], list[float]]:
     """Train k centroids over ``df.embedding``; returns (centroids,
     per-iteration inertia). ``df`` needs (vec_id, embedding) columns."""
-    dim = len(df.select("embedding").first()["embedding"])
-
     seeds = (
         df.select(
             "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -70,11 +68,20 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
+    # the seed collect already materialized rows — deriving dim from it
+    # avoids a separate corpus job whose only output is the vector length
+    dim = len(seeds[0]["embedding"])
     cents = [[float(x) for x in r["embedding"]] for r in seeds]
 
     history: list[float] = []
     for _ in range(n_iters):
-        assigned = _assign(df.select("vec_id", "embedding"), cents)
+        # persisted for the iteration: the k-distance fold (the expensive
+        # narrow map) feeds BOTH the centroid update and the inertia
+        # aggregate — without the persist each iteration scans the corpus
+        # twice, doubling the dominant training cost
+        assigned = _assign(df.select("vec_id", "embedding"), cents).persist()
         # update: exact decimal mean per (cell, dim) — q_emb_centroid shape
         upd = (
             assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
@@ -100,6 +107,7 @@ def kmeans_fit(
         inertia = assigned.agg(
             F.sum(F.col("dist2").cast(DEC)).cast("double")
         ).collect()[0][0]
+        assigned.unpersist()
         history.append(float(inertia))
     return cents, history
 

@@ -324,3 +324,76 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_gram_novelty — novelty yield curve over corpus growth order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_K}
+),
+grams AS (
+  SELECT DISTINCT
+    doc_id,
+    md5(array_to_string(list_slice(t, i, i + {_K - 1}), ' ')) AS gram
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {_K} + 2)) AS i FROM toks
+  )
+),
+first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT
+  g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS novelty
+FROM grams g JOIN first_seen f USING (gram)
+GROUP BY g.doc_id
+""",
+    tags=("llm", "dedup", "quality"),
+)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty yield per document in ingestion order (doc_id): the share
+    of a document's 5-gram shingles whose FIRST corpus occurrence is this
+    document — the curve that tells a curation pipeline when additional
+    crawl of a source stops contributing new text (novelty → 0 means
+    you're re-ingesting what you already have).
+
+    Same digest machinery as q_dup_substring, but attributed by MIN(doc_id)
+    per gram instead of a count: one explode, one gram-keyed min aggregate
+    (map-side combined, 16-byte digests + one long), joined back onto the
+    gram stream hash-on-digest, then the per-doc rollup.
+    """
+    d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= _K)
+    per_gram = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - _K + 1),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _K), " ")),
+                )
+            )
+        ).alias("gram"),
+    )
+    first_seen = per_gram.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        per_gram.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

@@ -54,9 +54,21 @@ def band_stream(docs: DataFrame) -> DataFrame:
         _shingles(_tokens()),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    sigs = docs.select("doc_id", x_arr.alias("x_arr")).select(
-        "doc_id",
-        *[_affine_min(a, b).alias(f"mh{j}") for j, (a, b) in enumerate(_AFFINE)],
+    # drop shingle-less docs (empty/whitespace text): the batch path's
+    # explode emits no rows for them, while array_min over an empty array
+    # would yield NULL minhashes here and collapse every such doc onto one
+    # sentinel band hash — false near-dup collisions AND a batch/stream
+    # divergence
+    sigs = (
+        docs.select("doc_id", x_arr.alias("x_arr"))
+        .where(F.size("x_arr") > 0)
+        .select(
+            "doc_id",
+            *[
+                _affine_min(a, b).alias(f"mh{j}")
+                for j, (a, b) in enumerate(_AFFINE)
+            ],
+        )
     )
     band_hashes = F.array(
         *[
@@ -93,8 +105,17 @@ def flag_neardups(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.select("doc_id").distinct().write.mode("append").parquet(
-            out_dir
+        # epoch-keyed dynamic overwrite: a replayed micro-batch rewrites
+        # ITS OWN epoch partition instead of appending duplicates — the
+        # same idempotence pattern as streaming/ingest.py's sink
+        (
+            batch_df.select("doc_id")
+            .distinct()
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
         )
 
     writer = (

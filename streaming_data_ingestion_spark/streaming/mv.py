@@ -11,21 +11,112 @@ time (a full 100 TB scan per refresh), each micro-batch:
 
 Cost per refresh is O(batch + touched-partition), independent of table
 history — the property that makes a continuously-maintained 100 TB
-rollup feasible. Exactly-once: the dynamic partition overwrite keyed on
-day is idempotent under Spark's micro-batch retry (a replayed batch
-recomputes the same merged result and rewrites the same partitions),
-and the checkpoint prevents cross-restart re-processing.
+rollup feasible. Exactly-once under replay: a read-merge-overwrite is
+NOT naturally idempotent (re-running an epoch whose write already landed
+would re-add the delta), so every stored row carries a ``last_epoch``
+marker; a replayed epoch skips any day partition already stamped with
+its own epoch id and merges only the rest — per-partition idempotence
+even when a crash landed some partitions but not others. The checkpoint
+prevents cross-restart re-processing.
 
 The invariant the test pins: after any sequence of micro-batches, the
 maintained table EQUALS the from-scratch batch aggregate over the same
-input — streaming prefix consistency materialized.
+input (modulo the ``last_epoch`` metadata column) — streaming prefix
+consistency materialized.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from streaming_data_ingestion_spark.compat import DEC
+
+_EPOCH_COL = "last_epoch"
+
+
+def _day_member(days: list):
+    """Null-safe day-membership predicate: ``isin`` never matches NULL,
+    which would silently drop an existing null-day partition's counts
+    from the merge while the delta still overwrote that partition."""
+    non_null = [d for d in days if d is not None]
+    cond = F.col("day").isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(days):
+        cond = cond | F.col("day").isNull()
+    return cond
+
+
+def _read_existing(spark: SparkSession, table_path: str, member):
+    """Read the touched slice of the table; None only if the table truly
+    does not exist yet. Any OTHER read failure propagates — swallowing a
+    transient listing error here would make the merge treat a populated
+    table as empty and dynamically overwrite history with one batch's
+    delta."""
+    try:
+        return spark.read.parquet(table_path).filter(member)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def _merge_idempotent(
+    delta: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    part_cols: list[str],
+    epoch_id: int,
+) -> None:
+    """Shared merge core: per-day epoch markers make micro-batch replay
+    a no-op for partitions the same epoch already wrote."""
+    spark = delta.sparkSession
+    delta.persist()
+    existing = None
+    try:
+        days = [r["day"] for r in delta.select("day").distinct().collect()]
+        if not days:
+            return
+        existing = _read_existing(spark, table_path, _day_member(days))
+        if existing is not None:
+            existing.persist()
+            applied = {
+                r["day"]
+                for r in existing.filter(F.col(_EPOCH_COL) == epoch_id)
+                .select("day")
+                .distinct()
+                .collect()
+            }
+        else:
+            applied = set()
+        merge_days = [d for d in days if d not in applied]
+        if not merge_days:
+            return  # full replay: every touched partition already stamped
+        member = _day_member(merge_days)
+        delta_m = delta.filter(member)
+        if existing is not None:
+            merged = (
+                delta_m.unionByName(existing.filter(member).drop(_EPOCH_COL))
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        else:
+            merged = delta_m
+        (
+            merged.withColumn(_EPOCH_COL, F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(table_path)
+        )
+    finally:
+        if existing is not None:
+            existing.unpersist()
+        delta.unpersist()
 
 
 def _daily_counts(df: DataFrame) -> DataFrame:
@@ -41,33 +132,14 @@ def merge_daily_counts(table_path: str):
     the parquet table, touching only the affected day partitions."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = _daily_counts(batch_df)
-        delta.persist()
-        try:
-            days = [r["day"] for r in delta.select("day").distinct().collect()]
-            if not days:
-                return
-            try:
-                existing = spark.read.parquet(table_path).filter(
-                    F.col("day").isin(days)
-                )
-                merged = (
-                    delta.unionByName(existing)
-                    .groupBy("day", "event_type")
-                    .agg(F.sum("n").alias("n"))
-                )
-            except Exception:
-                # first batch: table does not exist yet
-                merged = delta
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("day")
-                .parquet(table_path)
-            )
-        finally:
-            delta.unpersist()
+        _merge_idempotent(
+            _daily_counts(batch_df),
+            table_path,
+            key_cols=["day", "event_type"],
+            sum_cols=["n"],
+            part_cols=["day"],
+            epoch_id=epoch_id,
+        )
 
     return write_batch
 
@@ -96,9 +168,6 @@ def maintain_daily_counts(
 # maintained in one foreachBatch merge.
 # --------------------------------------------------------------------------
 
-_DEC = "decimal(38,10)"
-
-
 def _rollup(df: DataFrame) -> DataFrame:
     """Both grains of the time rollup for ONE batch of events — the same
     GROUPING SETS single-pass shape as q_time_rollup, but the value sum
@@ -109,7 +178,7 @@ def _rollup(df: DataFrame) -> DataFrame:
         F.date_trunc("day", "ts").alias("d"),
         F.date_trunc("hour", "ts").alias("h"),
         "event_type",
-        F.col("value").cast(_DEC).alias("v"),
+        F.col("value").cast(DEC).alias("v"),
     )
     return (
         ev.groupingSets(
@@ -141,35 +210,14 @@ def merge_rollup(table_path: str):
     independent of history, and idempotent under micro-batch replay."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = _rollup(batch_df)
-        delta.persist()
-        try:
-            days = [r["day"] for r in delta.select("day").distinct().collect()]
-            if not days:
-                return
-            try:
-                existing = spark.read.parquet(table_path).filter(
-                    F.col("day").isin(days)
-                )
-                merged = (
-                    delta.unionByName(existing)
-                    .groupBy("grain", "bucket_start", "day", "event_type")
-                    .agg(
-                        F.sum("n_events").alias("n_events"),
-                        F.sum("sum_value").alias("sum_value"),
-                    )
-                )
-            except Exception:
-                merged = delta
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("grain", "day")
-                .parquet(table_path)
-            )
-        finally:
-            delta.unpersist()
+        _merge_idempotent(
+            _rollup(batch_df),
+            table_path,
+            key_cols=["grain", "bucket_start", "day", "event_type"],
+            sum_cols=["n_events", "sum_value"],
+            part_cols=["grain", "day"],
+            epoch_id=epoch_id,
+        )
 
     return write_batch
 

@@ -745,3 +745,34 @@ def test_streaming_anomaly_scores_against_prior_state(spark, tmp_path):
         n_anom += int(g["is_anomaly"])
     # the detector must be selective: some anomalies, far from all
     assert 0 < n_anom < wave2.count() * 0.2
+
+
+def test_mv_merge_idempotent_under_epoch_replay(spark, tmp_path):
+    """Re-running a foreachBatch epoch whose write already landed (Spark's
+    crash-before-checkpoint-commit replay) must NOT double-count: the
+    per-partition last_epoch marker makes the second application a no-op,
+    while a NEW epoch with the same rows still merges additively."""
+    from streaming_data_ingestion_spark.streaming.mv import merge_daily_counts
+
+    table = str(tmp_path / "daily")
+    ev = load(spark, SF_DIR, "events").select("ts", "event_type").limit(200)
+    wb = merge_daily_counts(table)
+
+    wb(ev, 0)
+    once = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    wb(ev, 0)  # replay of the SAME epoch: must change nothing
+    replayed = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert replayed == once
+
+    wb(ev, 1)  # a genuinely new epoch with the same rows DOES add
+    doubled = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in once.items()}
