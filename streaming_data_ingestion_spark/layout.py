@@ -72,7 +72,27 @@ def salted_join(
     lands on n_salts of them. Use when a specific key's row count is
     orders of magnitude above the median and the join is not broadcast-
     able; otherwise prefer plain joins + AQE skew splitting.
+
+    Join types that preserve unmatched SMALL-side rows (right/full outer)
+    are rejected: the small side is exploded n_salts×, so an unmatched
+    small row would surface n_salts null-padded times instead of once.
+    Big-side-preserving types (inner/left/semi/anti) are unaffected —
+    each big row carries exactly one salt.
     """
+    _SMALL_PRESERVING = {"right", "rightouter", "right_outer", "full",
+                         "fullouter", "full_outer", "outer"}
+    if how.lower().replace(" ", "") in _SMALL_PRESERVING:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            "rows n_salts times; use a plain join (+ AQE skew handling) for "
+            "right/full outer shapes"
+        )
+    for side, name in ((big, "big"), (small, "small")):
+        if "__salt" in side.columns:
+            raise ValueError(
+                f"salted_join: {name} side already has a '__salt' column "
+                "(drop or rename it first — it would be clobbered)"
+            )
     salt = (F.rand(seed=42) * n_salts).cast("int")
     big_salted = big.withColumn("__salt", salt)
     small_salted = small.withColumn(
@@ -99,11 +119,15 @@ def write_compacted(
     partition still cannot emit a giant file. Run it on cold partitions
     (yesterday's date dir), not the one the stream is appending to.
     """
-    n_rows = df.count()
-    n_files = max(1, -(-n_rows // target_rows_per_file))
-    (
-        df.repartition(n_files)
-        .write.mode(mode)
-        .option("maxRecordsPerFile", target_rows_per_file)
-        .parquet(path)
-    )
+    df.persist()  # the count and the write must not scan the input twice
+    try:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        (
+            df.repartition(n_files)
+            .write.mode(mode)
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .parquet(path)
+        )
+    finally:
+        df.unpersist()

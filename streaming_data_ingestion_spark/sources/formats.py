@@ -172,7 +172,9 @@ def binary_files_to_docs(files: DataFrame) -> DataFrame:
     (doc_id, payload, meta{mime, n_bytes, digest}) consumed by
     multimodal/binary_ops.py.
 
-    doc_id is content-addressed (first 16 hex digits of the payload
+    doc_id is content-addressed (first 15 hex digits of the payload
+    sha256 — 15, not 16: 16 hex digits can exceed a signed long and
+    conv().cast('long') would wrap negative
     sha256) so re-ingesting the same object store prefix — or the same
     file moved between prefixes — yields stable ids and digest-dedup
     (multimodal digest grouping) works across ingest runs. The mime

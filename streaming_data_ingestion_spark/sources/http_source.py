@@ -123,6 +123,10 @@ if HAS_DATASOURCE_API:
         def __init__(self, options):
             self.n = int(options.get("numRows", 10))
             self.parts = int(options.get("numPartitions", 2))
+            if self.parts < 1:
+                raise ValueError(
+                    f"randomuser: numPartitions must be >= 1, got {self.parts}"
+                )
             self.mode = options.get("mode", "offline")
             self.url = options.get("url", "https://randomuser.me/api/")
 
@@ -177,7 +181,13 @@ if HAS_DATASOURCE_API:
             return iter(self._rows(lo, hi)), {"i": hi}
 
         def readBetweenOffsets(self, start, end):
-            # deterministic replay for recovery
+            # Deterministic replay for recovery in offline mode (the rows
+            # are a pure function of the offset range). In http mode this
+            # necessarily re-FETCHES — a live random API cannot replay the
+            # original records, so recovery there is at-least-once with
+            # divergent payloads; exactly-once over live HTTP requires an
+            # archive-the-fetch layer between the API and the source
+            # (which is what the offline generator stands in for).
             return iter(self._rows(start["i"], end["i"]))
 
         def _rows(self, lo: int, hi: int):

@@ -36,6 +36,12 @@ def decode_users(raw: DataFrame, value_col: str = "value") -> DataFrame:
     from_json + ``select('data.*')`` is the reference's own idiom
     (/root/reference/spark-streaming.py:170-171); ``uuid()`` fixes the
     never-populated primary key.
+
+    Reference-parity caveat: a malformed wire line decodes to an all-null
+    row that still receives a synthesized uuid (PERMISSIVE from_json, the
+    reference's behavior). Production ingest should use the DLQ variant
+    (``run_ingest_with_dlq``), which routes such lines to a dead-letter
+    sink instead of the main table.
     """
     return (
         raw.select(
@@ -153,6 +159,12 @@ def dlq_writer(out_dir: str, dlq_dir: str):
     100 TB ingest with a misbehaving producer must quantify and preserve
     its corrupt slice — FAILFAST aborts the pipeline, silent PERMISSIVE
     dropping destroys the evidence; a DLQ does neither.
+
+    Both sinks are epoch-partitioned dynamic overwrites (the
+    epoch_overwrite_writer pattern): a retried micro-batch rewrites its
+    own ``__epoch`` partition instead of appending duplicates — with
+    synthesized uuid keys a blind append's duplicates would be
+    undetectable downstream.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -163,7 +175,10 @@ def dlq_writer(out_dir: str, dlq_dir: str):
                 batch_df.filter(ok)
                 .select("data.*")
                 .withColumn("user_id", F.expr("uuid()"))
-                .write.mode("append")
+                .withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
                 .parquet(out_dir)
             )
             (
@@ -172,7 +187,9 @@ def dlq_writer(out_dir: str, dlq_dir: str):
                     F.col("_raw").alias("raw"),
                     F.lit(int(epoch_id)).alias("epoch"),
                 )
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
                 .parquet(dlq_dir)
             )
         finally:

@@ -98,11 +98,20 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
-def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+def enrich_with_users(
+    events: DataFrame, user_dim: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
     """Stream-static join: each micro-batch hash-joins against the static
-    dimension (re-read per batch, broadcast when small). No state needed —
-    the static side is not a stream."""
-    return events.join(F.broadcast(user_dim), "user_id", "left")
+    dimension (re-read per batch). No state needed — the static side is
+    not a stream.
+
+    ``hint_broadcast=True`` (fixture-scale default) pins the dimension to
+    a broadcast; pass False for a dimension too large to broadcast (the
+    8 GB limit / driver memory) and let the planner pick a shuffled join
+    per micro-batch instead.
+    """
+    dim = F.broadcast(user_dim) if hint_broadcast else user_dim
+    return events.join(dim, "user_id", "left")
 
 
 def correlate_clicks_purchases(
