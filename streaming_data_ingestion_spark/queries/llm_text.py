@@ -889,3 +889,184 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_pmi — bigram collocations by pointwise mutual information.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "q_pmi",
+    oracle=f"""
+WITH uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term
+),
+t1 AS (SELECT SUM(c1) AS n FROM uni),
+bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (SELECT unnest({_SQL_BIGRAMS}) AS bigram FROM documents)
+  GROUP BY bigram
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+t2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c2
+  FROM (SELECT unnest({_SQL_BIGRAMS}) AS bigram FROM documents) GROUP BY bigram
+))
+SELECT bigram, c2, pmi FROM (
+  SELECT
+    bi.bigram,
+    bi.c2,
+    ROUND(ln(
+      (CAST(bi.c2 AS DOUBLE) / (SELECT n FROM t2))
+      / ((CAST(u1.c1 AS DOUBLE) / (SELECT n FROM t1))
+         * (CAST(u2.c1 AS DOUBLE) / (SELECT n FROM t1)))
+    ), 6) AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.term = str_split(bi.bigram, ' ')[1]
+  JOIN uni u2 ON u2.term = str_split(bi.bigram, ' ')[2]
+)
+ORDER BY pmi DESC, bigram ASC
+LIMIT 50
+""",
+    tags=("llm", "text", "stats"),
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by pointwise mutual information —
+    PMI = ln(p(w1w2) / (p(w1)·p(w2))) with a min-count floor, the
+    collocation detector corpus linguistics runs before building
+    phrase-aware tokenizers.
+
+    Two vocabulary-sized count tables (unigram, bigram — both
+    map-side-combined explodes) joined on the bigram's component words
+    (vocab-sized hash joins, broadcast-able); the corpus totals are
+    1-row broadcasts. round(6) absorbs the cross-engine libm ln() ULP.
+    """
+    d = load(spark, sf_dir, "documents")
+    toked = d.select(_tokens().alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t1 = uni.agg(F.sum("c1").alias("n1"))
+    bi_all = (
+        toked.select(F.explode(_bigrams(F.col("t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    t2 = bi_all.agg(F.sum("c2").alias("n2"))
+    bi = bi_all.where(F.col("c2") >= _PMI_MIN_COUNT)
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(uni.selectExpr("term AS w1", "c1 AS c1a")), "w1")
+        .join(F.broadcast(uni.selectExpr("term AS w2", "c1 AS c1b")), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bigram",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("c1a").cast("double") / F.col("n1"))
+                        * (F.col("c1b").cast("double") / F.col("n1"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(50)
+
+
+# --------------------------------------------------------------------------
+# q_zipf — Zipf slope of each source's term-frequency distribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf",
+    oracle=f"""
+WITH tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+  )
+  GROUP BY source, term
+),
+ranked AS (
+  SELECT
+    source,
+    ln(CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY c DESC, term ASC) AS DOUBLE)) AS x,
+    ln(CAST(c AS DOUBLE)) AS y
+  FROM tc
+),
+m AS (
+  SELECT
+    source,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT
+  source,
+  CAST(n AS BIGINT) AS n_terms,
+  ROUND(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6) AS zipf_slope
+FROM m
+""",
+    tags=("llm", "text", "stats"),
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source: OLS fit of ln(freq) against ln(rank) over
+    the term distribution — natural language sits near −1; a slope far
+    off is a generated/boilerplate-corpus signal, one scalar per source.
+
+    Vocab-sized machinery end-to-end: (source, term) counts, a rank
+    window on that small relation, and the same exact-moment regression
+    as q_linreg with round(6) absorbing ln() ULP inside the moments.
+    """
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    )
+    ranked = tc.select(
+        "source",
+        F.log(rk.cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    dec = "decimal(38,10)"
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    return m.select(
+        "source",
+        n.cast("bigint").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "zipf_slope"
+        ),
+    )

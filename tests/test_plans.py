@@ -460,6 +460,7 @@ _CARTESIAN_OK = {
     "q_lm_score",          # 1-row token-total broadcast onto the vocab
     "q_rfm",               # 1-row corpus max-ts broadcast
     "q_ttest",             # 1-row × 1-row group-moment cross join
+    "q_pmi",               # two 1-row corpus-total broadcasts
     "q_agg_global",        # global aggregate scalar joins
     "q_subquery_scalar",   # scalar subquery rewrites to 1-row join
     "q_tpch_q14",          # single-row ratio
