@@ -100,6 +100,9 @@ EXTENDED = (
     "q_cohort_matrix",    # cohort-retention matrix
     "q_rolling_active",   # DAU/WAU/stickiness
     "q_multimodal_meta",  # decode-free media accounting
+    "q_gram_novelty",     # novelty yield curve
+    "q_pmi",              # bigram collocations
+    "q_zipf",             # Zipf slope per source
 )
 
 
