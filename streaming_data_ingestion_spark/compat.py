@@ -22,6 +22,15 @@ The pattern (used by every aggregate query):
 Averages are ``decimal-sum → double → / count`` — a single deterministic
 IEEE division, not the engine's own AVG (DuckDB's AVG accumulates in double
 and would drift).
+
+One more trap (hit by q_burstiness): step 2's double→DECIMAL cast is only
+engine-identical while the double fits 2⁵³. Above that (e.g., squared
+microsecond gaps ~1e24) DuckDB's cast introduces sub-ULP error that
+Spark's exact BigDecimal path does not, so the decimal sums diverge. For
+products of large integers, stay in INTEGER arithmetic instead: Spark
+``DECIMAL(18,0) × DECIMAL(18,0)`` (widens to (37,0)) ≙ DuckDB
+``HUGEINT × HUGEINT`` — exact on both sides, then one correctly-rounded
+integer→double conversion at the end.
 """
 
 from __future__ import annotations

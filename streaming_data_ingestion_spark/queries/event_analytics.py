@@ -1289,3 +1289,156 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_funnel_time — time-to-convert distribution between funnel stages.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_time",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT
+    s1.user_id,
+    epoch_us(s2.t_click) - epoch_us(s1.t_signup) AS us_to_click
+  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_converted,
+  CAST(MIN(us_to_click) AS BIGINT) AS min_us,
+  quantile_cont(us_to_click, 0.5) AS p50_us,
+  quantile_cont(us_to_click, 0.9) AS p90_us,
+  CAST(MAX(us_to_click) AS BIGINT) AS max_us
+FROM d
+""",
+    tags=("events", "analytics"),
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between the first two funnel stages (signup →
+    first later click): count, min/median/p90/max latency — the question
+    product teams ask right after q_funnel's "how many".
+
+    Same strict-ordering stage CTEs as q_funnel (per-user MINs joined
+    against the prior stage), then one exact-percentile aggregate over
+    the per-user latency — integer microseconds end to end, and Spark
+    ``percentile`` interpolates identically to DuckDB ``quantile_cont``
+    (the q_agg_percentile precedent), so the summary hashes bit-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    d = s1.join(s2, "user_id").select(
+        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias(
+            "us_to_click"
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("us_to_click").alias("min_us"),
+        F.expr("percentile(us_to_click, 0.5)").alias("p50_us"),
+        F.expr("percentile(us_to_click, 0.9)").alias("p90_us"),
+        F.max("us_to_click").alias("max_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_burstiness — inter-event gap regularity per user.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+WITH g AS (
+  SELECT
+    user_id,
+    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+m AS (
+  SELECT
+    user_id,
+    CAST(COUNT(gap_us) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(gap_us AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT))
+        AS VARCHAR) AS DOUBLE) AS s2
+  FROM g WHERE gap_us IS NOT NULL
+  GROUP BY user_id HAVING COUNT(gap_us) >= 2
+)
+SELECT
+  user_id,
+  CAST(n AS BIGINT) AS n_gaps,
+  s / n AS mean_gap_us,
+  sqrt((s2 - (s * s) / n) / (n - 1)) / (s / n) AS cv,
+  (sqrt((s2 - (s * s) / n) / (n - 1)) - (s / n))
+    / (sqrt((s2 - (s * s) / n) / (n - 1)) + (s / n)) AS burstiness
+FROM m
+""",
+    tags=("events", "timeseries", "stats"),
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap regularity per user: coefficient of variation and
+    the Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) ∈ (−1, 1) —
+    B≈−1 periodic (bots), B≈0 Poisson, B→1 bursty humans. The behavioral
+    fingerprint abuse and engagement models both start from.
+
+    One window pass (lag over the user/time sort) produces the gaps;
+    exact decimal moments make σ and μ partition-order-proof; users need
+    ≥2 gaps for a variance. The squared-gap moment stays in INTEGER
+    decimal arithmetic (DECIMAL(18,0)² — µs gaps are 13 digits, the
+    product fits 37) because gap² overflows 2⁵³ and engines' inexact
+    huge-double→decimal casts would diverge at the ULP.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    gi = F.col("gap_us").cast("decimal(18,0)")
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("gap_us").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(gi * gi).cast("double").alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    mean = s / n
+    sd = F.sqrt((s2 - s * s / n) / (n - 1))
+    return m.select(
+        "user_id",
+        n.cast("bigint").alias("n_gaps"),
+        mean.alias("mean_gap_us"),
+        (sd / mean).alias("cv"),
+        ((sd - mean) / (sd + mean)).alias("burstiness"),
+    )

@@ -31,6 +31,7 @@ HOSTILE_CHECKED = (
     "q_rfm",  # recency day-diff against the corpus max ts
     "q_cohort_matrix",  # week truncation of event time
     "q_rolling_active",  # day truncation + date_add window ends
+    "q_burstiness",  # unix_micros gaps under a hostile timezone
 )
 
 
