@@ -1442,3 +1442,71 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sd / mean).alias("cv"),
         ((sd - mean) / (sd + mean)).alias("burstiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_transition_entropy — predictability of each event type's successor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_transition_entropy",
+    oracle="""
+WITH stepped AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS src
+  FROM events
+),
+pairs AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM stepped WHERE src IS NOT NULL
+  GROUP BY src, dst
+),
+p AS (
+  SELECT src, dst, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+  FROM pairs
+)
+SELECT
+  src,
+  CAST(SUM(n) AS BIGINT) AS n_transitions,
+  CAST(COUNT(*) AS BIGINT) AS n_successors,
+  ROUND(CAST(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(38,10))) AS VARCHAR)
+    AS DOUBLE), 6) AS entropy_nats
+FROM p
+GROUP BY src
+""",
+    tags=("events", "analytics", "markov", "stats"),
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's successor distribution — how
+    predictable is what users do NEXT after each action (0 = always the
+    same follow-up; ln|types| = uniform). The one-scalar-per-state
+    summary of q_markov_transitions that journey optimization reads.
+
+    Same lag-window transition pairs; probabilities are exact-count
+    ratios; each −p·ln p term decimal-sums with round(6) absorbing the
+    libm ln ULP. Everything after the window runs on the |types|² pair
+    relation.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    pairs = stepped.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("src"))
+    scored = pairs.withColumn("p", p)
+    return scored.groupBy("src").agg(
+        F.sum("n").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_successors"),
+        F.round(
+            F.sum((-F.col("p") * F.log("p")).cast("decimal(38,10)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -574,3 +574,65 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_cycle_time — order fulfillment latency distribution per priority.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cycle_time",
+    oracle="""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(date_diff('day', o.o_orderdate, f.first_ship)) AS BIGINT)
+    AS min_days,
+  quantile_cont(date_diff('day', o.o_orderdate, f.first_ship), 0.5)
+    AS p50_days,
+  quantile_cont(date_diff('day', o.o_orderdate, f.first_ship), 0.95)
+    AS p95_days,
+  CAST(MAX(date_diff('day', o.o_orderdate, f.first_ship)) AS BIGINT)
+    AS max_days
+FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("tpch", "analytics"),
+)
+def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment cycle time per order priority: the
+    operational latency distribution (count, min/p50/p95/max days) —
+    the supply-chain question the TPC-H schema exists to answer but no
+    classic query asks directly.
+
+    One fact aggregate reduces lineitem to per-order first-ship dates
+    (orderkey-keyed, co-bucketable with orders at scale), one join, one
+    exact-percentile rollup on integer day differences — `percentile` ≡
+    DuckDB `quantile_cont` bit-exact on integers.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    days = F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(days).cast("bigint").alias("min_days"),
+            F.expr(
+                "percentile(datediff(first_ship, o_orderdate), 0.5)"
+            ).alias("p50_days"),
+            F.expr(
+                "percentile(datediff(first_ship, o_orderdate), 0.95)"
+            ).alias("p95_days"),
+            F.max(days).cast("bigint").alias("max_days"),
+        )
+    )
