@@ -1510,3 +1510,91 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_seasonal_decompose — additive trend/seasonal/residual decomposition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+tr AS (
+  SELECT *,
+    CAST(CAST(SUM(CAST(n AS DECIMAL(38,10))) OVER w AS VARCHAR) AS DOUBLE)
+      / COUNT(*) OVER w AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+se AS (
+  SELECT *,
+    CAST(CAST(SUM(CAST(n - trend AS DECIMAL(38,10)))
+      OVER (PARTITION BY event_type, dow) AS VARCHAR) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY event_type, dow) AS seasonal
+  FROM tr
+)
+SELECT
+  event_type,
+  day,
+  n,
+  trend,
+  seasonal,
+  (n - trend) - seasonal AS residual
+FROM se
+""",
+    tags=("events", "timeseries", "stats"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each type's daily volume:
+    observed = trend (7-day centered moving average) + seasonal (mean
+    detrended value per day-of-week) + residual — the anomaly baseline
+    that separates "weekend dip" from "real drop".
+
+    One fact aggregate reduces to the daily relation; the centered-MA
+    and per-dow windows both run on that tiny series and share the
+    event_type partitioning. All averages are decimal-sum → one IEEE
+    division (the compat.py discipline), so both engines decompose
+    bit-identically; the identity observed ≡ trend+seasonal+residual
+    holds exactly by construction.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").cast("timestamp").alias("day"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn(
+        "trend",
+        F.sum(F.col("n").cast("decimal(38,10)")).over(wt).cast("double")
+        / F.count(F.lit(1)).over(wt),
+    )
+    ws = Window.partitionBy("event_type", "dow")
+    se = tr.withColumn(
+        "seasonal",
+        F.sum((F.col("n") - F.col("trend")).cast("decimal(38,10)"))
+        .over(ws)
+        .cast("double")
+        / F.count(F.lit(1)).over(ws),
+    )
+    return se.select(
+        "event_type",
+        "day",
+        "n",
+        "trend",
+        "seasonal",
+        ((F.col("n") - F.col("trend")) - F.col("seasonal")).alias("residual"),
+    )

@@ -32,6 +32,7 @@ HOSTILE_CHECKED = (
     "q_cohort_matrix",  # week truncation of event time
     "q_rolling_active",  # day truncation + date_add window ends
     "q_burstiness",  # unix_micros gaps under a hostile timezone
+    "q_seasonal_decompose",  # day buckets + epoch-day dow under hostile tz
 )
 
 
