@@ -103,6 +103,11 @@ EXTENDED = (
     "q_gram_novelty",     # novelty yield curve
     "q_pmi",              # bigram collocations
     "q_zipf",             # Zipf slope per source
+    "q_funnel_time",      # time-to-convert distribution
+    "q_burstiness",       # inter-event gap regularity
+    "q_transition_entropy",  # successor predictability
+    "q_cycle_time",       # order fulfillment latency
+    "q_seasonal_decompose",  # trend/seasonal/residual
 )
 
 
