@@ -733,3 +733,56 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mode_count",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_histogram_equidepth — quantile-binned (equi-depth) histogram.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+WITH binned AS (
+  SELECT
+    l_extendedprice AS v,
+    NTILE(10) OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                    l_linenumber ASC) AS bin
+  FROM lineitem
+)
+SELECT
+  CAST(bin AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(v) AS lo,
+  MAX(v) AS hi
+FROM binned
+GROUP BY bin
+""",
+    tags=("agg", "histogram"),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram of l_extendedprice: 10
+    bins of equal row count with their value bounds — the statistics
+    structure query optimizers keep per column (equal-mass bins resolve
+    skewed selectivity where q_histogram's fixed-width bins cannot).
+
+    NTILE over a deterministic total order (value + the fact table's
+    unique key as tie-break) makes bin membership reproducible across
+    engines; the rollup is 10 rows. The global sort is the cost — at
+    100 TB swap NTILE for approx_percentile bin BOUNDS broadcast back
+    as a range join (same output contract, no total order needed).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    binned = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
