@@ -151,3 +151,22 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(compacted)
     assert back.count() == n
     assert back.exceptAll(ev).count() == 0
+
+
+def test_spread_for_cpu_widens_narrow_scans_only(spark):
+    """The CPU fan-out helper must repartition a narrow input up to the
+    cluster parallelism and leave an already-wide input untouched (at a
+    real 100 TB scan it must be a no-op, not an extra shuffle)."""
+    from streaming_data_ingestion_spark.tables import load, spread_for_cpu
+
+    from tests.conftest import SF_DIR
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = load(spark, SF_DIR, "documents")  # single-row-group fixture
+    assert narrow.rdd.getNumPartitions() < target
+    widened = spread_for_cpu(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == narrow.count()
+
+    wide = narrow.repartition(target + 4)
+    assert spread_for_cpu(wide).rdd.getNumPartitions() == target + 4  # no-op
