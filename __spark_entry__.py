@@ -31,69 +31,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies the FIRST 50 keys of this dict
-# (CORRECTNESS_r01/r02 both checked exactly the registry's first 50 in
-# insertion order). Round 2 left 59 of the then-109 queries with no driver
-# row, so the dict is now ordered as a coverage rotation: queries with no
-# driver-green row yet come first, the 50 keys already green in
-# CORRECTNESS_r02 come last. Every key is identical either way — only dict
-# order changes — and every registered query stays bit-exact against
-# DuckDB locally in tests/test_oracle.py regardless of order.
-_R02_DRIVER_GREEN = frozenset(
-    {
-        "q_agg_group", "q_agg_global", "q_agg_distinct", "q_agg_having",
-        "q_agg_rollup", "q_agg_cube", "q_agg_approx", "q_pivot",
-        "q_agg_collect", "q_agg_percentile", "q_agg_stats",
-        "q_agg_grouping_sets", "q_agg_argminmax", "q_histogram",
-        "q_funnel", "q_retention", "q_sessionize", "q_gap_fill",
-        "q_pct_change", "q_str_funcs", "q_date_funcs", "q_math_funcs",
-        "q_array_funcs", "q_map_json_funcs", "q_cond_null_funcs",
-        "q_bit_funcs", "q_hash_funcs", "q_encoding_funcs", "q_join_inner",
-        "q_join_multi", "q_join_outer", "q_join_semi_anti",
-        "q_join_broadcast", "q_join_range", "q_join_asof", "q_join_salted",
-        "q_dedup_minhash", "q_dedup_minhash_pairs", "q_dedup_simhash",
-        "q_dedup_ngram_jaccard", "q_dedup_edit_distance",
-        "q_dedup_clusters", "q_dedup_chunk", "q_minhash_jaccard",
-        "q_graph_degree", "q_doc_chunk", "q_pii_redact", "q_sample_hash",
-        "q_mix_weights", "q_text_rarity",
-    }
+# (CORRECTNESS_r01/r02/r03 each checked exactly the registry's first 50 in
+# insertion order). Across r01-r03, 100 of the 178 keys received driver
+# rows (all green); 78 never did. The dict is therefore ordered as an
+# explicit two-round coverage rotation:
+#
+#   _R4_WINDOW  (50 keys) — this round's driver window. Drawn entirely
+#       from the 78 never-checked keys: all 22 TPC-H shapes + q_cycle_time,
+#       the 7 window-function queries, 3 subqueries, 4 UDF-surface queries,
+#       q_pagerank, the PQ/quantization trio (q_pq_encode, q_sim_pq_adc,
+#       q_emb_quantize), and 9 relational/JSON/stats keys.
+#   _R5_WINDOW  (28 keys) — the remaining never-checked keys. Next round,
+#       promote this tuple to the front (one-line swap below) and every
+#       one of the 178 keys will have a driver CORRECTNESS row.
+#   everything else (100 keys, driver-green in r01/r02/r03) follows.
+#
+# Every key is identical either way — only dict order changes — and every
+# registered query stays bit-exact against DuckDB locally in
+# tests/test_oracle.py regardless of order.
+_R4_WINDOW = (
+    # TPC-H suite (tpch.py, tpch_full.py) — zero driver rows before r4
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22", "q_cycle_time",
+    # window functions (windows.py)
+    "q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame",
+    "q_win_rolling_quantile", "q_win_topk_per_group", "q_win_distribution",
+    # subqueries (subqueries.py)
+    "q_subquery_scalar", "q_subquery_in", "q_subquery_exists",
+    # UDF surface (udfs.py)
+    "q_udf_python", "q_udf_pandas", "q_udf_grouped", "q_udtf",
+    # graph + PQ/quantization (llm_dedup.py, llm_similarity.py)
+    "q_pagerank", "q_pq_encode", "q_sim_pq_adc", "q_emb_quantize",
+    # relational/JSON/stats fill to 50
+    "q_set_intersect_except", "q_unpivot", "q_cast_types",
+    "q_json_nested", "q_json_malformed", "q_json_variant",
+    "q_dq_audit", "q_corr_matrix", "q_linreg",
 )
-# Deferred past the 50-row window this round (they'd crowd out families
-# with zero driver rows): the rows-only multimodal check plus queries
-# whose plan shape is already represented by a driver-green twin or by
-# another family member in the front group (stream-window batch analogs ≈
-# q_agg_group/q_sessionize; fingerprints ≈ q_hash_funcs; quality/lang/
-# token/stats ≈ column arithmetic like q_str_funcs; sim_range ≈ the
-# broadcast shape of q_sim_topk; all remain locally oracle-green).
-_DEFER = (
+_R5_WINDOW = (
+    # stats + streaming analogs
+    "q_entropy", "q_ttest",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_fingerprint", "q_fingerprint_rolling", "q_lang_id",
-    "q_token_count", "q_text_stats", "q_quality_score", "q_sim_range",
-    "q_cast_types", "q_multimodal_features",
-    # round-3 additions: locally oracle-proven this round; rotate into the
-    # driver window next round, after the 59-query backlog lands rows
-    "q_seq_pack", "q_emb_quantize", "q_skew_profile",
-    "q_tpch_q19", "q_json_malformed", "q_approx_error",
+    "q_time_rollup",
+    # sketch error contracts + profiling
+    "q_approx_error", "q_approx_quantile", "q_skew_profile",
+    # event analytics without driver rows
     "q_scd2_intervals", "q_time_weighted_avg", "q_ewma",
-    "q_sample_topk_hash", "q_markov_transitions",
-    # TPC-H suite completion (round 3, second batch): locally
-    # oracle-proven; rotate into the driver window after the backlog
-    "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_pq_encode", "q_anomaly_mad", "q_cross_dedup",
-    "q_time_rollup", "q_dataset_card", "q_approx_quantile",
-    "q_sim_pq_adc", "q_win_rolling_quantile", "q_dq_audit",
-    "q_attribution", "q_path_3gram", "q_pagerank",
+    "q_markov_transitions", "q_anomaly_mad", "q_attribution",
+    "q_path_3gram",
+    # text/corpus + sampling + similarity + multimodal
+    "q_cross_dedup", "q_seq_pack", "q_sample_topk_hash",
+    "q_text_stats", "q_token_count", "q_quality_score", "q_lang_id",
+    "q_fingerprint", "q_fingerprint_rolling", "q_dataset_card",
+    "q_sim_range", "q_multimodal_features",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B."""
     specs = all_queries()
-    front = [
-        n for n in specs if n not in _R02_DRIVER_GREEN and n not in _DEFER
-    ]
-    ordered = front + list(_DEFER) + [n for n in specs if n in _R02_DRIVER_GREEN]
+    rotation = _R4_WINDOW + _R5_WINDOW
+    ordered = list(rotation) + [n for n in specs if n not in set(rotation)]
     assert len(ordered) == len(specs), "rotation must be a permutation"
     return {n: specs[n].fn for n in ordered}
 
