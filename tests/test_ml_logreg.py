@@ -71,3 +71,57 @@ def test_logistic_separates_constructed_labels(spark):
         ev.where(F.col("value") > 90).agg(F.avg(model.score_expr())).first()[0],
     )
     assert lo < 0.5 < hi
+
+
+def test_logistic_rejects_single_class_label(spark):
+    """An all-one-class label makes the MLE degenerate (θ → ±inf): the
+    fit must fail fast with a clear error, not diverge to max_iter."""
+    import pytest
+
+    ev = load(spark, SF_DIR, "events").select(
+        "value", F.lit(1).alias("y")
+    )
+    with pytest.raises(ValueError, match="single class"):
+        fit_logistic(ev, ["value"], "y")
+    with pytest.raises(ValueError, match="single class"):
+        fit_logistic(
+            ev.withColumn("y", F.lit(0)), ["value"], "y"
+        )
+
+
+def test_logistic_rejects_non_binary_label(spark):
+    import pytest
+
+    ev = load(spark, SF_DIR, "events").select(
+        "value", (F.col("value") % 3).cast("int").alias("y")
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        fit_logistic(ev, ["value"], "y")
+
+
+def test_logistic_survives_collinear_constant_feature(spark):
+    """A constant feature duplicates the intercept column, making the
+    Hessian exactly singular; the minimum-norm lstsq fallback must keep
+    the iteration defined and still recover the same decision surface as
+    the well-posed single-feature fit (the constant's effect merges into
+    intercept+coef in some split, but predictions are identical)."""
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "value",
+            F.lit(1.0).alias("ones"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .where(F.col("event_type").isin("purchase", "click"))
+    )
+    model = fit_logistic(ev, ["value", "ones"], "y")
+    base = fit_logistic(ev, ["value"], "y")
+    # the value coefficient is identified even though intercept/ones are
+    # not individually; their SUM is the effective intercept
+    assert np.isfinite(model.intercept) and all(
+        np.isfinite(c) for c in model.coef
+    )
+    assert np.allclose(model.coef[0], base.coef[0], rtol=1e-6)
+    assert np.allclose(
+        model.intercept + model.coef[1], base.intercept, rtol=1e-6
+    )

@@ -776,3 +776,135 @@ def test_mv_merge_idempotent_under_epoch_replay(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert doubled == {k: 2 * v for k, v in once.items()}
+
+
+def test_mv_rollup_replay_heals_partially_landed_epoch(spark, tmp_path):
+    """The replay-skip set is keyed on the FULL (grain, day) partition
+    tuple: if a crash landed the grain=1h partitions of an epoch but not
+    the grain=1d ones, replaying the epoch must re-merge exactly the
+    missing day-grain partitions instead of seeing the day stamped (via
+    the hour rows) and skipping — which would permanently lose the
+    day-grain delta."""
+    import shutil
+    from pathlib import Path
+
+    from streaming_data_ingestion_spark.streaming.mv import merge_rollup
+
+    table = str(tmp_path / "rollup")
+    ev = load(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value"
+    ).limit(300)
+    wb = merge_rollup(table)
+
+    wb(ev, 0)
+    full = sorted(
+        tuple(r) for r in spark.read.parquet(table).drop("last_epoch").collect()
+    )
+
+    # simulate the partial commit: epoch 0's 1h partitions landed, the
+    # 1d partitions did not
+    removed = list(Path(table).glob("grain=1d"))
+    assert removed, "fixture must have produced day-grain partitions"
+    for p in removed:
+        shutil.rmtree(p)
+    assert (
+        spark.read.parquet(table).filter(F.col("grain") == "1d").count() == 0
+    )
+
+    wb(ev, 0)  # replay of the SAME epoch must heal the missing grain
+    healed = sorted(
+        tuple(r) for r in spark.read.parquet(table).drop("last_epoch").collect()
+    )
+    assert healed == full
+
+
+def test_mv_marker_namespaced_by_run(spark, tmp_path):
+    """Epoch markers are namespaced per run: a NEW run (fresh checkpoint,
+    epochs restarting at 0) against an existing table must merge its
+    epoch-0 delta, not mistake an old run's epoch-0 stamp for its own."""
+    from streaming_data_ingestion_spark.streaming.mv import merge_daily_counts
+
+    table = str(tmp_path / "daily")
+    ev = load(spark, SF_DIR, "events").select("ts", "event_type").limit(200)
+
+    wb_a = merge_daily_counts(table, run_ns="run-a")
+    wb_a(ev, 0)
+    once = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    wb_a(ev, 0)  # same run, same epoch: replay, no change
+    assert {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    } == once
+
+    wb_b = merge_daily_counts(table, run_ns="run-b")
+    wb_b(ev, 0)  # different run's epoch 0: a genuinely new delta — adds
+    assert {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    } == {k: 2 * v for k, v in once.items()}
+
+
+def test_mv_rollup_multiwave_with_replay_matches_batch(spark, tmp_path):
+    """Three epochs of incremental two-grain maintenance, with a replay
+    injected after every epoch, must equal the from-scratch batch
+    q_time_rollup over the cumulative prefix at EVERY wave — streaming
+    prefix consistency under at-least-once delivery."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.streaming.mv import merge_rollup
+
+    table = str(tmp_path / "rollup")
+    ev = load(spark, SF_DIR, "events")
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    wb = merge_rollup(table)
+
+    batch_fn = all_queries()["q_time_rollup"].fn
+
+    for epoch in range(3):
+        lo, hi = cuts[epoch], cuts[epoch + 1]
+        wave = ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+        wb(wave, epoch)
+        wb(wave, epoch)  # injected at-least-once replay of the same epoch
+
+        got = spark.read.parquet(table).select(
+            "grain",
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        prefix = ev.filter(F.col("event_id") < hi)
+        # batch twin over the same prefix, via the same rollup shape
+        from streaming_data_ingestion_spark.streaming.mv import _rollup
+
+        want = (
+            _rollup(prefix)
+            .select(
+                "grain",
+                "bucket_start",
+                "event_type",
+                "n_events",
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
+        )
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    # after the final wave the table must ALSO equal the registered batch
+    # query over the full input (shape-projected), closing the loop with
+    # the oracle-checked q_time_rollup
+    final = spark.read.parquet(table).select(
+        "grain",
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    want_full = batch_fn(spark, SF_DIR)
+    assert final.count() == want_full.count()
+    assert final.exceptAll(want_full).count() == 0
