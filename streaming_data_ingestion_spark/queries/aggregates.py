@@ -766,21 +766,31 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure query optimizers keep per column (equal-mass bins resolve
     skewed selectivity where q_histogram's fixed-width bins cannot).
 
-    NTILE over a deterministic total order (value + the fact table's
-    unique key as tie-break) makes bin membership reproducible across
-    engines; the rollup is 10 rows. The global sort is the cost — at
-    100 TB swap NTILE for approx_percentile bin BOUNDS broadcast back
-    as a range join (same output contract, no total order needed).
+    NTILE semantics over a deterministic total order (value + the fact
+    table's unique key as tie-break) make bin membership reproducible
+    across engines — but a WINDOW NTILE with no partition spec would
+    drag the whole fact table through ONE task. Instead the rank comes
+    from ranking.with_global_rank (parallel range exchange + partition
+    offsets; no single-partition stage anywhere) and the NTILE bin is a
+    closed-form expression of (rank, total) — bit-identical to the
+    oracle's window NTILE on the same order, and the plan survives a
+    100× fact table.
     """
-    li = load(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
+    from streaming_data_ingestion_spark.ranking import (
+        ntile_of_rank,
+        with_global_rank,
+    )
 
-    w = Window.orderBy(
-        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    binned = li.select(
-        F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bin")
+    ranked, n_total = with_global_rank(
+        li,
+        ["v", "l_orderkey", "l_linenumber"],
+        rank_col="r",
+        cache=("q_histogram_equidepth.ranked", sf_dir),
     )
+    binned = ranked.select("v", ntile_of_rank(F.col("r"), n_total, 10).alias("bin"))
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("lo"),

@@ -203,25 +203,12 @@ JOIN bands b
 
 
 # Bounded persist registry for the graph queries (pagerank, triangles):
-# each keeps AT MOST one cached intermediate alive per query key. A repeat
-# call with the same sf_dir reuses the entry (bench warm-up + timed passes
-# share one cache); a call with a DIFFERENT sf_dir unpersists the stale
-# entry before building the new one, so a session that touches many
-# sf_dirs holds O(queries) cache entries, not O(queries × sf_dirs).
-# Unpersisting only ever degrades an old still-lazy result to recompute —
-# never changes values.
-_PERSIST_REGISTRY: dict[str, tuple[str, DataFrame]] = {}
-
-
-def _bounded_persist(key: str, sf_dir: str, build) -> DataFrame:
-    prev = _PERSIST_REGISTRY.get(key)
-    if prev is not None and prev[0] == sf_dir:
-        return prev[1]
-    if prev is not None:
-        prev[1].unpersist()
-    df = build().persist()
-    _PERSIST_REGISTRY[key] = (sf_dir, df)
-    return df
+# at most one cached intermediate alive per query key regardless of how
+# many sf_dirs the session touches — see caching.bounded_persist.
+from streaming_data_ingestion_spark.caching import (  # noqa: E402
+    _REGISTRY as _PERSIST_REGISTRY,
+    bounded_persist as _bounded_persist,
+)
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,117 @@
+"""Distributed exact global ranking — the scale-safe substitute for a
+single-partition window.
+
+``Window.orderBy(...)`` with no partition spec moves the ENTIRE input
+through one task (Spark even warns: "No Partition Defined for Window
+operation"); exact row numbering, NTILE binning, and top-fraction cuts
+over a fact table therefore cannot use it at 100 TB. The classic
+distributed construction used here instead:
+
+1. ``repartitionByRange`` on the order key — a PARALLEL range exchange
+   (sampled boundaries), the same machinery behind a distributed ORDER
+   BY; partition ids come out ascending in key order.
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — a local
+   per-partition dense sequence in sorted order. No bit-layout
+   assumption on the id is made: the per-partition MIN of the id is
+   subtracted out, so only "ascending within a partition" (its
+   documented contract) is relied on.
+3. One tiny aggregate (rows = #partitions) collects per-partition counts
+   and id bases; the driver prefix-sums counts into offsets and
+   broadcast-joins them back. global rank = offset + (id − base) + 1.
+
+Cost: ONE range shuffle of the input plus a partition-count-sized
+aggregate and broadcast — every stage parallel, nothing single-partition.
+Determinism: with a unique order key the within-partition order is fully
+determined, so ranks are reproducible on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_MID = "__rank_mid"
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    cache: tuple[str, str] | None = None,
+) -> tuple[DataFrame, int]:
+    """Append an exact 1-based global row number by ``order_cols``.
+
+    ``order_cols`` should end in a unique tie-break (a primary key) so
+    the total order — and therefore every rank — is deterministic.
+    Returns ``(df_with_rank, total_row_count)``; the count rides along
+    for free from the offset pass (NTILE-style consumers need it).
+
+    ``cache=(key, tag)`` routes the ranged intermediate through the
+    bounded persist registry (one live entry per key); without it the
+    intermediate is plain-persisted and lives until the session drops it.
+    """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _build() -> DataFrame:
+        return (
+            df.repartitionByRange(p, *[F.asc(c) for c in order_cols])
+            .sortWithinPartitions(*order_cols)
+            .select(
+                "*",
+                F.spark_partition_id().alias(_PID),
+                F.monotonically_increasing_id().alias(_MID),
+            )
+        )
+
+    # persist: the offset pass and the final consumer must see the SAME
+    # physical layout (it is deterministic either way with a unique key,
+    # but persisting avoids paying the range shuffle twice)
+    if cache is not None:
+        tagged = bounded_persist(cache[0], cache[1], _build)
+    else:
+        tagged = _build().persist()
+    stats = tagged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("n"), F.min(_MID).alias("m0")
+    ).collect()
+    offset = 0
+    recs = []
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        recs.append((r[_PID], offset, r["m0"]))
+        offset += r["n"]
+    total = offset
+    offsets = spark.createDataFrame(
+        recs, f"{_PID} int, __rank_off long, __rank_m0 long"
+    )
+    out = (
+        tagged.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            rank_col,
+            F.col("__rank_off") + (F.col(_MID) - F.col("__rank_m0")) + F.lit(1),
+        )
+        .drop(_PID, _MID, "__rank_off", "__rank_m0")
+    )
+    return out, total
+
+
+def ntile_of_rank(rank: Column, n_total: int, n_tiles: int) -> Column:
+    """SQL NTILE(n_tiles) bin of a 1-based global rank over n_total rows.
+
+    NTILE semantics: the first ``n_total mod n_tiles`` bins hold
+    ``ceil(n/t)`` rows, the rest ``floor(n/t)`` — reproduced here as a
+    closed-form expression over the rank, bit-identical to the window
+    function on the same total order.
+    """
+    q, m = divmod(n_total, n_tiles)
+    if q == 0:
+        return rank.cast("int")
+    big = m * (q + 1)  # rows covered by the (q+1)-sized leading bins
+    return (
+        F.when(rank <= big, F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(m) + F.ceil((rank - F.lit(big)) / F.lit(q)))
+        .cast("int")
+    )

@@ -649,3 +649,15 @@ def test_join_interval_is_binned_equi_join(spark):
     plan = plan_of(spark, "q_join_interval")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_histogram_equidepth_has_no_single_partition_stage(spark):
+    """The equi-depth histogram must rank the fact table through the
+    distributed range-exchange construction, NOT an unpartitioned window
+    (which drags every row through one task): the executed plan contains
+    no window operator and no single-partition exchange; the range
+    exchange that does appear is the parallel distributed sort."""
+    plan = plan_of(spark, "q_histogram_equidepth")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
