@@ -108,6 +108,10 @@ EXTENDED = (
     "q_transition_entropy",  # successor predictability
     "q_cycle_time",       # order fulfillment latency
     "q_seasonal_decompose",  # trend/seasonal/residual
+    "q_histogram_equidepth",  # distributed exact NTILE (no single-partition stage)
+    "q_tpcds_rollup_rank",   # Expand + per-level rank window
+    "q_tpcds_moving_dev",    # decimal window sums + lag/lead
+    "q_sim_ivfpq_index",     # stored-index ANN probe (partition-pruned)
 )
 
 

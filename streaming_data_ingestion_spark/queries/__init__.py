@@ -18,6 +18,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     subqueries,
     tpch,
     tpch_full,
+    tpcds_shapes,
     udfs,
     windows,
 )

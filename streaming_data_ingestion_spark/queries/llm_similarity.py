@@ -1166,3 +1166,60 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("max_cos_lower") < _SEM_TAU)
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_ivfpq_index — the STORED-index ANN path (ml/ivfpq.py), driver-
+# visible as a rows-only key.
+# --------------------------------------------------------------------------
+
+# one built index per sf_dir for the session: the build is an action
+# (a partitioned write), so it cannot ride the lazy-persist registry
+_IVFPQ_INDEX_MEMO: dict[str, tuple[str, list]] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    if sf_dir not in _IVFPQ_INDEX_MEMO:
+        from streaming_data_ingestion_spark.ml.ivfpq import build_ivfpq_index
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"spark-warehouse/ivfpq_index_{tag}"
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = build_ivfpq_index(emb, path, k_cells=4, n_iters=2)
+        _IVFPQ_INDEX_MEMO[sf_dir] = (path, cents)
+    return _IVFPQ_INDEX_MEMO[sf_dir]
+
+
+@query("q_sim_ivfpq_index", tags=("llm", "similarity", "ann", "index"))
+def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for three query vectors through the STORED IVFPQ
+    index (ml/ivfpq.py): cell-partitioned parquet on disk, probe =
+    partition PRUNING (non-probed cells are never listed), ADC scoring
+    from the 8×16 literal lookup table, exact re-rank of the survivors.
+
+    Rows-only by contract: the value under test is the physical layout —
+    a hive-partitioned index directory probed via PartitionFilters —
+    which no single SQL statement over the raw parquet can express.
+    Exactness of the composed path is pinned elsewhere: full-probe +
+    full-rerank equals brute force (tests/test_ivfpq.py), and the ADC /
+    IVF component math is oracle-checked by q_sim_pq_adc and q_sim_ivf.
+    The index builds once per (session, sf_dir) and is re-read from disk
+    per query — the deployment shape, where build cost amortizes over
+    every query served.
+    """
+    from streaming_data_ingestion_spark.ml.ivfpq import query_ivfpq
+
+    path, cents = _ivfpq_index_for(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    out = None
+    for qid in _IVF_QUERY_IDS:
+        q_emb = list(
+            emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        )
+        res = query_ivfpq(
+            spark, path, cents, q_emb, nprobe=2, k=5, rerank=20
+        ).withColumn("query_id", F.lit(qid))
+        out = res if out is None else out.unionByName(res)
+    return out.select(
+        "query_id", "vec_id", "cell", "adc_dist", "exact_dist"
+    )

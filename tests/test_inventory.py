@@ -38,7 +38,11 @@ def test_oracle_coverage_is_near_total():
     non-SQL-expressible ops; they must stay the rare exception."""
     specs = all_queries()
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
-    assert rows_only == ["q_agg_approx", "q_multimodal_features"], rows_only
+    assert rows_only == [
+        "q_agg_approx",          # HLL++ internals differ by design
+        "q_multimodal_features", # Arrow mapInPandas decode path
+        "q_sim_ivfpq_index",     # physical stored-index layout on disk
+    ], rows_only
 
 
 def test_bench_headline_is_registered():
