@@ -111,7 +111,10 @@ EXTENDED = (
     "q_histogram_equidepth",  # distributed exact NTILE (no single-partition stage)
     "q_tpcds_rollup_rank",   # Expand + per-level rank window
     "q_tpcds_moving_dev",    # decimal window sums + lag/lead
+    "q_tpcds_cumulative_lead",  # running decimal sums + full outer join
     "q_sim_ivfpq_index",     # stored-index ANN probe (partition-pruned)
+    "q_sample_stratified",   # exact-fraction stratified sampler
+    "q_emb_covariance",      # 2080-entry exact covariance matrix
 )
 
 

@@ -860,3 +860,61 @@ def q_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _TOPK_PER_SOURCE)
     )
+
+
+# --------------------------------------------------------------------------
+# q_sample_stratified — exact-count per-stratum sampling (20% per source).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+WITH ranked AS (
+  SELECT
+    doc_id,
+    source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|strat') ASC, doc_id ASC
+    ) AS strat_rank,
+    COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(strat_rank AS BIGINT) AS strat_rank,
+       CAST(n_source AS BIGINT) AS n_source
+FROM ranked
+WHERE strat_rank <= (n_source + 4) // 5
+""",
+    tags=("llm", "pipeline", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: precisely ⌈20%⌉ of each source's
+    documents, chosen by content-addressed hash order — the guarantee
+    q_sample_hash cannot give (a rate-based draw only hits the target
+    fraction in expectation, and a small stratum can come back empty).
+
+    Determinism: rows rank within their stratum by md5(doc_id||'|strat')
+    (salted so the draw is independent of q_sample_hash / q_split_assign
+    reading other hash functions of the same id) — reproducible across
+    runs, engines, partitionings. The cut ⌈n/5⌉ is pure integer math, so
+    no float boundary can disagree between engines. Plan: both windows
+    (rank + stratum size) share one source-keyed shuffle, partitioned by
+    stratum — parallel across sources, spillable within.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|strat")).cast("binary")
+    )
+    w_rank = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    w_all = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_rank).cast("bigint").alias("strat_rank"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_source"),
+    )
+    return ranked.filter(
+        F.col("strat_rank") <= F.expr("(n_source + 4) div 5")
+    )

@@ -329,3 +329,109 @@ def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((va + vb) * (va + vb)) / (va * va / (na - 1) + vb * vb / (nb - 1)))
         .alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_covariance — exact covariance matrix of the embedding corpus
+# (the PCA/whitening input; upper triangle, 2080 entries at d=64).
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+@query(
+    "q_emb_covariance",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST(range(1, {_EMB_DIM + 1})) AS i),
+vals AS (
+  SELECT e.vec_id, CAST(d.i AS INTEGER) AS i,
+         CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE) * 1e10 + 0.5)
+              AS HUGEINT) AS q
+  FROM embeddings e, dims d
+),
+mom AS (
+  SELECT a.i AS i, b.i AS j,
+         {sql_dec_to_double('SUM(a.q * b.q)')} AS sqq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+),
+mn AS (
+  SELECT i, {sql_dec_to_double('SUM(q)')} AS s
+  FROM vals GROUP BY i
+)
+SELECT mom.i AS i, mom.j AS j,
+       ((mom.sqq / mom.n) - ((mi.s / mom.n) * (mj.s / mom.n))) / 1e20 AS cov
+FROM mom JOIN mn mi ON mi.i = mom.i JOIN mn mj ON mj.i = mom.j
+""",
+    tags=("stats", "embeddings", "ml"),
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding corpus at 1e-10
+    element resolution (upper triangle as (i, j, cov) rows, 1-based
+    dims) — the input every PCA / whitening / Mahalanobis stage consumes
+    (ml/pca.py eigensolves it).
+
+    Why not the usual decimal-cast discipline: cov = Sxx/n −
+    (Sxi/n)(Sxj/n) CANCELS several digits, so even a last-place
+    divergence in one moment blows up visibly — and float32 elements
+    have SHORT exact binary expansions, so "round to 10 decimals" hits
+    exact ties (…8125 → tie at digit 10) where Spark rounds HALF_UP and
+    DuckDB HALF_EVEN. The fix is compat.py's integer-arithmetic rule:
+    quantize each element by the EXPLICIT shared IEEE recipe
+    q = FLOOR(x·1e10 + 0.5) — every step an identical IEEE op in both
+    engines, so ties cannot exist by construction — then all moments are
+    exact INTEGER decimal sums (q·q ≤ ~1.6e19 rides DECIMAL(18,0)×
+    (18,0)→(37,0); a 10¹²-row corpus still fits the (38,0) sum), and
+    the closing formula is IEEE ops on bit-identical doubles with one
+    final 1e-20 descale.
+
+    Plan: posexplode to (vec_id, i, q) and one vec_id-keyed self
+    equi-join (never a cartesian — the join output is n·d(d+1)/2 pair
+    rows that partial-aggregate map-side down to the 2080-group
+    shuffle). At extreme corpus sizes the same matrix drops out of a
+    per-partition numpy Gram via mapInPandas at lower constant cost,
+    but that sacrifices the bit-exact cross-engine sum; this is the
+    exactness-first formulation.
+    """
+    emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.floor(F.col("x").cast("double") * F.lit(1e10) + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("q"),
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    mom = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("b.i") >= F.col("a.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.q") * F.col("b.q")).cast("double").alias("sqq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mn = vals.groupBy("i").agg(F.sum("q").cast("double").alias("s"))
+    mi = mn.select(F.col("i").alias("_mi_i"), F.col("s").alias("si"))
+    mj = mn.select(F.col("i").alias("_mj_i"), F.col("s").alias("sj"))
+    return (
+        mom.join(F.broadcast(mi), mom.i == F.col("_mi_i"))
+        .join(F.broadcast(mj), mom.j == F.col("_mj_i"))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    (F.col("sqq") / F.col("n"))
+                    - ((F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+                )
+                / F.lit(1e20)
+            ).alias("cov"),
+        )
+    )

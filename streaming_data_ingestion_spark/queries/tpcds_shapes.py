@@ -218,3 +218,115 @@ def q_tpcds_moving_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.filter((ratio < 0.9) | (ratio > 1.1)).select(
         "*", ratio.alias("ratio")
     )
+
+
+# --------------------------------------------------------------------------
+# q_tpcds_cumulative_lead — TPC-DS q51's shape: two cumulative series
+# FULL OUTER joined on their common grain, flagged where one leads.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_tpcds_cumulative_lead",
+    oracle=f"""
+WITH ship AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_trunc('week', l.l_shipdate) AS TIMESTAMP) AS wk,
+         SUM(CAST({_REV_SQL} AS DECIMAL(38,10))) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+booked AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev
+  FROM orders
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT priority, wk,
+         SUM(rev) OVER (PARTITION BY priority ORDER BY wk) AS cum
+  FROM ship
+),
+cb AS (
+  SELECT priority, wk,
+         SUM(rev) OVER (PARTITION BY priority ORDER BY wk) AS cum
+  FROM booked
+)
+SELECT
+  COALESCE(cs.priority, cb.priority) AS priority,
+  COALESCE(cs.wk, cb.wk) AS wk,
+  {sql_dec_to_double('cs.cum')} AS cum_shipped,
+  {sql_dec_to_double('cb.cum')} AS cum_booked,
+  (cs.cum IS NOT NULL AND cb.cum IS NOT NULL AND cs.cum > cb.cum)
+    AS shipping_leads
+FROM cs FULL OUTER JOIN cb
+  ON cs.priority = cb.priority AND cs.wk = cb.wk
+""",
+    tags=("tpcds", "window", "join"),
+)
+def q_tpcds_cumulative_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: the cumulative weekly SHIPPED revenue series vs
+    the cumulative weekly BOOKED revenue series per order priority, FULL
+    OUTER joined on (priority, week) — weeks present in only one series
+    survive with a NULL other side — flagging weeks where shipping has
+    overtaken bookings.
+
+    Windows partition by priority (parallel — never a global cumulative
+    sort), and the running sums stay DECIMAL until the final double
+    conversion so every prefix is order-independent: a cumulative sum of
+    doubles would accumulate different roundings in each engine. The
+    comparison producing the flag is exact decimal > decimal. Both
+    engines' default ORDER BY window frame (RANGE UNBOUNDED PRECEDING)
+    agree, and wk is unique per partition so RANGE vs ROWS cannot
+    diverge.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("week", "l_shipdate").alias("wk"),
+            rev.cast(DEC).alias("rev"),
+        )
+        .groupBy("priority", "wk")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    booked = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("week", "o_orderdate").alias("wk"),
+            F.col("o_totalprice").cast(DEC).alias("rev"),
+        )
+        .groupBy("priority", "wk")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("priority").orderBy("wk")
+    cs = ship.select(
+        "priority", "wk", F.sum("rev").over(w).alias("cum_s")
+    ).alias("cs")
+    cb = booked.select(
+        "priority", "wk", F.sum("rev").over(w).alias("cum_b")
+    ).alias("cb")
+    joined = cs.join(
+        cb,
+        (F.col("cs.priority") == F.col("cb.priority"))
+        & (F.col("cs.wk") == F.col("cb.wk")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("cs.priority", "cb.priority").alias("priority"),
+        F.coalesce("cs.wk", "cb.wk").alias("wk"),
+        F.col("cum_s").cast("double").alias("cum_shipped"),
+        F.col("cum_b").cast("double").alias("cum_booked"),
+        (
+            F.col("cum_s").isNotNull()
+            & F.col("cum_b").isNotNull()
+            & (F.col("cum_s") > F.col("cum_b"))
+        ).alias("shipping_leads"),
+    )
