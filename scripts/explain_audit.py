@@ -262,6 +262,34 @@ AUDITED = (
         "Expand feeds distinct-digest and distinct-lang partials "
         "map-side; every card statistic comes out of the same aggregate.",
     ),
+    (
+        "q_histogram_equidepth",
+        "Distributed exact NTILE. Read: Exchange rangepartitioning (the "
+        "PARALLEL distributed sort) + broadcast of the partition-offset "
+        "table; NO Window operator and NO Exchange SinglePartition — the "
+        "unpartitioned-window formulation this replaced dragged the whole "
+        "fact table through one task.",
+    ),
+    (
+        "q_tpcds_rollup_rank",
+        "TPC-DS q67 shape. Read: Expand (4 grouping sets) feeds ONE "
+        "partial+final hash aggregate of the fact join; the rank Window "
+        "runs after the aggregate on the group-sized relation, "
+        "partitioned by grouping level.",
+    ),
+    (
+        "q_tpcds_cumulative_lead",
+        "TPC-DS q51 shape. Read: two week-grain aggregates, running "
+        "DECIMAL sums in priority-partitioned Windows (parallel — no "
+        "global sort), one SortMergeJoin FullOuter on (priority, wk).",
+    ),
+    (
+        "q_emb_covariance",
+        "Gram-matrix moments. Read: posexplode then ONE vec_id-keyed "
+        "sort-merge self join; the pair products partial-aggregate "
+        "map-side so the shuffle after the join carries 2080 groups, and "
+        "the mean join-backs are BroadcastExchanges.",
+    ),
 )
 
 
