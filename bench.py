@@ -115,6 +115,7 @@ EXTENDED = (
     "q_sim_ivfpq_index",     # stored-index ANN probe (partition-pruned)
     "q_sample_stratified",   # exact-fraction stratified sampler
     "q_emb_covariance",      # 2080-entry exact covariance matrix
+    "q_heavy_hitters_cms",   # CMS candidates + exact verify
 )
 
 

@@ -13,6 +13,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     llm_text,
     multimodal_q,
     relational,
+    sketches,
     stats,
     streaming_analogs,
     subqueries,

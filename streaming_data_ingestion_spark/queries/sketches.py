@@ -1,0 +1,155 @@
+"""Sketch-based operators beyond the built-in approx family
+(SURVEY.md §2B): deterministic Count-Min heavy hitters.
+
+q_agg_approx / q_approx_quantile exercise Spark's built-in sketches
+(HLL++, KLL-ish percentile_approx); this module adds the classic sketch
+a 100 TB text pipeline builds ITSELF: a Count-Min sketch over the token
+stream, used the way production heavy-hitter jobs use it — a tiny
+fixed-size sketch finds CANDIDATE hot tokens, and the exact counting
+pass runs only over those candidates (a semi-join prune) instead of
+aggregating the full vocabulary.
+
+Everything is deterministic and cross-engine exact: the d hash rows are
+md5 with per-row salts (the q_sample_weighted integer-hash discipline),
+cell counts and thresholds are BIGINTs, and the φ-fraction cut is an
+integer cross-multiplication (est·200 ≥ total) so no float boundary can
+disagree between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_PHI_DENOM = 200  # heavy hitter = more than 1/200 of all token occurrences
+
+_SQL_TOKENS = "list_filter(str_split(trim(text), ' '), t -> t != '')"
+
+
+def _bucket(token: Column, r: int) -> Column:
+    """Row r's CMS bucket: first 32 bits of a salted md5, mod width —
+    identical integer math in both engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(token, F.lit(f"|cms{r}")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _CMS_WIDTH
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+rows_ AS (SELECT UNNEST(range(0, {_CMS_DEPTH})) AS r),
+occ AS (
+  SELECT token, r,
+         ('0x' || substring(md5(token || '|cms' || r), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM toks, rows_
+),
+cells AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ GROUP BY r, bucket
+),
+cand AS (
+  SELECT o.token, CAST(MIN(c.n) AS BIGINT) AS est
+  FROM (SELECT DISTINCT token, r, bucket FROM occ) o
+  JOIN cells c ON c.r = o.r AND c.bucket = o.bucket
+  GROUP BY o.token
+  HAVING MIN(c.n) * {_PHI_DENOM} >= (SELECT n FROM total)
+),
+exact AS (
+  SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM toks t JOIN cand ON cand.token = t.token
+  GROUP BY t.token
+)
+SELECT cand.token, cand.est, exact.n_exact,
+       exact.n_exact * {_PHI_DENOM} >= (SELECT n FROM total) AS is_true_heavy
+FROM cand JOIN exact ON exact.token = cand.token
+""",
+    tags=("llm", "sketch", "text"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (> 1/200 of all occurrences) via a Count-Min
+    sketch with an exact verification pass over the candidates only.
+
+    Scale shape — the reason this beats a plain token groupBy at 100 TB:
+    the sketch is a FIXED 4×1024 cell grid regardless of vocabulary
+    (each occurrence contributes to 4 cells; the cell aggregate
+    partial-combines map-side, so the shuffle carries ≤ 4096·partitions
+    rows, never the vocabulary). Candidate selection joins the DISTINCT
+    tokens against the broadcast-sized cell grid and keeps tokens whose
+    MIN-cell estimate clears the φ cut; only those survivors reach the
+    exact count (a candidate-semi-joined aggregate — false positives are
+    then flagged by ``is_true_heavy`` using the same integer
+    cross-multiplied threshold). CMS guarantees est ≥ exact, so no true
+    heavy hitter can be missed.
+    """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    def _toks() -> DataFrame:
+        return spread_for_cpu(
+            load(spark, sf_dir, "documents").select("text")
+        ).select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), " "), lambda t: t != ""
+                )
+            ).alias("token")
+        )
+
+    # the token stream feeds the sketch pass, the candidate distinct, and
+    # the exact verify — bounded-persisted (one live entry per session)
+    toks = bounded_persist("q_heavy_hitters_cms.toks", sf_dir, _toks)
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    occ = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(F.col("token"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "rb.r", "rb.bucket")
+    cells = occ.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cand = (
+        occ.distinct()
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("n").cast("bigint").alias("est"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") * _PHI_DENOM >= F.col("n"))
+        .select("token", "est", F.col("n").alias("_total"))
+    )
+    exact = (
+        toks.join(F.broadcast(cand.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    out = cand.join(exact, "token").select(
+        "token",
+        "est",
+        "n_exact",
+        (F.col("n_exact") * _PHI_DENOM >= F.col("_total")).alias(
+            "is_true_heavy"
+        ),
+    )
+    return out

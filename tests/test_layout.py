@@ -170,3 +170,66 @@ def test_spread_for_cpu_widens_narrow_scans_only(spark):
 
     wide = narrow.repartition(target + 4)
     assert spread_for_cpu(wide).rdd.getNumPartitions() == target + 4  # no-op
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session enables AQE skew-join handling; this pins that it
+    actually FIRES: a sort-merge join with one pathologically hot key
+    must show skew=true in the final adaptive plan (the hot partition
+    was split across tasks at runtime) and still return exact results.
+    Thresholds are lowered to make fixture-scale data 'skewed' — at real
+    scale the defaults (256 MB) play the same role.
+
+    Two preconditions the construction must satisfy (each silently
+    disables the rule if violated): the skewed shuffle needs MULTIPLE
+    map outputs (splits happen at mapper granularity — a single-file
+    scan gives one mapper and nothing to split, hence the repartition),
+    and BOTH join children must be plain shuffle stages (an aggregate
+    between the exchange and the join, e.g. a distinct-derived dim,
+    blocks partition recomposition)."""
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # fatten the fixture 20x, with 90% of rows hammering one key
+    big = (
+        ev.withColumn("dup", F.explode(F.sequence(F.lit(1), F.lit(20))))
+        .withColumn(
+            "k",
+            F.when(F.col("event_id") % 10 < 9, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        .repartition(16)
+    )
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("tag")
+    )
+
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        joined = big.join(dim, "k")
+        # collect() drives THIS DataFrame's own QueryExecution (count()
+        # would wrap it in a new one and leave this plan unfinalized)
+        rows = joined.collect()
+        assert len(rows) == big.count()  # every row matches one dim row
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)

@@ -770,3 +770,38 @@ def test_ewma_lookback_cap_bounds_per_user_state(spark, tmp_path, monkeypatch):
     assert got[7] == (4, fold([7.0, 8.0, 9.0, 10.0]))
     # user 8: under the cap — full history, unchanged semantics
     assert got[8] == (3, fold([10.0, 20.0, 30.0]))
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """Count-Min guarantees: est >= exact for every candidate, and NO
+    true heavy hitter (exact count > total/200) can be missed — the
+    sketch only overcounts, so the candidate cut est*200 >= total is a
+    superset of the true cut."""
+    from streaming_data_ingestion_spark.queries.sketches import (
+        _PHI_DENOM,
+        q_heavy_hitters_cms,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    from tests.conftest import SF_DIR
+
+    got = q_heavy_hitters_cms(spark, SF_DIR).collect()
+    assert got, "fixture corpus must contain heavy hitters"
+    for r in got:
+        assert r["est"] >= r["n_exact"], r
+
+    toks = load(spark, SF_DIR, "documents").select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    total = toks.count()
+    truth = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["n"] * _PHI_DENOM >= total
+    }
+    flagged = {r["token"]: r["n_exact"] for r in got if r["is_true_heavy"]}
+    assert flagged == truth  # exact recall AND precision after verify
