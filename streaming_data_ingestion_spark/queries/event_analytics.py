@@ -1128,12 +1128,20 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, monetary total, and NTILE(4) scores on each axis with
     user_id tie-breaks so quartile boundaries are deterministic.
 
-    One fact aggregate to |users| rows; the three global NTILEs sort the
-    small per-user relation, not the fact table. (At 100 TB |users| can
-    still be large — swap the global NTILE for percentile thresholds via
-    `approx_percentile` broadcast if the user table stops fitting a
-    single sort; same output contract.)
+    One fact aggregate to |users| rows; the three global NTILE scores
+    then come from ranking.with_global_rank (parallel range exchange +
+    partition offsets + closed-form NTILE — never an unpartitioned
+    window, which would drag the whole user relation through one task;
+    at 10⁹ users that is the difference between a working plan and a
+    dead one). Descending axes rank on the NEGATED measure so every pass
+    uses one ascending range sort; count ties are broken by user_id, so
+    scores are bit-identical to the oracle's window NTILEs.
     """
+    from streaming_data_ingestion_spark.ranking import (
+        ntile_of_rank,
+        with_global_rank,
+    )
+
     ev = load(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("now"))
     per_user = (
@@ -1153,19 +1161,35 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recency_days"),
             "frequency",
             "monetary",
+            (-F.col("frequency")).alias("_neg_f"),
         )
+        .withColumn("_neg_m", -F.col("monetary"))
     )
-    return per_user.select(
-        "*",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .alias("m_score"),
+    out = per_user
+    for axis, (score, order) in enumerate(
+        {
+            "r_score": ["recency_days", "user_id"],
+            "f_score": ["_neg_f", "user_id"],
+            "m_score": ["_neg_m", "user_id"],
+        }.items()
+    ):
+        ranked, n = with_global_rank(
+            out,
+            order,
+            rank_col="_rk",
+            cache=(f"q_rfm.rank{axis}", sf_dir),
+        )
+        out = ranked.withColumn(
+            score, ntile_of_rank(F.col("_rk"), n, 4)
+        ).drop("_rk")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

@@ -240,9 +240,11 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token counts are exact BIGINTs, so the two double divisions are each
     a single IEEE op on identical operands — bit-stable cross-engine
-    without the decimal-sum detour. The window MAX runs over one row per
-    source (tens of rows at any corpus scale): a broadcast-sized frame,
-    never a real shuffle concern.
+    without the decimal-sum detour. The corpus max rides back as a
+    broadcast 1-row cross join rather than an unpartitioned window —
+    same value, but no single-partition window stage anywhere in the
+    repo (the relation is tiny either way; the plan discipline is the
+    point).
     """
     toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
     per_source = (
@@ -254,19 +256,21 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
-    from pyspark.sql import Window
-
-    max_tokens = F.max("n_tokens").over(Window.partitionBy())
-    return per_source.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        (F.col("n_tokens").cast("double") / max_tokens.cast("double")).alias(
-            "rel_weight"
-        ),
-        (max_tokens.cast("double") / F.col("n_tokens").cast("double")).alias(
-            "epochs_to_balance"
-        ),
+    mx = per_source.agg(F.max("n_tokens").alias("_max_tokens"))
+    max_tokens = F.col("_max_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / max_tokens.cast("double")
+            ).alias("rel_weight"),
+            (
+                max_tokens.cast("double") / F.col("n_tokens").cast("double")
+            ).alias("epochs_to_balance"),
+        )
     )
 
 
