@@ -41,8 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #       the 7 window-function queries, 3 subqueries, 4 UDF-surface queries,
 #       q_pagerank, the PQ/quantization trio (q_pq_encode, q_sim_pq_adc,
 #       q_emb_quantize), and 9 relational/JSON/stats keys.
-#   _R5_WINDOW  (35 keys) — the remaining never-checked keys, including
-#       the seven round-4 additions appended at the end. Next round,
+#   _R5_WINDOW  (36 keys) — the remaining never-checked keys, including
+#       the eight round-4 additions appended at the end. Next round,
 #       promote this tuple to the front (one-line swap below) and every
 #       one of the 178 keys will have a driver CORRECTNESS row.
 #   everything else (100 keys, driver-green in r01/r02/r03) follows.
@@ -91,7 +91,7 @@ _R5_WINDOW = (
     # stratified sampler, PCA-input covariance)
     "q_tpcds_rollup_rank", "q_tpcds_moving_dev", "q_tpcds_cumulative_lead",
     "q_sim_ivfpq_index", "q_sample_stratified", "q_emb_covariance",
-    "q_heavy_hitters_cms",
+    "q_heavy_hitters_cms", "q_hll_rollup_union",
 )
 
 

@@ -116,6 +116,7 @@ EXTENDED = (
     "q_sample_stratified",   # exact-fraction stratified sampler
     "q_emb_covariance",      # 2080-entry exact covariance matrix
     "q_heavy_hitters_cms",   # CMS candidates + exact verify
+    "q_hll_rollup_union",    # mergeable HLL sketch re-aggregation
 )
 
 

@@ -1,5 +1,6 @@
 """Sketch-based operators beyond the built-in approx family
-(SURVEY.md §2B): deterministic Count-Min heavy hitters.
+(SURVEY.md §2B): deterministic Count-Min heavy hitters and mergeable
+Datasketches-HLL rollups.
 
 q_agg_approx / q_approx_quantile exercise Spark's built-in sketches
 (HLL++, KLL-ish percentile_approx); this module adds the classic sketch
@@ -153,3 +154,77 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# q_hll_rollup_union — mergeable-sketch re-aggregation (Datasketches HLL):
+# per-day partial sketches union up to source totals without rescanning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hll_rollup_union",
+    oracle="""
+WITH fine AS (
+  SELECT source, CAST(ts AS DATE) AS day, user_id
+  FROM (
+    SELECT d.source, e.ts, e.user_id
+    FROM events e JOIN documents d ON e.user_id % 500 = d.doc_id
+  )
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM fine GROUP BY source
+)
+SELECT source, exact_users, n_days, TRUE AS union_within_bound
+FROM per_source
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def q_hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup contract: per-(source, day) Datasketches
+    HLL partials UNION up to per-source distinct-user estimates, asserted
+    within 5% of the exact count — the q_approx_error discipline applied
+    to sketch RE-aggregation.
+
+    Why this matters at 100 TB: a distinct-count dashboard cannot rescan
+    history per refresh. The mergeable-sketch pattern stores one small
+    sketch per (dimension, day) partition and answers any coarser grain
+    by UNIONING sketches — this query proves the union path end-to-end
+    (hll_sketch_agg → hll_union_agg → estimate vs the exact distinct).
+    The estimates are engine-internal and can never hash-match, so the
+    oracle checks the exact counts and the bound flag (lgConfigK=14 ⇒
+    σ≈0.8%; 5% is >6σ — a false alarm means the sketch is broken, not
+    unlucky). The events→documents attachment is a synthetic
+    fan-in join (user_id mod |docs|) giving each source a multi-day user
+    population worth sketching.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    fine = ev.join(
+        F.broadcast(docs), ev.user_id % 500 == docs.doc_id
+    ).select("source", "day", "user_id")
+    partials = fine.groupBy("source", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_day_users"),
+    )
+    rolled = partials.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exact = fine.groupBy("source").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "source").select(
+        "source",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        "n_days",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_within_bound"),
+    )
