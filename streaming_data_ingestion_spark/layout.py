@@ -131,3 +131,77 @@ def write_compacted(
         )
     finally:
         df.unpersist()
+
+
+def zorder_value(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Z-order (Morton) key: interleave the bits of each column's
+    min-max-normalized rank so rows close in EVERY dimension land close
+    in the one-dimensional sort order.
+
+    ``mins``/``maxs`` are the per-column bounds (driver scalars from one
+    tiny aggregate). Normalization is linear — adequate for clustering;
+    heavy skew can swap in rank-based scaling via
+    ranking.with_global_rank without changing the interleave. The
+    interleave itself is ~bits×dims shift/or terms, all
+    whole-stage-codegen'd.
+    """
+    n = len(cols)
+    scale = (1 << bits) - 1
+    ints = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            ints.append(F.lit(0).cast("long"))
+        else:
+            ints.append(
+                F.least(
+                    F.lit(scale),
+                    F.floor(
+                        (col.cast("double") - float(lo)) / span * scale
+                    ).cast("long"),
+                )
+            )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(ints):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * n + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order of ``cluster_cols``.
+
+    Hive partitioning prunes on ONE coarse key and bucketing serves ONE
+    join key; Z-ordering is the layout for MULTI-dimensional range
+    filters: each output file covers a small hyper-rectangle of the key
+    space, so parquet footer min/max statistics let a scan skip files
+    for a predicate on ANY clustered column (or several at once). One
+    bounds aggregate + one range exchange on the z-key; the z column
+    itself is dropped before writing.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(c).alias(f"_hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).collect()[0]
+    mins = [bounds[f"_lo_{i}"] for i in range(len(cluster_cols))]
+    maxs = [bounds[f"_hi_{i}"] for i in range(len(cluster_cols))]
+    z = zorder_value(cluster_cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

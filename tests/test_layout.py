@@ -233,3 +233,57 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for c, v in saved.items():
             spark.conf.set(c, v)
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must each cover a small rectangle of the
+    (user_id, value) key space — the footer min/max stats that let a
+    scan skip files for a range predicate on EITHER column. A
+    round-robin layout's files each span ~the whole domain; the z-order
+    layout's average normalized span must be far smaller on both axes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_data_ingestion_spark.layout import write_zordered
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    n_files = 8
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files)
+    rpath = str(tmp_path / "roundrobin")
+    ev.repartition(n_files).write.parquet(rpath)
+
+    def spans(path):
+        u_spans, v_spans = [], []
+        lo_u, hi_u, lo_v, hi_v = None, None, None, None
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            iu, iv = schema_names.index("user_id"), schema_names.index("value")
+            fu_lo = min(md.row_group(r).column(iu).statistics.min for r in range(md.num_row_groups))
+            fu_hi = max(md.row_group(r).column(iu).statistics.max for r in range(md.num_row_groups))
+            fv_lo = min(md.row_group(r).column(iv).statistics.min for r in range(md.num_row_groups))
+            fv_hi = max(md.row_group(r).column(iv).statistics.max for r in range(md.num_row_groups))
+            per_file.append((fu_lo, fu_hi, fv_lo, fv_hi))
+        lo_u = min(p[0] for p in per_file); hi_u = max(p[1] for p in per_file)
+        lo_v = min(p[2] for p in per_file); hi_v = max(p[3] for p in per_file)
+        for fu_lo, fu_hi, fv_lo, fv_hi in per_file:
+            u_spans.append((fu_hi - fu_lo) / max(hi_u - lo_u, 1e-12))
+            v_spans.append((fv_hi - fv_lo) / max(hi_v - lo_v, 1e-12))
+        return sum(u_spans) / len(u_spans), sum(v_spans) / len(v_spans)
+
+    zu, zv = spans(zpath)
+    ru, rv = spans(rpath)
+    # round-robin files each span most of the domain (small per-file
+    # samples at fixture scale leave the extremes slightly unvisited)
+    assert ru > 0.6 and rv > 0.6
+    # z-ordered files cluster BOTH dimensions simultaneously
+    assert zu < 0.5 * ru, (zu, ru)
+    assert zv < 0.5 * rv, (zv, rv)
+    # and the data survives the round trip
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
