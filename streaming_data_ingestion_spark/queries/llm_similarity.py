@@ -746,10 +746,10 @@ WITH s AS (
 SELECT
   vec_id,
   scale,
-  list_transform(
+  array_to_string(list_transform(
     embedding,
     x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0) AS INTEGER)
-  ) AS q8,
+  ), ',') AS q8,
   CAST(floor(CAST(embedding[1] AS DOUBLE) / scale * 127.0) AS INTEGER)
     * scale / 127.0 AS dequant_first
 FROM s
@@ -759,7 +759,10 @@ FROM s
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization: scale = max(|x_i|), each
     component mapped to floor(x/scale·127) ∈ [-127, 127], plus the
-    dequantized first component as a round-trip witness.
+    dequantized first component as a round-trip witness. The q8 array is
+    serialized with array_join (≡ DuckDB array_to_string) like
+    q_agg_collect so the driver's pandas canonicalizer — which cannot
+    sort/hash list-typed cells — covers it cell-by-cell.
 
     Zero shuffles — one narrow map over the corpus (the per-vector max
     is a row-side array fold, never an aggregate). floor() is used for
@@ -782,7 +785,7 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id",
         "scale",
-        q8.alias("q8"),
+        F.array_join(q8.cast("array<string>"), ",").alias("q8"),
         (
             F.floor(
                 F.col("embedding")[0].cast("double") / F.col("scale") * 127.0
@@ -836,7 +839,18 @@ ORDER BY vec_id
 """
 
 
-@query("q_pq_encode", oracle=_PQ_ORACLE, tags=("llm", "similarity", "ann"))
+# The registered oracle serializes the codes list (array_to_string ≡ Spark
+# array_join) so the driver's pandas canonicalizer — which cannot sort/hash
+# list-typed cells — value-checks it cell-by-cell; _PQ_ORACLE itself stays
+# list-typed because q_sim_pq_adc's oracle indexes codes[s+1] from it.
+_PQ_ORACLE_FLAT = f"""
+SELECT vec_id, array_to_string(codes, ',') AS codes, sq_err
+FROM ({_PQ_ORACLE})
+ORDER BY vec_id
+"""
+
+
+@query("q_pq_encode", oracle=_PQ_ORACLE_FLAT, tags=("llm", "similarity", "ann"))
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: split each 64-d vector into 8
     subspaces of 8 dims, assign each subspace to the nearest of 16
@@ -858,8 +872,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes are what a 100 TB ANN index stores per vector; IVF cell
     (q_sim_ivf) + PQ code is the standard IVFPQ layout.
     """
-    return pq_encode_df(
+    encoded = pq_encode_df(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return encoded.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "sq_err",
     ).orderBy("vec_id")
 
 
@@ -967,7 +986,9 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is additionally cell-pruned by IVF (q_sim_ivf) before ADC scoring,
     and only the ~5 survivors are re-ranked on exact float vectors.
     """
-    codes = q_pq_encode(spark, sf_dir).select("vec_id", "codes")
+    codes = pq_encode_df(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "codes")
     q = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(*_QUERY_IDS))

@@ -89,13 +89,19 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is a FIXED 4×1024 cell grid regardless of vocabulary
     (each occurrence contributes to 4 cells; the cell aggregate
     partial-combines map-side, so the shuffle carries ≤ 4096·partitions
-    rows, never the vocabulary). Candidate selection joins the DISTINCT
-    tokens against the broadcast-sized cell grid and keeps tokens whose
-    MIN-cell estimate clears the φ cut; only those survivors reach the
-    exact count (a candidate-semi-joined aggregate — false positives are
-    then flagged by ``is_true_heavy`` using the same integer
-    cross-multiplied threshold). CMS guarantees est ≥ exact, so no true
-    heavy hitter can be missed.
+    rows, never the vocabulary). Candidate selection is ROW-SIDE: each
+    occurrence recomputes its 4 bucket ids (pure functions of the
+    token), looks its cell counts up via 4 broadcast hash joins against
+    the 4096-row grid, and keeps the row only when the MIN-cell estimate
+    clears the φ cut — so the only token-keyed exchange in the whole
+    plan is the final exact count over SURVIVING occurrences
+    (map-side-combined to ≤ candidates·partitions rows; candidates ≤
+    φ⁻¹ = 200 by the CMS bound). No vocabulary-sized shuffle exists
+    anywhere. False positives are then flagged by ``is_true_heavy``
+    using the same integer cross-multiplied threshold; CMS guarantees
+    est ≥ exact, so no true heavy hitter can be missed. The 1-row total
+    attaches via the allowlisted broadcast-cross-join scalar idiom
+    (single-row build side — see _CARTESIAN_OK in tests/test_plans.py).
     """
     from streaming_data_ingestion_spark.caching import bounded_persist
 
@@ -131,21 +137,36 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = occ.groupBy("r", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    cand = (
-        occ.distinct()
-        .join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("token")
-        .agg(F.min("n").cast("bigint").alias("est"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("est") * _PHI_DENOM >= F.col("n"))
-        .select("token", "est", F.col("n").alias("_total"))
+    # Row-side candidate filter: recompute each occurrence's 4 bucket ids
+    # (pure token functions) and look the cell counts up via 4 broadcast
+    # hash joins against the 4096-row grid — no distinct, no vocab shuffle.
+    scored = toks
+    for r in range(_CMS_DEPTH):
+        grid_r = cells.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
+        )
+        scored = scored.withColumn(
+            f"_b{r}", _bucket(F.col("token"), r)
+        ).join(F.broadcast(grid_r), f"_b{r}")
+    est = F.least(*[F.col(f"_n{r}") for r in range(_CMS_DEPTH)]).cast(
+        "bigint"
     )
-    exact = (
-        toks.join(F.broadcast(cand.select("token")), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    # 1-row total attach: broadcast cross join (BroadcastNestedLoopJoin
+    # with a single-row build side — the repo's allowlisted scalar-attach
+    # idiom, same as q_skew_profile / q_rfm / q_lm_score)
+    survivors = (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn("_est", est)
+        .filter(F.col("_est") * _PHI_DENOM >= F.col("n"))
     )
-    out = cand.join(exact, "token").select(
+    # Only surviving occurrences (≤ φ⁻¹ distinct tokens) reach the exact
+    # count; est/total are constant per token, so min() just reads them.
+    out = survivors.groupBy("token").agg(
+        F.min("_est").alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.min("n").alias("_total"),
+    )
+    return out.select(
         "token",
         "est",
         "n_exact",
@@ -153,7 +174,6 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_true_heavy"
         ),
     )
-    return out
 
 
 # --------------------------------------------------------------------------

@@ -475,6 +475,10 @@ _CARTESIAN_OK = {
     "q_approx_error",      # scalar comparisons
     "q_emb_outlier",       # centroid table broadcast
     "q_histogram",         # bin spine broadcast
+    "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
+    #                        candidate lookup itself is 4 broadcast HASH
+    #                        joins against the 4096-row grid, no vocab
+    #                        shuffle (see test_cms_candidate_pass below)
 }
 # Iterative operators execute driver-coordinated jobs eagerly at build
 # time — too expensive for a plan sweep.
@@ -498,6 +502,55 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             bad[name] = "cartesian/nested-loop join in plan"
     assert not bad, bad
+
+
+def test_oracled_outputs_are_scalar_only(spark):
+    """Driver-canonicalizer safety: the driver sorts/hashes result frames
+    with pandas, which cannot handle list/map/struct/binary cells
+    (round 4's only two red rows were bare array<int> columns from
+    q_pq_encode/q_emb_quantize). Every ORACLED query must therefore emit
+    scalar columns only — arrays are serialized with array_join (Spark) /
+    array_to_string (DuckDB), the q_agg_collect idiom. Rows-only queries
+    (no oracle) are exempt: the driver only counts their rows."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, spec in sorted(all_queries().items()):
+        if spec.oracle is None or name in _SWEEP_SKIP:
+            continue
+        try:
+            schema = spec.fn(spark, SF_DIR).schema
+        except Exception as e:
+            bad[name] = f"schema build failed: {e}"
+            continue
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, bad
+
+
+def test_cms_candidate_pass(spark):
+    """q_heavy_hitters_cms's candidate selection must be row-side: the
+    cell grid attaches via broadcast HASH joins (one per sketch row) and
+    the only token-keyed exchange in the whole plan is the final exact
+    count over surviving occurrences — never a vocabulary-sized
+    distinct. The claim 'shuffle ≤ grid·partitions + survivors, never
+    the vocabulary' is enforced here end-to-end."""
+    plan = plan_of(spark, "q_heavy_hitters_cms")
+    assert plan.count("BroadcastHashJoin") >= 4
+    token_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "token" in ln
+    ]
+    assert len(token_exchanges) <= 1, token_exchanges
 
 
 def test_sample_topk_hash_prunes_map_side(spark):

@@ -476,7 +476,9 @@ def test_emb_quantize_roundtrip_bound(spark):
     assert len(out) == len(orig)
     for vid in list(out.index)[:50]:
         scale = out.loc[vid, "scale"]
-        q8 = list(out.loc[vid, "q8"])
+        # q8 is serialized as a comma-joined string (driver-canonicalizer
+        # safety — see test_plans.test_oracled_outputs_are_scalar_only)
+        q8 = [int(v) for v in out.loc[vid, "q8"].split(",")]
         emb = list(orig.loc[vid, "embedding"])
         assert all(-127 <= q <= 127 for q in q8), vid
         step = scale / 127.0
@@ -549,7 +551,8 @@ def test_pq_encode_matches_sequential_model(spark):
             codes.append(dists.index(m))
             err = err + m
         r = got[row["vec_id"]]
-        assert list(r["codes"]) == codes
+        # codes is serialized as a comma-joined string (driver safety)
+        assert [int(v) for v in r["codes"].split(",")] == codes
         assert r["sq_err"] == err
         assert all(0 <= c < _PQ_K for c in codes)
 
