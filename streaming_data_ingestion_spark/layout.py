@@ -144,8 +144,22 @@ def zorder_value(cols: list, mins: list, maxs: list, bits: int = 16):
     ranking.with_global_rank without changing the interleave. The
     interleave itself is ~bits×dims shift/or terms, all
     whole-stage-codegen'd.
+
+    ``bits`` is clamped so bits·dims ≤ 63: the interleaved key lives in
+    a signed 64-bit long, and letting the top bit reach bit 63 (e.g. 4
+    columns at the old default 16) would flip the sign for rows high in
+    the last dimension — they'd sort BEFORE everything else and the
+    min/max file-skipping contract would silently break (5+ columns
+    would additionally wrap Java's mod-64 shifts). Fewer bits per
+    dimension only coarsens the clustering granularity, never its
+    correctness.
     """
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}): 63 bits max")
     scale = (1 << bits) - 1
     ints = []
     for c, lo, hi in zip(cols, mins, maxs):

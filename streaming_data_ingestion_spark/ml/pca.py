@@ -78,33 +78,44 @@ def fit_pca(df: DataFrame, k: int, col: str = "embedding") -> PCAModel:
     # own projection): in the same select as posexplode it would be
     # re-evaluated per exploded row, giving every (row, dim) a distinct
     # id and silently killing all off-diagonal pairs.
+    # persist() before the self-join: monotonically_increasing_id is
+    # NONdeterministic, and without materialization the two join subtrees
+    # would each recompute it from their own scan — any divergence in
+    # partition layout (AQE re-plan, task retry, nondeterministic
+    # upstream) would misalign the ids and silently zero the off-diagonal
+    # moments. ranking.with_global_rank persists for the same reason.
     based = df.select(
         F.monotonically_increasing_id().alias("_rid"), F.col(col).alias("_v")
-    )
-    with_id = based.select(
-        "_rid", F.posexplode("_v").alias("i", "x")
-    ).select("_rid", "i", F.col("x").cast("double").alias("xi"))
-    a, b = with_id.alias("a"), with_id.alias("b")
-    mom_rows = (
-        a.join(
-            b,
-            (F.col("a._rid") == F.col("b._rid"))
-            & (F.col("b.i") >= F.col("a.i")),
+    ).persist()
+    try:
+        with_id = based.select(
+            "_rid", F.posexplode("_v").alias("i", "x")
+        ).select("_rid", "i", F.col("x").cast("double").alias("xi"))
+        a, b = with_id.alias("a"), with_id.alias("b")
+        mom_rows = (
+            a.join(
+                b,
+                (F.col("a._rid") == F.col("b._rid"))
+                & (F.col("b.i") >= F.col("a.i")),
+            )
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(
+                F.sum((F.col("a.xi") * F.col("b.xi")).cast(DEC))
+                .cast("double")
+                .alias("sxx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum((F.col("a.xi") * F.col("b.xi")).cast(DEC))
-            .cast("double")
-            .alias("sxx"),
-            F.count(F.lit(1)).alias("n"),
+        mean_rows = (
+            with_id.groupBy("i")
+            .agg(F.sum(F.col("xi").cast(DEC)).cast("double").alias("s"))
+            .collect()
         )
-        .collect()
-    )
-    mean_rows = (
-        with_id.groupBy("i")
-        .agg(F.sum(F.col("xi").cast(DEC)).cast("double").alias("s"))
-        .collect()
-    )
+    finally:
+        based.unpersist()
+    if not mom_rows or not mean_rows:
+        raise ValueError("fit_pca: input has no rows (or empty vectors)")
     d = len(mean_rows)
     n = int(mom_rows[0]["n"])
     s = np.zeros(d)

@@ -11,10 +11,15 @@ distributed construction used here instead:
    (sampled boundaries), the same machinery behind a distributed ORDER
    BY; partition ids come out ascending in key order.
 2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — a local
-   per-partition dense sequence in sorted order. No bit-layout
-   assumption on the id is made: the per-partition MIN of the id is
-   subtracted out, so only "ascending within a partition" (its
-   documented contract) is relied on.
+   per-partition dense sequence in sorted order. Beyond the documented
+   "ascending within a partition" contract, the offset arithmetic
+   additionally relies on the ids being CONSECUTIVE within each
+   partition (true of the current implementation: base = pid << 33 plus
+   a per-row counter). That stronger assumption is CHECKED, not
+   trusted: the stats pass also aggregates max(id) and fails loudly if
+   any partition has max − min + 1 ≠ count, so a future Spark that
+   introduced gaps would raise instead of silently producing
+   overlapping ranks.
 3. One tiny aggregate (rows = #partitions) collects per-partition counts
    and id bases; the driver prefix-sums counts into offsets and
    broadcast-joins them back. global rank = offset + (id − base) + 1.
@@ -76,11 +81,19 @@ def with_global_rank(
     else:
         tagged = _build().persist()
     stats = tagged.groupBy(_PID).agg(
-        F.count(F.lit(1)).alias("n"), F.min(_MID).alias("m0")
+        F.count(F.lit(1)).alias("n"),
+        F.min(_MID).alias("m0"),
+        F.max(_MID).alias("m1"),
     ).collect()
     offset = 0
     recs = []
     for r in sorted(stats, key=lambda r: r[_PID]):
+        if r["m1"] - r["m0"] + 1 != r["n"]:
+            raise AssertionError(
+                "monotonically_increasing_id produced non-consecutive ids "
+                f"within partition {r[_PID]} (span {r['m1'] - r['m0'] + 1} "
+                f"!= count {r['n']}); global-rank offsets would be wrong"
+            )
         recs.append((r[_PID], offset, r["m0"]))
         offset += r["n"]
     total = offset

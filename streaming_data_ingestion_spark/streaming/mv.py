@@ -84,6 +84,60 @@ def _query_ns(spark: SparkSession, checkpoint_dir: str) -> str:
     return str(json.loads(row["value"])["id"])
 
 
+def _migrate_legacy_markers(
+    spark: SparkSession, table_path: str, part_cols: list[str]
+) -> None:
+    """One-time format migration: early versions stamped ``last_epoch``
+    as a LONG (``F.lit(epoch_id)``); the marker is now a STRING
+    (``run_ns:epoch``). A dynamic partition overwrite that lands string
+    markers next to legacy long partitions would leave a mixed-type
+    column across partitions and brick the next ``spark.read.parquet``
+    on schema merge — so before the first merge into a table whose
+    schema still says a non-string marker, rewrite it once with the
+    marker cast to string (same partition layout). Steady state is a
+    footer-only schema probe; the full-table rewrite runs at most once
+    per legacy table ever. Cannot clash with concurrent epochs: the
+    caller is the foreachBatch merge, which Spark serializes per query.
+    """
+    if table_path in _MARKER_OK:  # probe once per table per process
+        return
+    try:
+        tbl = spark.read.parquet(table_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return
+        raise
+    types = {f.name: f.dataType.simpleString() for f in tbl.schema.fields}
+    if types.get(_EPOCH_COL) in (None, "string"):
+        _MARKER_OK.add(table_path)
+        return
+    migrated = tbl.withColumn(_EPOCH_COL, F.col(_EPOCH_COL).cast("string"))
+    tmp = table_path.rstrip("/") + "__marker_migration"
+    migrated.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    (
+        spark.read.parquet(tmp)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(table_path)
+    )
+    _rm_path(spark, tmp)
+    _MARKER_OK.add(table_path)
+
+
+_MARKER_OK: set[str] = set()
+
+
+def _rm_path(spark: SparkSession, path: str) -> None:
+    """Delete a staging directory via Hadoop's FileSystem API (works on
+    any supported filesystem, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def _read_existing(spark: SparkSession, table_path: str, member):
     """Read the touched slice of the table; None only if the table truly
     does not exist yet. Any OTHER read failure propagates — swallowing a
@@ -116,6 +170,7 @@ def _merge_idempotent(
     day-grain partition rather than see day ``d`` stamped and skip it."""
     spark = delta.sparkSession
     marker = f"{run_ns}:{epoch_id}" if run_ns is not None else str(epoch_id)
+    _migrate_legacy_markers(spark, table_path, part_cols)
     delta.persist()
     existing = None
     try:

@@ -287,3 +287,44 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0
+
+
+def test_zorder_clamps_bits_to_sign_safe_range(spark):
+    """With 4+ cluster columns the naive bits=16 interleave would push
+    the top bit onto bit 63 (the sign bit) — rows high in the last
+    dimension would sort BEFORE everything else and the min/max
+    file-skipping contract would silently break. zorder_value must clamp
+    bits so bits·dims ≤ 63 and keep every key non-negative."""
+    import pytest as _pytest
+
+    from streaming_data_ingestion_spark.layout import zorder_value
+
+    ev = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    bounds = ev.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in ev.columns],
+        *[F.max(c).alias(f"hi_{c}") for c in ev.columns],
+    ).collect()[0]
+    cols = list(ev.columns)
+    mins = [bounds[f"lo_{c}"] for c in cols]
+    maxs = [bounds[f"hi_{c}"] for c in cols]
+
+    z4 = zorder_value(cols, mins, maxs, bits=16)  # would be 64 bits naive
+    stats = ev.select(z4.alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert stats["lo"] >= 0, "sign bit leaked into the z-order key"
+    # clamped to 15 bits/dim ⇒ top interleaved bit is 4·15−1 = 59
+    assert stats["hi"] < (1 << 60)
+
+    # monotone sanity: a row maximal in every dimension must not sort
+    # below a row minimal in every dimension (the sign-flip symptom)
+    probe = spark.createDataFrame(
+        [tuple(mins), tuple(maxs)], schema=ev.schema
+    ).select(z4.alias("z"))
+    z_lo, z_hi = [r["z"] for r in probe.collect()]
+    assert z_lo < z_hi
+
+    with _pytest.raises(ValueError):
+        zorder_value([f"c{i}" for i in range(64)], [0] * 64, [1] * 64)

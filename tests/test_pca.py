@@ -71,3 +71,22 @@ def test_pca_refit_is_deterministic(spark):
     assert m1.components == m2.components
     assert m1.explained_variance == m2.explained_variance
     assert m1.mean == m2.mean
+
+
+def test_pca_fails_fast_on_empty_input(spark):
+    """fit_pca on an empty frame must raise a clear ValueError, not an
+    IndexError from indexing an empty collect."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from streaming_data_ingestion_spark.ml.pca import fit_pca
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+        ),
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        fit_pca(empty, k=2)

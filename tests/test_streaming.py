@@ -908,3 +908,47 @@ def test_mv_rollup_multiwave_with_replay_matches_batch(spark, tmp_path):
     want_full = batch_fn(spark, SF_DIR)
     assert final.count() == want_full.count()
     assert final.exceptAll(want_full).count() == 0
+
+
+def test_mv_legacy_long_marker_migrates_once(spark, tmp_path):
+    """Tables written by the pre-run_ns code stamped last_epoch as a
+    LONG; the current merge writes STRING markers. Without migration the
+    first dynamic overwrite would leave a mixed-type column across
+    partitions and the next read would fail on schema merge. The merge
+    must detect the legacy type, rewrite once, and then merge normally."""
+    import streaming_data_ingestion_spark.streaming.mv as mv
+
+    table = str(tmp_path / "daily_legacy")
+    ev = load(spark, SF_DIR, "events").select("ts", "event_type").limit(200)
+
+    # fabricate a legacy table: daily counts with a LONG last_epoch,
+    # partitioned the same way the maintainer writes it
+    legacy = mv._daily_counts(ev).withColumn("last_epoch", F.lit(0))
+    assert dict(legacy.dtypes)["last_epoch"] in ("int", "bigint")
+    legacy.write.mode("overwrite").partitionBy("day").parquet(table)
+    mv._MARKER_OK.discard(table)  # fresh probe for this path
+
+    once = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+
+    # a new run's epoch 0 merges on top of the migrated table
+    wb = mv.merge_daily_counts(table, run_ns="run-new")
+    wb(ev, 0)
+
+    after = spark.read.parquet(table)
+    assert dict(after.dtypes)["last_epoch"] == "string"
+    got = {
+        (r["day"], r["event_type"]): r["n"] for r in after.collect()
+    }
+    assert got == {k: 2 * v for k, v in once.items()}
+    # replay of the same epoch after migration: still a no-op
+    wb(ev, 0)
+    again = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == got
+    # and the staging dir is cleaned up
+    assert not (tmp_path / "daily_legacy__marker_migration").exists()
