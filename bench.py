@@ -117,6 +117,7 @@ EXTENDED = (
     "q_emb_covariance",      # 2080-entry exact covariance matrix
     "q_heavy_hitters_cms",   # CMS candidates + exact verify
     "q_hll_rollup_union",    # mergeable HLL sketch re-aggregation
+    "q_zorder_scan",         # 2-D range filter through the Z-ordered layout
 )
 
 

@@ -6,6 +6,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     event_analytics,
     functions_scalar,
     joins,
+    layout_q,
     llm_dedup,
     llm_pipeline,
     llm_quality,

@@ -328,3 +328,79 @@ def test_zorder_clamps_bits_to_sign_safe_range(spark):
 
     with _pytest.raises(ValueError):
         zorder_value([f"c{i}" for i in range(64)], [0] * 64, [1] * 64)
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    """The registered q_zorder_scan read path must actually skip: (a)
+    both range predicates reach the parquet reader as PushedFilters, and
+    (b) by footer min/max statistics, the set of files that can match
+    the 2-D rectangle is a strict subset of the layout — while the same
+    data written round-robin matches in (nearly) every file. This is the
+    read-path twin of test_zorder_clusters_both_dimensions, tied to the
+    oracle-checked query instead of a synthetic layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_data_ingestion_spark.queries.layout_q import (
+        _PART_HI,
+        _PART_LO,
+        _SHIP_HI,
+        _SHIP_LO,
+        zordered_lineitem_path,
+    )
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    # (a) plan: both predicates pushed to the scan
+    plan = _plan(all_queries()["q_zorder_scan"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_partkey" in joined, joined
+
+    # (b) footer stats: matching-file subset strictly smaller than total
+    import datetime as _dt
+
+    zpath = zordered_lineitem_path(spark, SF_DIR)
+    lo_d = _dt.date.fromisoformat(_SHIP_LO)
+    hi_d = _dt.date.fromisoformat(_SHIP_HI)
+
+    def matching(path):
+        files = glob.glob(f"{path}/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            i_d, i_p = names.index("l_shipdate"), names.index("l_partkey")
+            f_d_lo = min(
+                md.row_group(r).column(i_d).statistics.min
+                for r in range(md.num_row_groups)
+            )
+            f_d_hi = max(
+                md.row_group(r).column(i_d).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            f_p_lo = min(
+                md.row_group(r).column(i_p).statistics.min
+                for r in range(md.num_row_groups)
+            )
+            f_p_hi = max(
+                md.row_group(r).column(i_p).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            if f_d_lo <= hi_d and f_d_hi >= lo_d and (
+                f_p_lo <= _PART_HI and f_p_hi >= _PART_LO
+            ):
+                hit += 1
+        return hit, len(files)
+
+    z_hit, z_total = matching(zpath)
+    assert z_total >= 8
+    assert z_hit < z_total / 2, (z_hit, z_total)
+
+    # same data + schema (the stored copy's DATE columns carry stats —
+    # raw fixture timestamps are INT96, which has none), just unclustered
+    rpath = str(tmp_path / "lineitem_rr")
+    spark.read.parquet(zpath).repartition(z_total).write.parquet(rpath)
+    r_hit, r_total = matching(rpath)
+    assert r_hit > z_hit, (r_hit, z_hit)
