@@ -118,6 +118,7 @@ EXTENDED = (
     "q_heavy_hitters_cms",   # CMS candidates + exact verify
     "q_hll_rollup_union",    # mergeable HLL sketch re-aggregation
     "q_zorder_scan",         # 2-D range filter through the Z-ordered layout
+    "q_sim_ivfpq_recall",    # stored-index partial-probe recall contract
 )
 
 

@@ -1244,3 +1244,314 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "cell", "adc_dist", "exact_dist"
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_ivfpq_recall — hash-verified quality contract for the STORED
+# partial-probe IVFPQ path: hits@5 vs the brute-force L2 truth.
+# --------------------------------------------------------------------------
+
+_RERANK = 20
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Squared L2 distance as the same sequential double fold as the
+    Spark side (zip_with diff² → aggregate)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_DIM + 1}), i -> {d} * {d})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return _fold_sum(
+        F.zip_with(
+            _as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)
+        )
+    )
+
+
+# one deterministic-cell index per (session, sf_dir) — same memo shape
+# as the kmeans-cell index above, but the coarse quantizer is the
+# SQL-expressible q_sim_ivf rule (centroids = first-K corpus vectors,
+# cosine assignment), which is what makes the WHOLE partial-probe path
+# oracle-checkable.
+_DET_INDEX_MEMO: dict[str, str] = {}
+
+
+def _det_ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, centroid_id, sim): every vector scored
+    against the K deterministic centroids — the q_sim_ivf coarse
+    quantizer, shared by the index build and the probe selection."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    return e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        _cos(F.col("embedding"), F.col("c_emb")).alias("sim"),
+    )
+
+
+def _det_ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _DET_INDEX_MEMO:
+        from streaming_data_ingestion_spark.layout import write_partitioned
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"spark-warehouse/ivfpq_det_{tag}"
+        scored = _det_ivf_scored(spark, sf_dir)
+        best = F.max_by(
+            F.struct(F.col("centroid_id"), F.col("embedding")),
+            F.struct(F.col("sim"), (-F.col("centroid_id")).alias("tie")),
+        ).alias("best")
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(best)
+            .select(
+                "vec_id",
+                F.col("best.embedding").alias("embedding"),
+                F.col("best.centroid_id").alias("cell"),
+            )
+        )
+        coded = pq_encode_df(
+            assign.select(
+                "vec_id",
+                "cell",
+                F.col("embedding").alias("emb_keep"),
+                "embedding",
+            )
+        )
+        indexed = coded.select(
+            "vec_id", "cell", "codes",
+            F.col("emb_keep").alias("embedding"),
+        )
+        write_partitioned(indexed, path, ["cell"])
+        _DET_INDEX_MEMO[sf_dir] = path
+    return _DET_INDEX_MEMO[sf_dir]
+
+
+_IVFPQ_RECALL_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_sql_cos("e.embedding", "c.c_emb")} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, centroid_id ASC) AS crn
+  FROM scored
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, centroid_id AS cell
+  FROM ranked
+  WHERE vec_id IN ({_SQL_IVF_QUERY_IDS}) AND crn <= {_IVF_NPROBE}
+),
+codes AS ({_PQ_ORACLE}),
+cand AS (
+  SELECT p.q_id, p.q_emb AS q_emb, a.vec_id, a.embedding,
+         c.codes AS codes,
+         {" + ".join(_adc_sql_term(s) for s in range(_PQ_SUB))} AS adc_dist
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id
+  JOIN codes c ON c.vec_id = a.vec_id
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adc_dist ASC, vec_id ASC) AS arn
+    FROM cand
+  ) WHERE arn <= {_RERANK}
+),
+ann AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY {_sql_l2("q_emb", "embedding")} ASC, vec_id ASC) AS rnk
+    FROM kept
+  ) WHERE rnk <= 5
+),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_sql_l2("q.embedding", "e.embedding")} ASC,
+                      e.vec_id ASC) AS rnk
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IN ({_SQL_IVF_QUERY_IDS})) q
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+an AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1),
+ht AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT
+  q.q_id,
+  COALESCE(n_ann, 0) AS n_ann,
+  COALESCE(n_hits, 0) AS n_hits,
+  COALESCE(n_hits, 0) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT q_id FROM truth) q
+LEFT JOIN an USING (q_id)
+LEFT JOIN ht USING (q_id)
+"""
+
+
+@query(
+    "q_sim_ivfpq_recall",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    tags=("llm", "similarity", "ann", "index"),
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the STORED partial-probe IVFPQ path against the
+    brute-force L2 truth — the hash-verified quality contract
+    q_sim_ivfpq_index (rows-only) cannot give.
+
+    The index on disk is the real deployment layout (cell-partitioned
+    parquet, PQ codes + float vectors, probe = literal IN over the
+    partition column → PartitionFilters), but its coarse quantizer is
+    the DETERMINISTIC q_sim_ivf rule (centroids = first-K corpus
+    vectors, cosine assignment, ties to the lower id) instead of trained
+    k-means — which is exactly what makes every stage SQL-expressible:
+    cell assignment (q_sim_ivf's oracle idiom), PQ codes (_PQ_ORACLE),
+    ADC scoring (q_sim_pq_adc's fold), the rerank-20 cut
+    (row_number over bit-exact ADC doubles), exact-L2 re-rank, and the
+    final integer hits join. The driver therefore value-hashes the
+    ENTIRE stored-index query path, nprobe=2 < K=8
+    partial probing included — recall here is genuinely < 1.0 when a
+    true neighbor lives in an unprobed cell, and both engines must
+    agree on exactly which. (The fixture embeddings are isotropic, so
+    measured recall sits near the nprobe/K = 0.25 chance floor — the
+    contract under test is bit-exact agreement on the probe/ADC/rerank
+    pipeline, not clustering quality of random vectors; real corpora
+    with cluster structure are what lift IVF recall above chance.)
+
+    Scale: identical to q_sim_ivfpq_index — the probe reads nprobe/K of
+    the corpus via partition pruning, ADC reads codes only (~3% of the
+    vector bytes), and only rerank survivors touch float vectors.
+    """
+    path = _det_ivfpq_index_for(spark, sf_dir)
+    scored = _det_ivf_scored(spark, sf_dir)
+    cw = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id").alias("cell"),
+        )
+    )
+    # literal probed-cell list → PartitionFilters on the index scan
+    # (3 queries × nprobe rows — the driver-side routing-table lookup
+    # every ANN serving path performs)
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probe_cells))
+
+    cand = F.broadcast(probes).join(
+        idx,
+        (probes["cell"] == idx["cell"]) & (idx["vec_id"] != probes["q_id"]),
+    )
+
+    def make_step(s: int, c: Column):
+        def step(acc: Column, d: Column) -> Column:
+            cent = (
+                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double") - 6.0
+            ) / 6.0
+            x = F.element_at(
+                "q_emb", (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
+            ).cast("double")
+            diff = x - cent
+            return acc + diff * diff
+
+        return step
+
+    adc = None
+    for s in range(_PQ_SUB):
+        c = F.element_at("codes", s + 1)
+        term = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
+            F.lit(0.0),
+            make_step(s, c),
+        )
+        adc = term if adc is None else adc + term
+
+    scored_cand = cand.select(
+        "q_id", "q_emb", idx["vec_id"].alias("vec_id"), "embedding",
+        adc.alias("adc_dist"),
+    )
+    aw = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    kept = (
+        scored_cand.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= _RERANK)
+    )
+    ew = Window.partitionBy("q_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    ann = (
+        kept.withColumn(
+            "exact_dist", _l2(F.col("q_emb"), F.col("embedding"))
+        )
+        .withColumn("rnk", F.row_number().over(ew))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id")
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    tw = Window.partitionBy("q_id").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    truth = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", _l2(F.col("q_emb"), F.col("embedding")).alias("d")
+        )
+        .withColumn("rnk", F.row_number().over(tw))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id")
+    )
+
+    an = ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ht = (
+        truth.join(ann, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        truth.select("q_id")
+        .distinct()
+        .join(an, "q_id", "left")
+        .join(ht, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_ann"), zero).alias("n_ann"),
+            F.coalesce(F.col("n_hits"), zero).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), zero) / 5.0).alias("recall_at_5"),
+        )
+    )
