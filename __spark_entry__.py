@@ -99,7 +99,10 @@ _R5_WINDOW = (
 _R5_FRONT = ("q_pq_encode", "q_emb_quantize")
 # Keys first registered in round 5 (no driver row can exist yet) — they
 # take window slots ahead of the longitudinal re-confirmation filler.
-_R5_NEW = ("q_zorder_scan", "q_sim_ivfpq_recall")
+_R5_NEW = (
+    "q_zorder_scan", "q_sim_ivfpq_recall", "q_join_asof_fwd",
+    "q_pca2_project",
+)
 _R1_RECONFIRM = (
     "q_agg_group", "q_agg_global", "q_agg_distinct", "q_agg_having",
     "q_agg_rollup", "q_agg_cube", "q_agg_approx", "q_pivot",

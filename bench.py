@@ -119,6 +119,7 @@ EXTENDED = (
     "q_hll_rollup_union",    # mergeable HLL sketch re-aggregation
     "q_zorder_scan",         # 2-D range filter through the Z-ordered layout
     "q_sim_ivfpq_recall",    # stored-index partial-probe recall contract
+    "q_pca2_project",        # closed-form PCA fit + broadcast-model scoring
 )
 
 

@@ -317,6 +317,91 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_join_asof_fwd — FORWARD as-of join: each click matched to the NEXT
+# purchase at-or-after it (DuckDB: ASOF with `<=`; the other direction of
+# q_join_asof's backward match).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.ts, c.user_id, p.purchase_event_id, p.purchase_ts
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — each click matched to its user's NEXT
+    purchase at or after the click (time-to-conversion attribution looks
+    forward; q_join_asof's last-touch looks backward). DuckDB spells it
+    ``ASOF LEFT JOIN … ON c.ts <= p.purchase_ts``.
+
+    Same scale shape as the backward variant: union both sides tagged by
+    role, ONE window pass per user — here ordered by ts DESCENDING
+    (purchases before clicks at equal ts, so ``<=`` admits the same-
+    instant purchase) with ``last(..., ignorenulls)`` carrying the
+    nearest FOLLOWING purchase backward onto each click. One shuffle on
+    user_id, linear per user, never an O(clicks × purchases) range join.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "ts",
+            "user_id",
+            "purchase_event_id",
+            F.col("ts").alias("p_ts"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    # descending scan: at equal ts the purchase row must still come
+    # FIRST so the click's `<=` match includes the same-instant purchase
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            F.col("is_purchase").desc(),
+            F.col("purchase_event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "is_purchase",
+        F.last("purchase_event_id", ignorenulls=True)
+        .over(w)
+        .alias("purchase_event_id"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    return merged.filter(F.col("is_purchase") == 0).select(
+        "event_id", "ts", "user_id", "purchase_event_id", "purchase_ts"
+    )
+
+
+# --------------------------------------------------------------------------
 # q_join_salted — skew-resistant join via key salting (layout.salted_join).
 # --------------------------------------------------------------------------
 

@@ -435,3 +435,161 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_pca2_project — closed-form 2-D PCA, the ORACLE-CHECKED consumer of the
+# covariance→eigensolve→project pipeline (ml/pca.py is the general-d twin:
+# same moments, numpy eigh instead of the closed form).
+# --------------------------------------------------------------------------
+
+_PCA2_MOM = """
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    {sx} AS sx, {sy} AS sy,
+    {sxx} AS sxx, {sxy} AS sxy, {syy} AS syy
+  FROM qv
+"""
+
+
+@query(
+    "q_pca2_project",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e10 + 0.5)
+              AS HUGEINT) AS qx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1e10 + 0.5)
+              AS HUGEINT) AS qy
+  FROM embeddings
+),
+mom AS ({_PCA2_MOM.format(
+    sx=sql_dec_to_double("SUM(qx)"), sy=sql_dec_to_double("SUM(qy)"),
+    sxx=sql_dec_to_double("SUM(qx * qx)"),
+    sxy=sql_dec_to_double("SUM(qx * qy)"),
+    syy=sql_dec_to_double("SUM(qy * qy)"))}),
+eig AS (
+  SELECT *,
+    (CASE WHEN b = 0.0 THEN (CASE WHEN a >= c THEN 1.0 ELSE 0.0 END)
+          ELSE b END) AS vx0,
+    (CASE WHEN b = 0.0 THEN (CASE WHEN a >= c THEN 0.0 ELSE 1.0 END)
+          ELSE lam - a END) AS vy0
+  FROM (
+    SELECT n, mx, my, a, b, c,
+           ((a + c) + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS lam
+    FROM (
+      SELECT n, mx, my,
+             sxx / n - mx * mx AS a,
+             sxy / n - mx * my AS b,
+             syy / n - my * my AS c
+      FROM (SELECT n, sx / n AS mx, sy / n AS my, sxx, sxy, syy FROM mom)
+    )
+  )
+),
+ev AS (
+  SELECT n, mx, my, a, c, lam,
+    (CASE WHEN flip THEN -vx0 ELSE vx0 END) / nrm AS vx,
+    (CASE WHEN flip THEN -vy0 ELSE vy0 END) / nrm AS vy
+  FROM (
+    SELECT *, sqrt(vx0 * vx0 + vy0 * vy0) AS nrm,
+      (CASE WHEN abs(vx0) >= abs(vy0) THEN vx0 < 0.0 ELSE vy0 < 0.0 END)
+        AS flip
+    FROM eig
+  )
+)
+SELECT
+  q.vec_id,
+  ((CAST(q.qx AS DOUBLE) - e.mx) * e.vx
+   + (CAST(q.qy AS DOUBLE) - e.my) * e.vy) / 1e10 AS pc1,
+  ((CAST(q.qx AS DOUBLE) - e.mx) * (-e.vy)
+   + (CAST(q.qy AS DOUBLE) - e.my) * e.vx) / 1e10 AS pc2,
+  e.lam / ((e.a + e.c)) AS var_share_pc1
+FROM qv q CROSS JOIN ev e
+""",
+    tags=("stats", "embeddings", "ml", "pca"),
+)
+def q_pca2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the principal axes of its first two
+    dimensions — covariance, eigensolve, and projection all inside the
+    engines, hash-verified cell-by-cell.
+
+    This is the registered, oracle-checked consumer of the PCA pipeline
+    that ml/pca.py (general d, driver-side numpy ``eigh``) cannot be:
+    for d=2 the top eigenpair of [[a,b],[b,c]] has the closed form
+    λ₁ = ((a+c) + √((a−c)² + 4b²))/2, v = (b, λ₁−a) — nothing but IEEE
+    +,−,×,÷,√, each correctly rounded and therefore bit-identical in
+    Spark and DuckDB when evaluated in the same textual order (the same
+    contract every cosine fold in llm_similarity relies on). Inputs use
+    q_emb_covariance's integer-quantization rule (q = FLOOR(x·1e10+0.5),
+    exact decimal moment sums) so the moments the closed form consumes
+    are exact integers, not drifting float partials. The eigenvector
+    sign is normalized (largest-|coordinate| positive — ml/pca.py's
+    rule) and b=0 degenerates to the axis-aligned basis explicitly, the
+    same CASE in both engines.
+
+    Plan: ONE global aggregate over the corpus (map-side combined to a
+    single 6-number moment row), broadcast back across the scan via the
+    allowlisted 1-row cross join, then a pure narrow map computes both
+    scores — two passes over the data, no per-row shuffle, exactly how a
+    100 TB whitening/projection stage deploys (fit once, broadcast the
+    model, score at scan speed). pc2 rides along from the orthogonal
+    complement (−v_y, v_x); var_share_pc1 = λ₁/(a+c) is the explained-
+    variance readout every PCA consumer checks first.
+    """
+    emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
+    qv = emb.select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * F.lit(1e10) + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("qx"),
+        F.floor(F.col("embedding")[1].cast("double") * F.lit(1e10) + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("qy"),
+    )
+    mom = qv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("qy").cast("double").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("sxx"),
+        F.sum(F.col("qx") * F.col("qy")).cast("double").alias("sxy"),
+        F.sum(F.col("qy") * F.col("qy")).cast("double").alias("syy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    a = F.col("sxx") / F.col("n") - mx * mx
+    b = F.col("sxy") / F.col("n") - mx * my
+    c = F.col("syy") / F.col("n") - my * my
+    lam = ((a + c) + F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)) / F.lit(
+        2.0
+    )
+    model = mom.select(
+        mx.alias("mx"), my.alias("my"),
+        a.alias("a"), b.alias("b"), c.alias("c"), lam.alias("lam"),
+    ).select(
+        "*",
+        F.when(
+            F.col("b") == 0.0,
+            F.when(F.col("a") >= F.col("c"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).otherwise(F.col("b")).alias("vx0"),
+        F.when(
+            F.col("b") == 0.0,
+            F.when(F.col("a") >= F.col("c"), F.lit(0.0)).otherwise(F.lit(1.0)),
+        ).otherwise(F.col("lam") - F.col("a")).alias("vy0"),
+    )
+    nrm = F.sqrt(F.col("vx0") * F.col("vx0") + F.col("vy0") * F.col("vy0"))
+    flip = F.when(
+        F.abs(F.col("vx0")) >= F.abs(F.col("vy0")), F.col("vx0") < 0.0
+    ).otherwise(F.col("vy0") < 0.0)
+    ev = model.select(
+        "mx", "my", "a", "c", "lam",
+        (F.when(flip, -F.col("vx0")).otherwise(F.col("vx0")) / nrm).alias("vx"),
+        (F.when(flip, -F.col("vy0")).otherwise(F.col("vy0")) / nrm).alias("vy"),
+    )
+    cx = F.col("qx").cast("double") - F.col("mx")
+    cy = F.col("qy").cast("double") - F.col("my")
+    return qv.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        ((cx * F.col("vx") + cy * F.col("vy")) / F.lit(1e10)).alias("pc1"),
+        ((cx * (-F.col("vy")) + cy * F.col("vx")) / F.lit(1e10)).alias("pc2"),
+        (F.col("lam") / (F.col("a") + F.col("c"))).alias("var_share_pc1"),
+    )

@@ -90,3 +90,39 @@ def test_pca_fails_fast_on_empty_input(spark):
     )
     with _pytest.raises(ValueError, match="no rows"):
         fit_pca(empty, k=2)
+
+
+def test_pca2_closed_form_matches_numpy_trainer(spark):
+    """q_pca2_project's closed-form eigenpair must agree with the
+    general-d trainer (ml/pca.py, numpy eigh) restricted to the same two
+    dimensions: same explained-variance share and the same |projection|
+    per vector (sign conventions already aligned; tolerance covers the
+    quantization step and eigh's iterative solve)."""
+    import numpy as np
+
+    from streaming_data_ingestion_spark.ml.pca import fit_pca
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["vec_id"]: r
+        for r in all_queries()["q_pca2_project"].fn(spark, SF_DIR).collect()
+    }
+
+    two_d = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 2).alias("embedding")
+    )
+    model = fit_pca(two_d, k=2)
+    tot = sum(model.explained_variance)
+    share = model.explained_variance[0] / tot
+    any_row = next(iter(got.values()))
+    assert abs(any_row["var_share_pc1"] - share) < 1e-6
+
+    scored = {
+        r["vec_id"]: r["pc1"] for r in model.transform(two_d).collect()
+    }
+    for vid, row in list(got.items())[:100]:
+        assert np.isclose(row["pc1"], scored[vid], atol=1e-6), vid

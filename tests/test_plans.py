@@ -476,6 +476,7 @@ _CARTESIAN_OK = {
     "q_emb_outlier",       # centroid table broadcast
     "q_histogram",         # bin spine broadcast
     "q_sim_ivfpq_recall",  # 8-row centroid fan-out + 3-row query truth side
+    "q_pca2_project",      # 1-row fitted-model broadcast back over the scan
     "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
