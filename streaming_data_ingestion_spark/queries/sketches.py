@@ -105,8 +105,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streaming_data_ingestion_spark.caching import bounded_persist
 
-    def _toks() -> DataFrame:
-        return spread_for_cpu(
+    def _tokb() -> DataFrame:
+        # the 4 bucket ids (salted md5s) are computed ONCE per occurrence
+        # here and cached — both the sketch pass and the candidate lookup
+        # read them back instead of re-hashing the token stream
+        toks = spread_for_cpu(
             load(spark, sf_dir, "documents").select("text")
         ).select(
             F.explode(
@@ -115,39 +118,41 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("token")
         )
+        return toks.select(
+            "token",
+            *[
+                _bucket(F.col("token"), r).alias(f"_b{r}")
+                for r in range(_CMS_DEPTH)
+            ],
+        )
 
-    # the token stream feeds the sketch pass, the candidate distinct, and
-    # the exact verify — bounded-persisted (one live entry per session)
-    toks = bounded_persist("q_heavy_hitters_cms.toks", sf_dir, _toks)
-    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    occ = toks.select(
-        "token",
+    tokb = bounded_persist("q_heavy_hitters_cms.tokb", sf_dir, _tokb)
+    total = tokb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    occ = tokb.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        _bucket(F.col("token"), r).alias("bucket"),
+                        F.col(f"_b{r}").alias("bucket"),
                     )
                     for r in range(_CMS_DEPTH)
                 ]
             )
         ).alias("rb"),
-    ).select("token", "rb.r", "rb.bucket")
+    ).select("rb.r", "rb.bucket")
     cells = occ.groupBy("r", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    # Row-side candidate filter: recompute each occurrence's 4 bucket ids
-    # (pure token functions) and look the cell counts up via 4 broadcast
-    # hash joins against the 4096-row grid — no distinct, no vocab shuffle.
-    scored = toks
+    # Row-side candidate filter: each occurrence's cached bucket ids look
+    # the cell counts up via 4 broadcast hash joins against the 4096-row
+    # grid — no distinct, no vocab shuffle.
+    scored = tokb
     for r in range(_CMS_DEPTH):
         grid_r = cells.filter(F.col("r") == r).select(
             F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
         )
-        scored = scored.withColumn(
-            f"_b{r}", _bucket(F.col("token"), r)
-        ).join(F.broadcast(grid_r), f"_b{r}")
+        scored = scored.join(F.broadcast(grid_r), f"_b{r}")
     est = F.least(*[F.col(f"_n{r}") for r in range(_CMS_DEPTH)]).cast(
         "bigint"
     )
