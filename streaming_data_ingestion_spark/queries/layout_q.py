@@ -63,19 +63,22 @@ def zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
             F.min("l_partkey").alias("p_lo"),
             F.max("l_partkey").alias("p_hi"),
         ).collect()[0]
-        z = zorder_value(
-            [days, F.col("l_partkey")],
-            [bounds["d_lo"], bounds["p_lo"]],
-            [bounds["d_hi"], bounds["p_hi"]],
-        )
-        (
-            li.withColumn("_z", z)
-            .repartitionByRange(16, F.col("_z"))
-            .sortWithinPartitions("_z")
-            .drop("_z")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        if bounds["d_lo"] is None:  # empty table: nothing to cluster
+            li.write.mode("overwrite").parquet(path)
+        else:
+            z = zorder_value(
+                [days, F.col("l_partkey")],
+                [bounds["d_lo"], bounds["p_lo"]],
+                [bounds["d_hi"], bounds["p_hi"]],
+            )
+            (
+                li.withColumn("_z", z)
+                .repartitionByRange(16, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
         _ZORDER_MEMO[sf_dir] = path
     return _ZORDER_MEMO[sf_dir]
 

@@ -50,6 +50,9 @@ EMPTY_SAFE = (
     "q_tpcds_cumulative_lead",
     "q_tpch_q1",
     "q_emb_covariance",
+    "q_join_asof_fwd",
+    "q_zorder_scan",
+    "q_pca2_project",
 )
 
 
