@@ -45,6 +45,43 @@ def _bucket(token: Column, r: int) -> Column:
     return h % _CMS_WIDTH
 
 
+def tokenize_documents(docs: DataFrame) -> DataFrame:
+    """(token) stream from a documents-shaped frame — the ONE
+    tokenization both the batch sketch and the streaming CMS maintainer
+    (streaming/cms_stream.py) use, so their grids are mergeable
+    bit-for-bit."""
+    return docs.select("text").select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+        ).alias("token")
+    )
+
+
+def cms_grid_partial(docs: DataFrame) -> DataFrame:
+    """The 4×1024 Count-Min cell counts of ONE slice of documents:
+    (r, bucket, n BIGINT). CMS grids merge by ADDITION, so per-batch
+    partials summed into a stored grid equal the one-shot grid over the
+    union — the mergeable-sketch contract the streaming maintainer
+    relies on (same shape as hll_union_agg for distinct counts)."""
+    toks = tokenize_documents(docs)
+    occ = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(F.col("token"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("rb.r", "rb.bucket")
+    return occ.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 @query(
     "q_heavy_hitters_cms",
     oracle=f"""
@@ -109,14 +146,8 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 4 bucket ids (salted md5s) are computed ONCE per occurrence
         # here and cached — both the sketch pass and the candidate lookup
         # read them back instead of re-hashing the token stream
-        toks = spread_for_cpu(
-            load(spark, sf_dir, "documents").select("text")
-        ).select(
-            F.explode(
-                F.filter(
-                    F.split(F.trim(F.col("text")), " "), lambda t: t != ""
-                )
-            ).alias("token")
+        toks = tokenize_documents(
+            spread_for_cpu(load(spark, sf_dir, "documents").select("text"))
         )
         return toks.select(
             "token",

@@ -1,0 +1,137 @@
+"""Streaming heavy-hitter maintenance: an incrementally-merged Count-Min
+grid over a document stream.
+
+The batch sketch (queries/sketches.py q_heavy_hitters_cms) answers "which
+tokens exceed φ of all occurrences" with one corpus pass. A 100 TB corpus
+that GROWS cannot re-pass history per refresh — but a CMS grid is
+mergeable by ADDITION (cell counts are plain sums), so the streaming form
+stores one 4×1024 grid table and each micro-batch:
+
+1. computes ITS OWN grid partial (batch-sized work, map-side combined to
+   ≤ 4096 rows — queries/sketches.cms_grid_partial, the same tokenization
+   and hashing as the batch sketch, so grids are bit-compatible),
+2. merges it into the stored grid by summing cell counts, through the
+   same idempotent-replay machinery as the incremental MVs
+   (streaming/mv.py): per-partition epoch markers namespaced by the
+   checkpoint's query id make at-least-once redelivery a no-op.
+
+The maintained invariant (pinned by tests/test_streaming.py): after any
+sequence of micro-batches, with replays injected anywhere, the stored
+grid EQUALS the batch grid over the cumulative prefix bit-for-bit — so
+any candidate's min-cell estimate, and the φ cut itself, are identical to
+what the one-shot sketch would report. The total occurrence count needs
+no separate state: every occurrence contributes exactly one bucket per
+sketch row, so Σ n over any single row r IS the total.
+
+This is the same mergeable-sketch pattern as the HLL rollup
+(q_hll_rollup_union) applied to frequency instead of cardinality — the
+two sketches a streaming corpus dashboard maintains side by side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streaming_data_ingestion_spark.queries.sketches import (
+    _CMS_DEPTH,
+    _bucket,
+    cms_grid_partial,
+)
+from streaming_data_ingestion_spark.streaming.mv import (
+    _merge_idempotent,
+    _query_ns,
+    _resolve_ns,
+)
+
+
+def merge_cms_grid(
+    table_path: str, run_ns: str | Callable[[], str] | None = None
+):
+    """foreachBatch writer: sum this batch's grid partial into the stored
+    4×1024 cell table, partitioned by sketch row ``r`` (4 directories; a
+    batch touches each at most once). Idempotent under epoch replay via
+    the shared per-partition marker protocol."""
+    ns_cache: dict = {}
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _merge_idempotent(
+            cms_grid_partial(batch_df),
+            table_path,
+            key_cols=["r", "bucket"],
+            sum_cols=["n"],
+            part_cols=["r"],
+            epoch_id=epoch_id,
+            run_ns=_resolve_ns(ns_cache, run_ns),
+        )
+
+    return write_batch
+
+
+def maintain_cms_grid(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain the Count-Min grid from a documents stream.
+    Read the grid as plain parquet at ``table_path``; estimate with
+    :func:`estimate_tokens`."""
+    spark = docs_stream.sparkSession
+    writer = (
+        docs_stream.writeStream.foreachBatch(
+            merge_cms_grid(
+                table_path, run_ns=lambda: _query_ns(spark, checkpoint_dir)
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def estimate_tokens(
+    spark: SparkSession,
+    table_path: str,
+    tokens: DataFrame,
+    phi_denom: int = 200,
+) -> DataFrame:
+    """CMS point queries against the stored grid: for each (token) row,
+    the min-cell estimate ``est`` (≥ the true count, never less) and
+    ``is_heavy`` — est·phi_denom ≥ total — using the integer
+    cross-multiplied threshold of the batch sketch.
+
+    Plan: the grid is ≤ 4096 rows + 4 markers — read once, the 4
+    per-row slices broadcast; each probe token computes its bucket ids
+    row-side and looks its cells up via broadcast hash joins. Zero
+    shuffles beyond the probe set itself, any number of probes.
+    """
+    grid = spark.read.parquet(table_path)
+    # total = sum over one sketch row (every occurrence hits each row once)
+    total = int(
+        grid.filter(F.col("r") == 0)
+        .agg(F.sum("n").cast("bigint").alias("t"))
+        .collect()[0]["t"]
+        or 0
+    )
+    out = tokens
+    for r in range(_CMS_DEPTH):
+        grid_r = grid.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
+        )
+        out = out.withColumn(f"_b{r}", _bucket(F.col("token"), r)).join(
+            F.broadcast(grid_r), f"_b{r}", "left"
+        )
+    est = F.least(
+        *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(_CMS_DEPTH)]
+    ).cast("bigint")
+    return out.select(
+        "token",
+        est.alias("est"),
+        (est * phi_denom >= F.lit(total)).alias("is_heavy"),
+    )

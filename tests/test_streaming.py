@@ -952,3 +952,95 @@ def test_mv_legacy_long_marker_migrates_once(spark, tmp_path):
     assert again == got
     # and the staging dir is cleaned up
     assert not (tmp_path / "daily_legacy__marker_migration").exists()
+
+
+def test_streaming_cms_grid_matches_batch_sketch(spark, tmp_path):
+    """Mergeable-CMS contract: micro-batch grid partials summed into the
+    stored table — with replays injected — must equal the one-shot batch
+    grid over the cumulative prefix bit-for-bit, so min-cell estimates
+    and the φ cut are identical to the batch sketch's."""
+    from streaming_data_ingestion_spark.queries.sketches import (
+        cms_grid_partial,
+        tokenize_documents,
+    )
+    from streaming_data_ingestion_spark.streaming.cms_stream import (
+        estimate_tokens,
+        merge_cms_grid,
+    )
+
+    table = str(tmp_path / "cms_grid")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = 500
+    cuts = [0, 150, 350, n]
+    wb = merge_cms_grid(table, run_ns="run-a")
+
+    for epoch in range(3):
+        lo, hi = cuts[epoch], cuts[epoch + 1]
+        wave = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        wb(wave, epoch)
+        wb(wave, epoch)  # injected at-least-once replay
+
+        prefix = docs.filter(F.col("doc_id") < hi)
+        got = spark.read.parquet(table).select("r", "bucket", "n")
+        want = cms_grid_partial(prefix)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    # point estimates from the merged grid == batch grid estimates, and
+    # est >= exact for every probed token (the CMS guarantee)
+    toks = tokenize_documents(docs)
+    toks.persist()
+    sample = toks.groupBy("token").count().orderBy(
+        F.col("count").desc(), F.col("token")
+    ).limit(20)
+    sample.persist()
+    est = {
+        r["token"]: (r["est"], r["is_heavy"])
+        for r in estimate_tokens(
+            spark, table, sample.select("token")
+        ).collect()
+    }
+    exact = {r["token"]: r["count"] for r in sample.collect()}
+    total = toks.count()
+    toks.unpersist()
+    sample.unpersist()
+    assert set(est) == set(exact)
+    for t, (e, heavy) in est.items():
+        assert e >= exact[t], (t, e, exact[t])
+        assert heavy == (e * 200 >= total), t
+
+
+def test_streaming_cms_full_stream_e2e(spark, tmp_path):
+    """maintain_cms_grid through a real file stream (one file per
+    trigger) + checkpoint restart with no new data: grid equals the
+    batch grid, and the restart changes nothing."""
+    from streaming_data_ingestion_spark.queries.sketches import (
+        cms_grid_partial,
+    )
+    from streaming_data_ingestion_spark.streaming.cms_stream import (
+        maintain_cms_grid,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "grid")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_cms_grid(stream, table, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(table).select("r", "bucket", "n")
+    want = cms_grid_partial(docs)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    q2 = maintain_cms_grid(stream, table, ckpt)  # restart, nothing new
+    q2.awaitTermination(120)
+    again = spark.read.parquet(table).select("r", "bucket", "n")
+    assert again.count() == want.count()
+    assert again.exceptAll(want).count() == 0
