@@ -101,7 +101,7 @@ _R5_FRONT = ("q_pq_encode", "q_emb_quantize")
 # take window slots ahead of the longitudinal re-confirmation filler.
 _R5_NEW = (
     "q_zorder_scan", "q_sim_ivfpq_recall", "q_join_asof_fwd",
-    "q_pca2_project",
+    "q_pca2_project", "q_split_leakage_audit",
 )
 _R1_RECONFIRM = (
     "q_agg_group", "q_agg_global", "q_agg_distinct", "q_agg_having",

@@ -13,7 +13,7 @@ tiny aggregate over the source dimension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.registry import query
@@ -362,13 +362,9 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     across pipeline re-runs. A narrow per-row map — no shuffle.
     """
     d = load(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
-    split = (
-        F.when(h.isin("e", "f"), "test")
-        .when(h.isin("c", "d"), "val")
-        .otherwise("train")
+    return d.select(
+        "doc_id", "source", _split_of(F.col("doc_id")).alias("split")
     )
-    return d.select("doc_id", "source", split.alias("split"))
 
 
 # --------------------------------------------------------------------------
@@ -921,4 +917,91 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(
         F.col("strat_rank") <= F.expr("(n_source + 4) div 5")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_split_leakage_audit — do near-duplicates straddle the train/val/test
+# boundary? The eval-integrity audit every LLM data pipeline must run.
+# --------------------------------------------------------------------------
+
+_SQL_SPLIT_OF = (
+    "CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ('e', 'f') "
+    "THEN 'test' "
+    "WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ('c', 'd') "
+    "THEN 'val' ELSE 'train' END"
+)
+
+
+def _split_of(col: Column) -> Column:
+    """q_split_assign's content-addressed split as a row-side expression
+    of any doc-id column — shared so the audit can label PAIR rows
+    without joining the corpus."""
+    h = F.substring(F.md5(col.cast("string").cast("binary")), 1, 1)
+    return (
+        F.when(h.isin("e", "f"), "test")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("train")
+    )
+
+
+def _leakage_oracle() -> str:
+    from streaming_data_ingestion_spark.queries.llm_dedup import _SQL_PAIRS
+
+    fa = _SQL_SPLIT_OF.format(col="doc_a")
+    fb = _SQL_SPLIT_OF.format(col="doc_b")
+    return f"""
+WITH pairs AS ({_SQL_PAIRS}),
+labeled AS (
+  SELECT LEAST({fa}, {fb}) AS split_a, GREATEST({fa}, {fb}) AS split_b
+  FROM pairs
+)
+SELECT split_a, split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS is_leak
+FROM labeled
+GROUP BY split_a, split_b
+"""
+
+
+@query(
+    "q_split_leakage_audit",
+    oracle=_leakage_oracle(),
+    tags=("llm", "pipeline", "dedup", "audit"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup split-leakage audit: count LSH candidate pairs by the
+    (canonically ordered) split pair of their endpoints, flagging every
+    cross-split combination as leakage. A near-duplicate of a training
+    document sitting in test/val silently inflates eval numbers —
+    q_decontaminate checks PROMPT contamination; this audits the
+    corpus's own split boundary against its near-dup structure.
+
+    Plan shape: the pair set is the LSH collision join (never n²), and
+    the split label is q_split_assign's content-addressed hash computed
+    ROW-SIDE on each pair endpoint — a pure function of doc_id, so the
+    audit needs NO join back to the corpus: label, canonicalize
+    (least/greatest), and one ≤9-group aggregate. At 100 TB this costs
+    one pass over the collision set.
+    """
+    from streaming_data_ingestion_spark.queries.llm_dedup import (
+        q_dedup_minhash_pairs,
+    )
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    sa = _split_of(F.col("doc_a"))
+    sb = _split_of(F.col("doc_b"))
+    labeled = pairs.select(
+        F.least(sa, sb).alias("split_a"),
+        F.greatest(sa, sb).alias("split_b"),
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
     )
