@@ -33,6 +33,8 @@ HOSTILE_CHECKED = (
     "q_rolling_active",  # day truncation + date_add window ends
     "q_burstiness",  # unix_micros gaps under a hostile timezone
     "q_seasonal_decompose",  # day buckets + epoch-day dow under hostile tz
+    "q_zorder_scan",  # timestamp→DATE cast in the layout + date literals
+    "q_join_asof_fwd",  # emits raw timestamps matched across event roles
 )
 
 
