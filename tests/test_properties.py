@@ -808,3 +808,65 @@ def test_cms_heavy_hitters_invariants(spark):
     }
     flagged = {r["token"]: r["n_exact"] for r in got if r["is_true_heavy"]}
     assert flagged == truth  # exact recall AND precision after verify
+
+
+def test_join_asof_fwd_matches_naive_model(spark):
+    """Forward as-of invariant: for each click, purchase_ts must be the
+    MINIMUM purchase ts >= click ts for that user (None if no such
+    purchase) — checked against a naive pandas model on a sample."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    got = all_queries()["q_join_asof_fwd"].fn(spark, SF_DIR).toPandas()
+    ev = load(spark, SF_DIR, "events").toPandas()
+    purchases = ev[ev.event_type == "purchase"]
+    by_user = {
+        uid: sorted(g["ts"]) for uid, g in purchases.groupby("user_id")
+    }
+    sample = got.sample(n=min(200, len(got)), random_state=7)
+    for _, row in sample.iterrows():
+        cand = [t for t in by_user.get(row["user_id"], []) if t >= row["ts"]]
+        want = min(cand) if cand else None
+        if want is None:
+            assert row["purchase_ts"] is None or row["purchase_ts"] != row["purchase_ts"]
+        else:
+            assert row["purchase_ts"] == want, (row["user_id"], row["ts"])
+
+
+def test_pca2_projection_invariants(spark):
+    """Closed-form PCA invariants: sample variance of pc1 equals the
+    reported top eigenvalue share of total variance; pc1 ⟂ pc2
+    (covariance ~ 0); pc1 variance >= pc2 variance."""
+    import numpy as np
+
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    pdf = all_queries()["q_pca2_project"].fn(spark, SF_DIR).toPandas()
+    pc1 = pdf["pc1"].to_numpy()
+    pc2 = pdf["pc2"].to_numpy()
+    v1 = pc1.var()  # population variance, matching the moment formulas
+    v2 = pc2.var()
+    share = pdf["var_share_pc1"].iloc[0]
+    assert abs(pdf["var_share_pc1"].std()) < 1e-15  # constant per corpus
+    assert v1 >= v2
+    assert np.isclose(v1 / (v1 + v2), share, atol=1e-9)
+    cov = ((pc1 - pc1.mean()) * (pc2 - pc2.mean())).mean()
+    assert abs(cov) < 1e-9 * max(v1, 1.0)
+
+
+def test_split_leakage_audit_mass_conservation(spark):
+    """The audit's pair counts must sum to the total LSH pair count, and
+    is_leak must be exactly 'endpoints differ'."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q_split_leakage_audit"].fn(spark, SF_DIR).collect()
+    n_pairs = (
+        all_queries()["q_dedup_minhash_pairs"].fn(spark, SF_DIR).count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["split_a"] <= r["split_b"]  # canonical order
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
