@@ -369,9 +369,11 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     you're re-ingesting what you already have).
 
     Same digest machinery as q_dup_substring, but attributed by MIN(doc_id)
-    per gram instead of a count: one explode, one gram-keyed min aggregate
-    (map-side combined, 16-byte digests + one long), joined back onto the
-    gram stream hash-on-digest, then the per-doc rollup.
+    per gram instead of a count: one explode, then MIN(doc_id) OVER
+    (PARTITION BY gram) — a single gram-keyed exchange that both computes
+    the first occurrence and keeps the (doc, gram) rows for the per-doc
+    rollup, replacing the aggregate + join-back formulation (which
+    scanned and hashed the gram stream twice and paid a third exchange).
     """
     d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= _K)
@@ -386,14 +388,13 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    first_seen = per_gram.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    w = Window.partitionBy("gram")
+    flagged = per_gram.select(
+        "doc_id", F.min("doc_id").over(w).alias("first_doc")
+    )
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        per_gram.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
-            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
-        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(novel).alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
