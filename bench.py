@@ -120,6 +120,8 @@ EXTENDED = (
     "q_zorder_scan",         # 2-D range filter through the Z-ordered layout
     "q_sim_ivfpq_recall",    # stored-index partial-probe recall contract
     "q_pca2_project",        # closed-form PCA fit + broadcast-model scoring
+    "q_lm_score_bigram",     # add-one bigram LM cross-entropy filter
+    "q_split_leakage_audit", # near-dup pairs straddling the split boundary
 )
 
 

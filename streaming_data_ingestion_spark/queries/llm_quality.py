@@ -398,3 +398,103 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).alias("n_novel"),
         (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_lm_score_bigram — per-document cross-entropy under the corpus's own
+# add-one-smoothed BIGRAM language model (the stronger perplexity filter).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_score_bigram",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= 2
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toked)
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+),
+c1 AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1)
+SELECT
+  big.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(CAST(SUM(CAST(
+      -ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + (SELECT v FROM v)))
+    AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS ce_nats
+FROM big
+JOIN c12 USING (w1, w2)
+JOIN c1 ON c1.term = big.w1
+GROUP BY big.doc_id
+""",
+    tags=("llm", "quality"),
+)
+def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one-smoothed
+    bigram LM: −mean ln p(w₂|w₁), p = (c(w₁w₂)+1)/(c(w₁)+V).
+
+    The bigram upgrade of q_lm_score — conditioning on the previous
+    token separates fluent text from bag-of-frequent-words boilerplate
+    the unigram model scores identically; a production pipeline swaps in
+    a trained n-gram table, the plumbing (count tables joined onto the
+    gram stream, decimal-summed reduction) is the same.
+
+    Scale shape: the bigram count table joins the bigram stream on its
+    own key — NOT broadcast-hinted, because a 100 TB corpus's bigram
+    vocabulary can exceed any broadcast budget (AQE still broadcasts it
+    when it fits, as at fixture scale); the unigram table broadcasts;
+    V rides the allowlisted 1-row cross join. Smoothed probabilities
+    are single IEEE divisions of exact integers, −ln ULP is absorbed by
+    the same round(6) decimal-mean recipe as q_lm_score.
+    """
+    d = load(spark, sf_dir, "documents")
+    toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 2)
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i.cast("int")).alias("w1"),
+                    F.element_at("t", (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    tok = d.select(F.explode(_tokens()).alias("term"))
+    c1 = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    nll = -F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    )
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(
+            F.broadcast(c1.withColumnRenamed("term", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(nll.cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ce_nats"),
+        )
+    )
