@@ -1044,3 +1044,47 @@ def test_streaming_cms_full_stream_e2e(spark, tmp_path):
     again = spark.read.parquet(table).select("r", "bucket", "n")
     assert again.count() == want.count()
     assert again.exceptAll(want).count() == 0
+
+
+def test_streaming_hist_matches_batch_and_bounds_quantiles(spark, tmp_path):
+    """Mergeable-histogram contract: per-batch bin partials summed into
+    the stored table — with replays — equal the one-shot batch histogram
+    bit-for-bit, and quantile readouts land within one bin width of the
+    exact percentile."""
+    from streaming_data_ingestion_spark.streaming.hist_stream import (
+        hist_partial,
+        merge_value_hist,
+        quantiles_from_hist,
+    )
+
+    lo, hi, bins = 0.0, 1000.0, 256
+    table = str(tmp_path / "hist")
+    ev = load(spark, SF_DIR, "events").select("event_id", "value")
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    wb = merge_value_hist(table, "value", lo, hi, bins, run_ns="run-a")
+
+    for epoch in range(3):
+        lo_c, hi_c = cuts[epoch], cuts[epoch + 1]
+        wave = ev.filter(
+            (F.col("event_id") >= lo_c) & (F.col("event_id") < hi_c)
+        )
+        wb(wave, epoch)
+        wb(wave, epoch)  # injected replay
+
+        prefix = ev.filter(F.col("event_id") < hi_c)
+        got = spark.read.parquet(table).select("pk", "bin", "n")
+        want = hist_partial(prefix, "value", lo, hi, bins)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    qs = [0.5, 0.95, 0.99]
+    est = quantiles_from_hist(spark, table, qs, lo, hi, bins)
+    exact = ev.agg(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias(
+            "p"
+        )
+    ).collect()[0]["p"]
+    width = (hi - lo) / bins
+    for q, want_v in zip(qs, exact):
+        assert abs(est[q] - want_v) <= 2 * width, (q, est[q], want_v)
