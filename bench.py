@@ -122,6 +122,7 @@ EXTENDED = (
     "q_pca2_project",        # closed-form PCA fit + broadcast-model scoring
     "q_lm_score_bigram",     # add-one bigram LM cross-entropy filter
     "q_split_leakage_audit", # near-dup pairs straddling the split boundary
+    "q_source_log_odds",     # Dirichlet-prior log-odds distinctive terms
 )
 
 

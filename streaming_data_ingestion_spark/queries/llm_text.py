@@ -1070,3 +1070,103 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_source_log_odds — per-source distinctive terms (Monroe et al.
+# log-odds ratio with an informative Dirichlet prior).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_source_log_odds",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y_sw
+  FROM tok GROUP BY source, term
+),
+ns AS (
+  SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM st GROUP BY source
+),
+tw AS (
+  SELECT term, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM st GROUP BY term
+),
+tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n FROM tw)
+SELECT
+  st.source,
+  st.term,
+  st.y_sw AS n_in_source,
+  ROUND(
+    (ln(CAST(st.y_sw + tw.y_w AS DOUBLE)
+        / CAST(ns.n_s + tot.n - st.y_sw - tw.y_w AS DOUBLE))
+     - ln(CAST((tw.y_w - st.y_sw) + tw.y_w AS DOUBLE)
+          / CAST((tot.n - ns.n_s) + tot.n - (tw.y_w - st.y_sw) - tw.y_w
+                 AS DOUBLE)))
+    / sqrt(1.0 / CAST(st.y_sw + tw.y_w AS DOUBLE)
+           + 1.0 / CAST((tw.y_w - st.y_sw) + tw.y_w AS DOUBLE)),
+    6
+  ) AS z_log_odds
+FROM st
+JOIN ns USING (source)
+JOIN tw USING (term)
+CROSS JOIN tot
+""",
+    tags=("llm", "text", "stats"),
+)
+def q_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: the log-odds ratio of each
+    term's in-source vs rest-of-corpus usage, shrunk by an informative
+    Dirichlet prior (the corpus's own counts) and z-scaled by its
+    estimated variance — Monroe, Colaresi & Quinn's "Fightin' Words"
+    method, the standard corpus-comparison statistic (raw tf-idf
+    over-weights rare terms; the prior shrinks exactly those).
+
+    All inputs are exact BIGINT counts off ONE (source, term) aggregate
+    (n_s and y_w are second-level sums of it; the 20-row source totals
+    and vocab-sized term totals broadcast back; n rides the allowlisted
+    1-row cross join). The statistic itself is a fixed-order chain of
+    integer casts, two IEEE divisions, two ln's, one sqrt — round(6)
+    absorbs the cross-engine ln ULP, the q_lm_score recipe. Output is
+    the full (source × present-term) relation; consumers rank or
+    threshold it, so no float-ordered rank boundary enters the
+    contract.
+
+    Scale: one token-stream shuffle keyed (source, term) with map-side
+    combine; everything after is vocabulary-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("term"))
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_sw")
+    )
+    ns = st.groupBy("source").agg(F.sum("y_sw").cast("bigint").alias("n_s"))
+    tw = st.groupBy("term").agg(F.sum("y_sw").cast("bigint").alias("y_w"))
+    tot = tw.agg(F.sum("y_w").cast("bigint").alias("n"))
+
+    y_sw, y_w = F.col("y_sw"), F.col("y_w")
+    n_s, n = F.col("n_s"), F.col("n")
+    y_rw = y_w - y_sw
+    delta = F.log(
+        (y_sw + y_w).cast("double") / (n_s + n - y_sw - y_w).cast("double")
+    ) - F.log(
+        (y_rw + y_w).cast("double")
+        / ((n - n_s) + n - y_rw - y_w).cast("double")
+    )
+    var = (
+        F.lit(1.0) / (y_sw + y_w).cast("double")
+        + F.lit(1.0) / (y_rw + y_w).cast("double")
+    )
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(tw), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            y_sw.alias("n_in_source"),
+            F.round(delta / F.sqrt(var), 6).alias("z_log_odds"),
+        )
+    )

@@ -459,6 +459,7 @@ _CARTESIAN_OK = {
     "q_skew_profile",      # 1-row total broadcast
     "q_lm_score",          # 1-row token-total broadcast onto the vocab
     "q_lm_score_bigram",   # 1-row vocabulary-size broadcast (V smoothing)
+    "q_source_log_odds",   # 1-row corpus-total broadcast (Dirichlet prior)
     "q_rfm",               # 1-row corpus max-ts broadcast
     "q_ttest",             # 1-row × 1-row group-moment cross join
     "q_pmi",               # two 1-row corpus-total broadcasts
