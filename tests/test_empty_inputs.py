@@ -53,6 +53,9 @@ EMPTY_SAFE = (
     "q_join_asof_fwd",
     "q_zorder_scan",
     "q_pca2_project",
+    "q_lm_score_bigram",
+    "q_source_log_odds",
+    "q_split_leakage_audit",
 )
 
 
