@@ -449,14 +449,19 @@ def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trained n-gram table, the plumbing (count tables joined onto the
     gram stream, decimal-summed reduction) is the same.
 
-    Scale shape: the bigram count table joins the bigram stream on its
-    own key — NOT broadcast-hinted, because a 100 TB corpus's bigram
-    vocabulary can exceed any broadcast budget (AQE still broadcasts it
-    when it fits, as at fixture scale); the unigram table broadcasts;
-    V rides the allowlisted 1-row cross join. Smoothed probabilities
-    are single IEEE divisions of exact integers, −ln ULP is absorbed by
-    the same round(6) decimal-mean recipe as q_lm_score.
+    Scale shape: the bigram count attaches to the bigram stream as
+    COUNT(*) OVER (PARTITION BY w1, w2) — one bigram-keyed exchange
+    that both counts and keeps the per-doc rows (the q_gram_novelty
+    window idiom), instead of a separate aggregate joined back (which
+    would re-generate the bigram stream and, at 100 TB, shuffle it
+    twice — a bigram vocabulary can exceed any broadcast budget, so
+    that join could not be hinted broadcast either). The vocab-sized
+    unigram table is bounded-persisted (V derives from it without a
+    second token pass) and broadcasts; smoothed probabilities are
+    single IEEE divisions of exact integers, −ln ULP absorbed by the
+    same round(6) decimal-mean recipe as q_lm_score.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
     d = load(spark, sf_dir, "documents")
     toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 2)
     big = toked.select(
@@ -471,20 +476,25 @@ def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c12 = big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12")
+    w12 = Window.partitionBy("w1", "w2")
+    counted = big.withColumn(
+        "c12", F.count(F.lit(1)).over(w12).cast("bigint")
     )
-    tok = d.select(F.explode(_tokens()).alias("term"))
-    c1 = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
-    )
+
+    def _c1() -> DataFrame:
+        return (
+            d.select(F.explode(_tokens()).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        )
+
+    c1 = bounded_persist("q_lm_score_bigram.c1", sf_dir, _c1)
     v = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     nll = -F.log(
         (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
     )
     return (
-        big.join(c12, ["w1", "w2"])
-        .join(
+        counted.join(
             F.broadcast(c1.withColumnRenamed("term", "w1")), "w1"
         )
         .crossJoin(F.broadcast(v))

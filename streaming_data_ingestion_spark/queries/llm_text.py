@@ -1135,13 +1135,22 @@ def q_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract.
 
     Scale: one token-stream shuffle keyed (source, term) with map-side
-    combine; everything after is vocabulary-sized.
+    combine; everything after is vocabulary-sized. The (source, term)
+    aggregate is bounded-persisted so the three total levels (source /
+    term / corpus) derive from the cached sources×vocab rows instead of
+    re-exploding the corpus once each — without it the physical plan
+    contained FOUR full token-stream Generates.
     """
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(_tokens()).alias("term"))
-    st = tok.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("y_sw")
-    )
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    def _st() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        tok = d.select("source", F.explode(_tokens()).alias("term"))
+        return tok.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("y_sw")
+        )
+
+    st = bounded_persist("q_source_log_odds.st", sf_dir, _st)
     ns = st.groupBy("source").agg(F.sum("y_sw").cast("bigint").alias("n_s"))
     tw = st.groupBy("term").agg(F.sum("y_sw").cast("bigint").alias("y_w"))
     tot = tw.agg(F.sum("y_w").cast("bigint").alias("n"))
