@@ -157,22 +157,33 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_bands_df(d: DataFrame) -> DataFrame:
     """Band table over any (doc_id, text) DataFrame — the LSH index
-    build, shared with streaming/dedup_stream.py's historical side."""
+    build, shared with streaming/dedup_stream.py's historical side.
+
+    The 3 band rows per document explode ROW-SIDE from one projection
+    (the CMS-grid idiom) — a union of 3 selects over the signature
+    frame would replicate the whole 12-minhash subtree 3× in every
+    consumer's plan, tripling the shingle/hash compute of the dedup
+    family's most expensive stage."""
     sigs = minhash_sigs_df(d)
-    bands = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh{4 * b + k}") for k in range(4)])
-            ).alias("band_hash"),
-        )
-        for b in range(_N_BANDS)
-    ]
-    out = bands[0]
-    for bdf in bands[1:]:
-        out = out.unionByName(bdf)
-    return out
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"mh{4 * b + k}") for k in range(4)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
 
 
 @query("q_dedup_minhash", oracle=_Q_MINHASH_ORACLE, tags=("llm", "dedup", "lsh"))
