@@ -758,8 +758,10 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collision-sized, never n²) pair list.
     """
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    ids = pairs.selectExpr("doc_a AS id").unionByName(
-        pairs.selectExpr("doc_b AS id")
+    # both endpoints explode row-side from ONE pass over the pair list —
+    # a union of two selects would replicate the whole LSH pair subtree
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("id")
     )
     deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -907,10 +909,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side convergence scalar needed).
     """
     def _build_edges() -> DataFrame:
+        # both orientations explode row-side from ONE pass over the pair
+        # list (a union of two selects would compute it twice per build)
         pairs = _lsh_candidate_pairs(spark, sf_dir)
-        return pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-        )
+        return pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
 
     # persisted via the bounded registry: the edge list feeds the node
     # set, the degree pass, and one join per power iteration
