@@ -52,37 +52,40 @@ SELECT
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many users progressed signup → later click → later purchase.
 
-    Each stage is a filtered per-user MIN joined against the previous
-    stage's timestamp — strict event ordering, not mere co-occurrence.
-    Three user-keyed aggregates + two joins on user_id (broadcast-able
-    as stages shrink), then three scalar counts. At scale every stage
-    reuses the same user_id partitioning, so AQE collapses the chain
-    into one effective shuffle of the events table.
+    Each stage is the per-user MIN timestamp strictly after the previous
+    stage's — strict event ordering, not mere co-occurrence. The three
+    stage times chain as conditional-MIN WINDOWS over ONE user_id
+    partitioning (each window condition references the previous window's
+    result, so they stack in consecutive selects without re-shuffling),
+    then one per-user rollup on the same key and three scalar counts.
+    ONE scan of the events table and one shuffle end-to-end — the
+    filtered-aggregate-per-stage formulation scanned events once per
+    stage and re-joined, 6 scans at 3 stages.
     """
     ev = load(spark, sf_dir, "events")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    ts = F.col("ts")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(is_("signup"), ts)).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when(is_("click") & (ts > F.col("t1")), ts)).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when(is_("purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t_signup"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
     )
 
 

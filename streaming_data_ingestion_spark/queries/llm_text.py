@@ -945,19 +945,33 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined explodes) joined on the bigram's component words
     (vocab-sized hash joins, broadcast-able); the corpus totals are
     1-row broadcasts. round(6) absorbs the cross-engine libm ln() ULP.
+    Both count tables are bounded-persisted: the unigram table feeds
+    its own total plus two broadcast joins and the bigram table its
+    total plus the floor filter — unpersisted, each reference would
+    re-explode the corpus.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     d = load(spark, sf_dir, "documents")
     toked = d.select(_tokens().alias("t"))
-    uni = (
-        toked.select(F.explode("t").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    uni = bounded_persist(
+        "q_pmi.uni",
+        sf_dir,
+        lambda: (
+            toked.select(F.explode("t").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c1"))
+        ),
     )
     t1 = uni.agg(F.sum("c1").alias("n1"))
-    bi_all = (
-        toked.select(F.explode(_bigrams(F.col("t"))).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c2"))
+    bi_all = bounded_persist(
+        "q_pmi.bi",
+        sf_dir,
+        lambda: (
+            toked.select(F.explode(_bigrams(F.col("t"))).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        ),
     )
     t2 = bi_all.agg(F.sum("c2").alias("n2"))
     bi = bi_all.where(F.col("c2") >= _PMI_MIN_COUNT)

@@ -447,7 +447,6 @@ def test_time_weighted_avg_single_shuffle(spark):
 # nested-loop/cross join (broadcast stats rows, scalar maxima, query-side
 # fan-out) — everything else must be free of cartesian shapes.
 _CARTESIAN_OK = {
-    "q_funnel",            # three 1-row counts cross-joined
     "q_dq_audit",          # six 1-row audit counters cross-joined
     "q_bm25",              # 1-row corpus stats broadcast
     "q_zscore",            # per-source stats broadcast (BNLJ fallback ok)
