@@ -717,3 +717,29 @@ def test_histogram_equidepth_has_no_single_partition_stage(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def _final_section(plan: str) -> str:
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_minhash_bands_single_signature_subtree(spark):
+    """The 3 LSH band rows per doc must explode from ONE signature
+    computation: a union-of-selects regression would triplicate the
+    12-minhash subtree in every dedup consumer's plan."""
+    # formatted explain prints each node twice (tree + details): one
+    # physical scan = 2 occurrences
+    plan = _final_section(plan_of(spark, "q_dedup_minhash"))
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    # the self-join pair build reads the (1-scan) band subtree twice
+    plan = _final_section(plan_of(spark, "q_dedup_minhash_pairs"))
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_funnel_is_single_scan_single_shuffle(spark):
+    """q_funnel's window-chain formulation: one events scan, stage
+    windows + per-user rollup sharing one user_id exchange — the
+    per-stage filtered-aggregate chain scanned events 6 times."""
+    plan = _final_section(plan_of(spark, "q_funnel"))
+    assert plan.count("Scan parquet") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
