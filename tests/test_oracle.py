@@ -75,6 +75,25 @@ def _cells_equal(a, b) -> bool:
 def test_query_matches_oracle(name, spark, ddb):
     spec = SPECS[name]
     sdf = spec.fn(spark, SF_DIR)
+
+    if spec.oracle is not None:
+        # Driver-canonicalizer contract: the harness sorts the result frame
+        # with pandas sort_values over all columns, so a list/dict-typed
+        # cell raises "unhashable type" and the key records an ERROR, not
+        # a mismatch (this killed q_pq_encode/q_emb_quantize in round 4).
+        # Every oracled query must therefore emit scalar columns only —
+        # serialize arrays with array_join/to_json (see q_agg_collect).
+        from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+        for f in sdf.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType, BinaryType)
+            ), (
+                f"{name}.{f.name} is {f.dataType.simpleString()}: oracled "
+                "queries must return scalar columns (serialize with "
+                "array_join/to_json so the driver canonicalizer can hash it)"
+            )
+
     spark_pdf = sdf.toPandas()
 
     if spec.oracle is None:
