@@ -36,9 +36,11 @@ from pyspark.sql import functions as F
 from streaming_data_ingestion_spark.registry import query
 from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 from streaming_data_ingestion_spark.queries.llm_text import (
+    _SQL_BIGRAMS,
     _SQL_STOPWORDS,
     _SQL_TOKENS,
     _STOPWORDS,
+    _bigrams,
     _tokens,
     SQL_LANG_PRED,
     lang_prediction,
@@ -507,4 +509,82 @@ def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ce_nats"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_quality_classifier — hashed-bigram linear quality model (fasttext-style).
+# --------------------------------------------------------------------------
+
+# The deployed form of model-based quality filtering (GPT-3 §A.2, CCNet):
+# a linear classifier over hashed n-gram features scores every document and
+# the score gates the corpus. The weights here are a fixture stand-in —
+# derived deterministically from md5 of the bigram so both engines agree
+# bit-for-bit — but the execution shape is exactly the production one:
+# feature hashing + weight lookup + sum is row-local arithmetic.
+_SQL_W = (
+    "(ascii(substr(md5(b), 1, 1)) * 7 + ascii(substr(md5(b), 2, 1)) * 3)"
+    " % 21 - 10"
+)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+SELECT doc_id,
+  CAST(greatest(len({_SQL_TOKENS}) - 1, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(list_sum(list_transform({_SQL_BIGRAMS}, b -> {_SQL_W})), 0)
+       AS BIGINT) AS score_int,
+  CASE WHEN greatest(len({_SQL_TOKENS}) - 1, 0) = 0 THEN 0.0
+       ELSE CAST(coalesce(list_sum(list_transform({_SQL_BIGRAMS},
+                                                  b -> {_SQL_W})), 0)
+                 AS DOUBLE) / (10.0 * (len({_SQL_TOKENS}) - 1))
+  END AS score,
+  CASE WHEN CAST(coalesce(list_sum(list_transform({_SQL_BIGRAMS},
+                                                  b -> {_SQL_W})), 0)
+                 AS BIGINT) > 0
+       THEN 'keep' ELSE 'drop' END AS label
+FROM documents
+""",
+    tags=("llm", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a linear classifier over hashed bigram
+    features scores every document (fasttext / GPT-3-quality-classifier
+    shape); ``label`` is the gate a curation pipeline would filter on.
+
+    Execution is one streaming scan with zero shuffle: bigrams are built
+    row-side (zip-of-slices), each is hashed to a weight (md5-derived —
+    a production run would broadcast a real weight table; the lookup
+    cost model is identical), and the weighted sum folds per row in
+    whole-stage codegen. Scores sum in INTEGER weight units so the
+    cross-engine hash is exact — one float division per row at the end.
+    At 100 TB this is the cheapest possible model pass: no Python, no
+    UDF, no state, embarrassingly parallel.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    wts = F.transform(
+        _bigrams(toks),
+        lambda b: (
+            F.ascii(F.substring(F.md5(b.cast("binary")), 1, 1)) * 7
+            + F.ascii(F.substring(F.md5(b.cast("binary")), 2, 1)) * 3
+        )
+        % 21
+        - 10,
+    )
+    n_bigrams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
+    score_int = F.aggregate(
+        wts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        score_int.alias("score_int"),
+        F.when(n_bigrams == 0, F.lit(0.0))
+        .otherwise(score_int.cast("double") / (10.0 * (F.size(toks) - 1)))
+        .alias("score"),
+        F.when(score_int > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
     )

@@ -1193,3 +1193,73 @@ def q_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(delta / F.sqrt(var), 6).alias("z_log_odds"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_bpe_pair_stats — tokenizer-training pair statistics (one BPE count step).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_pair_stats",
+    oracle=f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wfreq
+  FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+  GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, word, wfreq
+  FROM (SELECT word, wfreq, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)
+)
+SELECT pair,
+  CAST(SUM(wfreq) AS BIGINT) AS freq,
+  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT 50
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character-pair frequencies weighted by word frequency —
+    the counting step at the heart of BPE tokenizer training (Sennrich
+    et al. 2016): the highest-``freq`` pair is the next merge.
+
+    Scale shape — the classic BPE-trainer optimization, distributed:
+    pairs are NOT counted over the token stream. The corpus first
+    collapses to its word vocabulary with exact counts (one explode →
+    map-side-combined groupBy — the only corpus-sized pass), and pair
+    extraction then runs over DISTINCT words only, each weighted by
+    ``wfreq``. At 100 TB the token stream is ~10^13 positions but the
+    vocabulary is ~10^7 words: the second explode + shuffle touch 6
+    orders of magnitude fewer rows. (freq DESC, pair ASC) is a total
+    order, so the LIMIT boundary is deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    pairs = words.where(F.length("word") >= 2).select(
+        "word",
+        "wfreq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wfreq").alias("freq"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(50)
+    )
