@@ -123,6 +123,8 @@ EXTENDED = (
     "q_lm_score_bigram",     # add-one bigram LM cross-entropy filter
     "q_split_leakage_audit", # near-dup pairs straddling the split boundary
     "q_source_log_odds",     # Dirichlet-prior log-odds distinctive terms
+    "q_bpe_pair_stats",      # BPE merge-step pair counts over the word vocab
+    "q_quality_classifier",  # hashed-bigram linear quality gate (zero shuffle)
 )
 
 

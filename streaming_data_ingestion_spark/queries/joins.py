@@ -518,3 +518,158 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.alias("overlap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_join_asof_nearest — NEAREST as-of join: each click matched to the
+# temporally closest purchase in either direction (tie → backward).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT c.event_id, c.ts, c.user_id,
+         p.purchase_event_id AS b_id, p.purchase_ts AS b_ts
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+),
+f AS (
+  SELECT c.event_id, p.purchase_event_id AS f_id, p.purchase_ts AS f_ts
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+)
+SELECT b.event_id, b.ts, b.user_id,
+  CASE
+    WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+    WHEN f_ts IS NULL THEN b_id
+    WHEN b_ts IS NULL THEN f_id
+    WHEN date_diff('microsecond', b_ts, b.ts)
+         <= date_diff('microsecond', b.ts, f_ts) THEN b_id
+    ELSE f_id
+  END AS purchase_event_id,
+  CASE
+    WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+    WHEN f_ts IS NULL THEN b_ts
+    WHEN b_ts IS NULL THEN f_ts
+    WHEN date_diff('microsecond', b_ts, b.ts)
+         <= date_diff('microsecond', b.ts, f_ts) THEN b_ts
+    ELSE f_ts
+  END AS purchase_ts,
+  CASE
+    WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+    WHEN f_ts IS NULL THEN 'back'
+    WHEN b_ts IS NULL THEN 'fwd'
+    WHEN date_diff('microsecond', b_ts, b.ts)
+         <= date_diff('microsecond', b.ts, f_ts) THEN 'back'
+    ELSE 'fwd'
+  END AS direction
+FROM b JOIN f USING (event_id)
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — each click matched to the same user's
+    temporally CLOSEST purchase in either direction, ties broken toward
+    the earlier (backward) purchase. Completes the asof family
+    (q_join_asof backward, q_join_asof_fwd forward); DuckDB has no
+    nearest mode, so the oracle composes both ASOF directions and picks.
+
+    Spark-first: ONE union + ONE shuffle on user_id + ONE ascending sort
+    feeds both window passes — the backward carry is `last(ignorenulls)`
+    over the preceding frame and the forward carry is
+    `first(ignorenulls)` over the following frame of the SAME sorted
+    layout, so the second window adds no exchange and no re-sort. A
+    same-instant purchase sorts before the click, landing in the
+    backward frame with distance 0, which wins every tie — matching the
+    oracle's `<=` tie-break exactly. Linear per user, never an
+    O(clicks × purchases) range join.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "ts",
+            "user_id",
+            "purchase_event_id",
+            F.col("ts").alias("p_ts"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    order = [
+        F.col("ts").asc(),
+        F.col("is_purchase").desc(),
+        F.col("purchase_event_id").asc_nulls_first(),
+    ]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "is_purchase",
+        F.last("purchase_event_id", ignorenulls=True)
+        .over(w_back)
+        .alias("b_id"),
+        F.last("p_ts", ignorenulls=True).over(w_back).alias("b_ts"),
+        F.first("purchase_event_id", ignorenulls=True)
+        .over(w_fwd)
+        .alias("f_id"),
+        F.first("p_ts", ignorenulls=True).over(w_fwd).alias("f_ts"),
+    )
+    ts, b_ts, f_ts = F.col("ts"), F.col("b_ts"), F.col("f_ts")
+    back_wins = (
+        f_ts.isNull()
+        | (
+            b_ts.isNotNull()
+            & (
+                ts.cast("double") - b_ts.cast("double")
+                <= f_ts.cast("double") - ts.cast("double")
+            )
+        )
+    )
+    return merged.filter(F.col("is_purchase") == 0).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("long"))
+        .when(back_wins, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("purchase_event_id"),
+        F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("timestamp"))
+        .when(back_wins, b_ts)
+        .otherwise(f_ts)
+        .alias("purchase_ts"),
+        F.when(b_ts.isNull() & f_ts.isNull(), F.lit(None).cast("string"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )

@@ -1137,3 +1137,76 @@ reach(id, d) AS (
 SELECT id AS doc_id, CAST(MIN(d) AS INT) AS dist
 FROM reach GROUP BY id
 """)
+
+
+# --------------------------------------------------------------------------
+# q_minhash_containment — asymmetric containment verify on LSH candidates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_minhash_containment",
+    oracle=f"""
+WITH pairs AS ({_SQL_PAIRS}),
+toks AS (
+  SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts
+  FROM documents
+)
+SELECT
+  p.doc_a,
+  p.doc_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+    AS cont_a_in_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(b.ts)
+    AS cont_b_in_a,
+  CASE WHEN CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts)
+            >= CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(b.ts)
+       THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM pairs p
+JOIN toks a ON p.doc_a = a.doc_id
+JOIN toks b ON p.doc_b = b.doc_id
+WHERE greatest(
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts),
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(b.ts)
+) >= 0.7
+""",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify over the LSH collision set: keep
+    pairs where one document's distinct-token set is ≥ 70% inside the
+    other's, with the containing direction.
+
+    Jaccard (q_dedup_ngram_jaccard) is symmetric and misses the
+    sub-document case — a short doc quoted wholesale inside a long one
+    scores low Jaccard but containment ≈ 1 (Broder's original
+    containment measure; the signal boilerplate/quote detection needs).
+    Same scale shape as the Jaccard verify: candidate scope is the
+    band-collision output (collision-sized, never n²), two doc_id equi
+    hash joins bring the token sets, the set arithmetic is row-local.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("ts")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast(
+        "double"
+    )
+    cont_a = inter / F.size("ts_a")
+    cont_b = inter / F.size("ts_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a_in_b"),
+            cont_b.alias("cont_b_in_a"),
+            F.when(cont_a >= cont_b, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= 0.7)
+    )

@@ -226,3 +226,138 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_late_events — watermark late-data accounting (batch twin of the
+# streaming watermark drop rule).
+# --------------------------------------------------------------------------
+
+# The fixture's ingest id is perfectly time-ordered (zero inversions), so a
+# deterministic md5 jitter of up to 350 sequence positions stands in for the
+# out-of-order delivery a real ingest exhibits; production would use the
+# actual arrival offset (Kafka offset / ingest sequence) column directly.
+_LATE_JITTER = "(ascii(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) % 8) * 50"
+_LATE_BATCH = 1000
+_LATE_DELAY = "INTERVAL 5 MINUTE"
+
+
+@query(
+    "q_late_events",
+    oracle=f"""
+WITH arr AS (
+  SELECT ts, event_id + {_LATE_JITTER} AS arrival_seq FROM events
+),
+e AS (
+  SELECT ts, CAST(floor(arrival_seq / {_LATE_BATCH}) AS BIGINT) AS batch_id
+  FROM arr
+),
+b AS (SELECT batch_id, MAX(ts) AS batch_max FROM e GROUP BY 1),
+wm AS (
+  SELECT batch_id,
+    MAX(batch_max) OVER (ORDER BY batch_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    - {_LATE_DELAY} AS watermark
+  FROM b
+)
+SELECT e.batch_id, wm.watermark,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(coalesce(SUM(CASE WHEN e.ts < wm.watermark THEN 1 END), 0) AS BIGINT)
+    AS n_late
+FROM e JOIN wm USING (batch_id)
+GROUP BY 1, 2
+""",
+    tags=("streaming-analog", "watermark"),
+)
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival audit under Structured Streaming's watermark rule:
+    per arrival micro-batch, how many events would the 5-minute
+    watermark (high-water event time of all PRIOR batches, minus the
+    delay) have dropped? The capacity-planning readout behind choosing
+    ``withWatermark`` — too small a delay and this count is data loss.
+
+    Scale shape — the running max over batches never runs through one
+    task (the repo bans unpartitioned windows): batches are range-
+    exchanged on batch_id, the within-partition prefix max is a
+    PARTITIONED window, and the cross-partition carry is a partition-
+    count-sized collect prefix-maxed on the driver and broadcast back —
+    the ranking.with_global_rank construction (ranking.py:42) applied
+    to prefix-max. Events then equi-join their batch's watermark (AQE
+    picks broadcast when the batch relation fits) and the late flag is
+    row-local. Batch relation is |events|/1000; every stage parallel.
+    """
+    from pyspark.sql import Window
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "ts",
+        F.floor(
+            (
+                F.col("event_id")
+                + (
+                    F.ascii(
+                        F.substring(
+                            F.md5(F.col("event_id").cast("string").cast("binary")),
+                            1,
+                            1,
+                        )
+                    )
+                    % 8
+                )
+                * 50
+            )
+            / _LATE_BATCH
+        ).alias("batch_id"),
+    )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _ranged() -> DataFrame:
+        return (
+            e.groupBy("batch_id")
+            .agg(F.max("ts").alias("batch_max"))
+            .repartitionByRange(p, F.asc("batch_id"))
+            .sortWithinPartitions("batch_id")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+
+    ranged = bounded_persist("q_late_events.ranged", sf_dir, _ranged)
+    stats = ranged.groupBy("_pid").agg(F.max("batch_max").alias("pmax")).collect()
+    run = None
+    recs = []
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        recs.append((r["_pid"], run))
+        run = r["pmax"] if run is None or r["pmax"] > run else run
+    carry = spark.createDataFrame(recs, "_pid int, carry_max timestamp")
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = (
+        ranged.withColumn("local_prefix", F.max("batch_max").over(w))
+        .join(F.broadcast(carry), "_pid")
+        .select(
+            "batch_id",
+            (
+                F.greatest(
+                    F.coalesce("local_prefix", "carry_max"),
+                    F.coalesce("carry_max", "local_prefix"),
+                )
+                - F.expr("INTERVAL 5 MINUTES")
+            ).alias("watermark"),
+        )
+    )
+    return (
+        e.join(wm, "batch_id")
+        .groupBy("batch_id", "watermark")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.col("watermark"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
