@@ -743,3 +743,54 @@ def test_funnel_is_single_scan_single_shuffle(spark):
     plan = _final_section(plan_of(spark, "q_funnel"))
     assert plan.count("Scan parquet") <= 2
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The hashed-bigram linear quality gate is the cheapest possible
+    model pass: a single parquet scan with row-local weight folds —
+    no Exchange, no Generate, no Join anywhere in the plan."""
+    plan = plan_of(spark, "q_quality_classifier")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_pair_stats_vocab_sized_second_pass(spark):
+    """BPE pair counting must collapse to the word vocabulary BEFORE
+    exploding char pairs (the classic trainer optimization): exactly two
+    hash exchanges — word counts (corpus-sized input, map-side combined)
+    then pair counts (vocab-sized input) — a top-k TakeOrdered, and no
+    join/nested-loop. (Formatted mode renders the partition spec in the
+    node's Arguments detail, not inline.)"""
+    plan = plan_of(spark, "q_bpe_pair_stats")
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_asof_nearest_single_sort_both_directions(spark):
+    """The nearest as-of join feeds BOTH window frames (backward carry +
+    forward carry) from ONE Window node over ONE sort — a second Window
+    or Sort would mean the two directions re-shuffled separately. Two
+    exchanges total: the purchase (user_id, ts) dedup aggregate and the
+    user_id window partitioning."""
+    plan = plan_of(spark, "q_join_asof_nearest")
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert plan.count("- Sort") == 1
+    assert plan.count("- Window") == 1
+
+
+def test_late_events_no_unpartitioned_window(spark):
+    """The watermark audit's running max over batches must never fall
+    into a single-partition window: every Window node carries a
+    partition spec (the repo-wide ban), and the per-batch carry joins
+    back via broadcast, not shuffle."""
+    plan = plan_of(spark, "q_late_events")
+    for seg in plan.split("Arguments: ")[1:]:
+        if not seg.lstrip().startswith("[windowdefinition"):
+            continue
+        # windowdefinition(partcols..., sortcols...): an unpartitioned
+        # window renders as windowdefinition(sortorder... with no
+        # leading partition column list
+        assert "windowdefinition(_pid" in seg or "windowdefinition(" not in seg
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
