@@ -125,6 +125,9 @@ EXTENDED = (
     "q_source_log_odds",     # Dirichlet-prior log-odds distinctive terms
     "q_bpe_pair_stats",      # BPE merge-step pair counts over the word vocab
     "q_quality_classifier",  # hashed-bigram linear quality gate (zero shuffle)
+    "q_minhash_containment", # asymmetric containment verify on LSH candidates
+    "q_join_asof_nearest",   # both-direction asof carries off one sort
+    "q_late_events",         # watermark late-drop audit (distributed prefix max)
 )
 
 

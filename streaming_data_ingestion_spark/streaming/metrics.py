@@ -52,6 +52,13 @@ class QueryProgressCollector(StreamingQueryListener):
                 "num_input_rows": p.numInputRows,
                 "duration_ms": (p.durationMs or {}).get("triggerExecution"),
                 "event_time": dict(p.eventTime or {}),
+                # late-data accounting: how many input rows the watermark
+                # dropped this batch (the runtime counterpart of the
+                # q_late_events batch audit; sums over stateful operators)
+                "rows_dropped_by_watermark": sum(
+                    (op.numRowsDroppedByWatermark or 0)
+                    for op in (p.stateOperators or [])
+                ),
             }
         )
 
@@ -68,4 +75,7 @@ class QueryProgressCollector(StreamingQueryListener):
             "n_batches": len(rows),
             "total_rows": sum(p["num_input_rows"] or 0 for p in rows),
             "total_ms": sum(p["duration_ms"] or 0 for p in rows),
+            "total_dropped_by_watermark": sum(
+                p.get("rows_dropped_by_watermark") or 0 for p in rows
+            ),
         }

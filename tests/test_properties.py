@@ -870,3 +870,112 @@ def test_split_leakage_audit_mass_conservation(spark):
     for r in rows:
         assert r["split_a"] <= r["split_b"]  # canonical order
         assert r["is_leak"] == (r["split_a"] != r["split_b"])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 tail operators: semantic invariants over the fixture corpus
+# (the oracle pins exact values; these pin the *relationships* between
+# sibling operators that a fixture hash can't express).
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_dominates_both_directions(spark):
+    """The nearest match must never be farther than either directional
+    match: |ts − nearest| ≤ |ts − backward| and ≤ |ts − forward| per
+    click, the direction tag must agree with the matched side, and a
+    click is unmatched only when BOTH directions are."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    specs = all_queries()
+    near = {
+        r["event_id"]: r
+        for r in specs["q_join_asof_nearest"].fn(spark, SF_DIR).collect()
+    }
+    back = {
+        r["event_id"]: r["purchase_ts"]
+        for r in specs["q_join_asof"].fn(spark, SF_DIR).collect()
+    }
+    fwd = {
+        r["event_id"]: r["purchase_ts"]
+        for r in specs["q_join_asof_fwd"].fn(spark, SF_DIR).collect()
+    }
+    assert set(near) == set(back) == set(fwd)
+    for eid, r in near.items():
+        b_ts, f_ts, n_ts = back[eid], fwd[eid], r["purchase_ts"]
+        if b_ts is None and f_ts is None:
+            assert n_ts is None and r["direction"] is None
+            continue
+        assert n_ts is not None
+        d_n = abs((r["ts"] - n_ts).total_seconds())
+        if b_ts is not None:
+            assert d_n <= abs((r["ts"] - b_ts).total_seconds())
+        if f_ts is not None:
+            assert d_n <= abs((r["ts"] - f_ts).total_seconds())
+        if r["direction"] == "back":
+            assert n_ts <= r["ts"]
+        else:
+            assert r["direction"] == "fwd" and n_ts >= r["ts"]
+
+
+def test_containment_dominates_jaccard(spark):
+    """Containment is the looser measure: for any candidate pair both
+    operators emit, max(cont_a, cont_b) ≥ jaccard (|∩|/min ≥ |∩|/|∪|),
+    and both containments are in (0, 1]."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    specs = all_queries()
+    cont = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in specs["q_minhash_containment"].fn(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in specs["q_dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    assert cont, "containment emitted no pairs on the fixture"
+    for pair, r in cont.items():
+        assert 0.0 < r["cont_a_in_b"] <= 1.0
+        assert 0.0 < r["cont_b_in_a"] <= 1.0
+        if pair in jac:
+            assert (
+                max(r["cont_a_in_b"], r["cont_b_in_a"]) >= jac[pair] - 1e-12
+            )
+
+
+def test_late_events_invariants(spark):
+    """Late accounting must conserve rows (Σ n_events = |events|), never
+    count more late than arrived, leave the first batch watermark-less,
+    and advance the watermark monotonically with arrival order."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    specs = all_queries()
+    rows = sorted(
+        specs["q_late_events"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    n_total = load(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    assert all(0 <= r["n_late"] <= r["n_events"] for r in rows)
+    assert rows[0]["watermark"] is None and rows[0]["n_late"] == 0
+    marks = [r["watermark"] for r in rows[1:]]
+    assert all(m is not None for m in marks)
+    assert marks == sorted(marks)
+
+
+def test_quality_classifier_score_semantics(spark):
+    """Scores are means of weights in [-1, 1] and the keep/drop label is
+    exactly the sign gate on the integer score."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = (
+        all_queries()["q_quality_classifier"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["score"] <= 1.0
+        assert (r["label"] == "keep") == (r["score_int"] > 0)
