@@ -290,6 +290,43 @@ AUDITED = (
         "map-side so the shuffle after the join carries 2080 groups, and "
         "the mean join-backs are BroadcastExchanges.",
     ),
+    (
+        "q_bpe_pair_stats",
+        "BPE merge-step pair counts. Read: the FIRST exchange collapses "
+        "the corpus to (word, freq) — the only corpus-sized pass; the "
+        "pair Generate sits ABOVE that aggregate, so the second exchange "
+        "carries pair rows of the distinct-word vocabulary only.",
+    ),
+    (
+        "q_quality_classifier",
+        "Hashed-bigram linear quality gate. Read: a single parquet scan "
+        "and one Project — no Exchange, no Generate, no Join; the whole "
+        "model pass (bigram build, md5 weight lookup, integer fold) is "
+        "inside one WholeStageCodegen span.",
+    ),
+    (
+        "q_join_asof_nearest",
+        "Nearest as-of join. Read: ONE user_id Exchange + ONE Sort feed "
+        "a single Window node computing all four carries (backward "
+        "last/forward first × id/ts); the nearest pick is the Project "
+        "above it. The purchase-dedup aggregate is the only other "
+        "exchange.",
+    ),
+    (
+        "q_late_events",
+        "Watermark late-data audit. Read: batch aggregate exchange, "
+        "range exchange for batch order, PARTITIONED prefix window, and "
+        "the partition-carry + per-batch watermark come back as "
+        "BroadcastExchanges — no unpartitioned window, no batch-keyed "
+        "shuffle of the event stream beyond the batch aggregate.",
+    ),
+    (
+        "q_minhash_containment",
+        "Asymmetric containment verify. Read: candidates come from the "
+        "persisted LSH band equi-join (collision-sized); the only new "
+        "work is two doc_id BroadcastHashJoins and row-local set "
+        "arithmetic — no new shuffle of the corpus.",
+    ),
 )
 
 
