@@ -35,6 +35,8 @@ HOSTILE_CHECKED = (
     "q_seasonal_decompose",  # day buckets + epoch-day dow under hostile tz
     "q_zorder_scan",  # timestamp→DATE cast in the layout + date literals
     "q_join_asof_fwd",  # emits raw timestamps matched across event roles
+    "q_join_asof_nearest",  # dual-direction carries + tie-break on raw ts
+    "q_late_events",  # prefix-max carry must not depend on shuffle width
 )
 
 
