@@ -528,6 +528,39 @@ _SQL_W = (
 )
 
 
+def score_quality(d: DataFrame) -> DataFrame:
+    """Apply the hashed-bigram linear quality gate to any frame with
+    (doc_id, text) — batch OR streaming: the whole pass is stateless
+    row-local arithmetic, so the identical expression tree runs
+    unchanged under ``readStream`` (tested: the streaming gate's
+    decisions are bit-equal to the batch query's on the same rows)."""
+    toks = _tokens()
+    wts = F.transform(
+        _bigrams(toks),
+        lambda b: (
+            F.ascii(F.substring(F.md5(b.cast("binary")), 1, 1)) * 7
+            + F.ascii(F.substring(F.md5(b.cast("binary")), 2, 1)) * 3
+        )
+        % 21
+        - 10,
+    )
+    n_bigrams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
+    score_int = F.aggregate(
+        wts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        score_int.alias("score_int"),
+        F.when(n_bigrams == 0, F.lit(0.0))
+        .otherwise(score_int.cast("double") / (10.0 * (F.size(toks) - 1)))
+        .alias("score"),
+        F.when(score_int > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
 @query(
     "q_quality_classifier",
     oracle=f"""
@@ -560,31 +593,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen. Scores sum in INTEGER weight units so the
     cross-engine hash is exact — one float division per row at the end.
     At 100 TB this is the cheapest possible model pass: no Python, no
-    UDF, no state, embarrassingly parallel.
+    UDF, no state, embarrassingly parallel — and because it is
+    stateless, ``score_quality`` runs the identical gate on a stream.
     """
-    d = load(spark, sf_dir, "documents")
-    toks = _tokens()
-    wts = F.transform(
-        _bigrams(toks),
-        lambda b: (
-            F.ascii(F.substring(F.md5(b.cast("binary")), 1, 1)) * 7
-            + F.ascii(F.substring(F.md5(b.cast("binary")), 2, 1)) * 3
-        )
-        % 21
-        - 10,
-    )
-    n_bigrams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
-    score_int = F.aggregate(
-        wts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-    )
-    return d.select(
-        "doc_id",
-        n_bigrams.alias("n_bigrams"),
-        score_int.alias("score_int"),
-        F.when(n_bigrams == 0, F.lit(0.0))
-        .otherwise(score_int.cast("double") / (10.0 * (F.size(toks) - 1)))
-        .alias("score"),
-        F.when(score_int > 0, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
-    )
+    return score_quality(load(spark, sf_dir, "documents"))

@@ -1166,3 +1166,38 @@ def test_watermark_drop_count_is_observable(spark, tmp_path):
         assert dropped == 2
     finally:
         collector.detach(spark)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The hashed-bigram quality gate is stateless row arithmetic, so the
+    IDENTICAL expression tree must produce bit-equal scores and keep/drop
+    decisions under readStream as in batch — the property that lets one
+    curation gate serve both the backfill and the live ingest path."""
+    from streaming_data_ingestion_spark.queries.llm_quality import score_quality
+
+    src = str(tmp_path / "docs_src")
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    docs.write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "gate_out")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        score_quality(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_int"], r["score"], r["label"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["score_int"], r["score"], r["label"])
+        for r in score_quality(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) == 200
