@@ -209,3 +209,59 @@ def _rmse(
         .collect()[0]
     )
     return float(row["mse"]) ** 0.5
+
+
+def recommend_topk(
+    users: DataFrame,
+    v: np.ndarray,
+    item_ids: list[int],
+    k: int = 5,
+    seen: DataFrame | None = None,
+) -> DataFrame:
+    """Per-user top-k item recommendations, computed at scan speed.
+
+    The item-factor matrix rides into the plan as a literal
+    array-of-structs; each user's scores fold row-side and a single
+    ``slice(array_sort(...))`` keeps the top k — no shuffle, no
+    user×item join materialized. ``seen`` (user_id, item) marks
+    already-interacted items to exclude (broadcast map of per-user seen
+    lists when provided). Output: (user_id, item, score, rk) — k rows
+    per user via one posexplode, still narrow."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("factors"),
+                        F.array(*[F.lit(float(x)) for x in v[pos]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("score"),
+                F.lit(int(item)).alias("item"),
+            )
+            for pos, item in enumerate(item_ids)
+        ]
+    )
+    if seen is not None:
+        seen_lists = seen.groupBy("user_id").agg(
+            F.collect_set("item").alias("_seen")
+        )
+        users = users.join(seen_lists, "user_id", "left")
+        scored = F.filter(
+            scored,
+            lambda s: ~F.coalesce(
+                F.array_contains(F.col("_seen"), s["item"]), F.lit(False)
+            ),
+        )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, k)
+    out = users.select(
+        "user_id", F.posexplode(top).alias("rk0", "rec")
+    ).select(
+        "user_id",
+        F.col("rec.item").alias("item"),
+        F.col("rec.score").alias("score"),
+        (F.col("rk0") + 1).alias("rk"),
+    )
+    return out

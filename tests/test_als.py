@@ -97,3 +97,41 @@ def test_interactions_shape(spark):
     # one row per (user, item): the builder aggregates duplicates
     keys = [(r["user_id"], r["item"]) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_recommend_topk_matches_numpy_and_excludes_seen(spark, inter_rows):
+    from streaming_data_ingestion_spark.ml.als import recommend_topk
+
+    inter = interactions_from_events(load(spark, SF_DIR, "events"))
+    users_df, v, item_ids, _ = als_fit(inter, rank=RANK, n_iters=2, reg=REG)
+    recs = recommend_topk(users_df, v, item_ids, k=5, seen=inter).collect()
+
+    by_user: dict[int, list] = {}
+    for r in recs:
+        by_user.setdefault(r["user_id"], []).append(r)
+    seen = {}
+    for u, i, _ in inter_rows:
+        seen.setdefault(u, set()).add(i)
+    got_u = {r["user_id"]: np.array(r["factors"]) for r in users_df.collect()}
+    iix = {it: pos for pos, it in enumerate(item_ids)}
+
+    for u, rows in by_user.items():
+        rows = sorted(rows, key=lambda r: r["rk"])
+        assert len(rows) == 5
+        # never recommends an already-seen item
+        assert not {r["item"] for r in rows} & seen[u]
+        # scores agree with the dense numpy ranking over unseen items
+        dense = {
+            it: float(got_u[u] @ v[iix[it]])
+            for it in item_ids
+            if it not in seen[u]
+        }
+        want = sorted(dense.items(), key=lambda p: (-p[1], -p[0]))[:5]
+        for r, (it, sc) in zip(rows, want):
+            assert abs(r["score"] - sc) < 1e-9
+            assert r["score"] == pytest.approx(dense[r["item"]], abs=1e-12)
+        # descending scores
+        assert all(
+            rows[i]["score"] >= rows[i + 1]["score"] - 1e-12
+            for i in range(4)
+        )
