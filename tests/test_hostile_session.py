@@ -59,3 +59,38 @@ def test_query_survives_hostile_session(name, spark, ddb):
     finally:
         spark.conf.set("spark.sql.session.timeZone", before_tz)
         spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+
+
+# queries whose implementations touch physical-layout machinery (range
+# exchanges, monotonically_increasing_id, salting, skew handling) — the
+# set where an AQE re-plan could silently change behavior if the
+# implementation depended on a specific partitioning
+AQE_SENSITIVE = (
+    "q_late_events",  # range exchange + spark_partition_id carry
+    "q_rfm",  # distributed NTILE via partition-offset ranks
+    "q_histogram_equidepth",  # same ranking machinery
+    "q_join_salted",  # explicit salting beside AQE's own skew split
+    "q_sample_stratified",  # exact-fraction sampler over partition stats
+    "q_emb_covariance",  # self-join keyed on a generated id
+)
+
+
+@pytest.mark.parametrize("name", AQE_SENSITIVE)
+def test_query_survives_aqe_off(name, spark, ddb):
+    """Results must be identical with adaptive execution disabled: the
+    operators may RELY on AQE for speed (skew splits, coalescing) but
+    never for correctness."""
+    spec = all_queries()[name]
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+        duck_pdf = ddb.execute(spec.oracle).df()
+        assert len(spark_pdf) == len(duck_pdf)
+        s = _sort_rows(_normalize(spark_pdf))
+        d = _sort_rows(_normalize(duck_pdf))
+        for col in s.columns:
+            for a, b in zip(s[col].tolist(), d[col].tolist()):
+                assert _cells_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
