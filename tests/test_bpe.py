@@ -1,0 +1,84 @@
+"""BPE trainer/encoder: determinism, structural invariants, and
+consistency with the oracle-checked pair statistics."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_data_ingestion_spark.bpe import (
+    encode_documents,
+    encode_word,
+    train_bpe,
+)
+from streaming_data_ingestion_spark.registry import all_queries
+from streaming_data_ingestion_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def merges(spark, docs):
+    return train_bpe(docs, n_merges=30)
+
+
+def test_first_merge_is_the_top_pair_stat(spark, docs, merges):
+    """The trainer's first merge must be exactly the top row of the
+    oracle-checked q_bpe_pair_stats — the two computations share one
+    definition of 'most frequent adjacent pair'."""
+    top = (
+        all_queries()["q_bpe_pair_stats"].fn(spark, SF_DIR).limit(1).collect()
+    )[0]
+    assert merges[0][0] + merges[0][1] == top["pair"]
+
+
+def test_train_is_deterministic(spark, docs, merges):
+    assert merges == train_bpe(docs, n_merges=30)
+    assert len(merges) == 30
+    assert len(set(merges)) == 30  # a pair is merged at most once
+
+
+def test_encode_reconstructs_and_compresses(spark, docs, merges):
+    enc = encode_documents(docs, merges)
+    rows = enc.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(rows) == len(texts)
+    total_tokens = total_chars = 0
+    for r in rows:
+        words = [w for w in texts[r["doc_id"]].strip().split(" ") if w]
+        assert r["n_words"] == len(words)
+        # lossless: token concatenation reproduces the exact text
+        assert r["tokens"].replace(" ", "") == "".join(words)
+        assert r["n_tokens"] == len(r["tokens"].split(" "))
+        total_tokens += r["n_tokens"]
+        total_chars += sum(len(w) for w in words)
+    # merges genuinely compress: 30 merges reach ~0.65 tokens/char on
+    # the fixture corpus (and more merges only improve it — see
+    # test_more_merges_never_add_tokens)
+    assert total_tokens < total_chars * 0.75
+
+
+def test_more_merges_never_add_tokens(spark, docs):
+    short = train_bpe(docs, n_merges=10)
+    long = train_bpe(docs, n_merges=30)
+    assert long[:10] == short  # greedy prefix property
+    n_short = sum(
+        r["n_tokens"] for r in encode_documents(docs, short).collect()
+    )
+    n_long = sum(
+        r["n_tokens"] for r in encode_documents(docs, long).collect()
+    )
+    assert n_long <= n_short
+
+
+def test_encode_word_only_emits_learned_symbols(merges):
+    learned = {a + b for a, b in merges}
+    for w in ("table", "window", "spark", "x", ""):
+        toks = encode_word(w, {p: i for i, p in enumerate(merges)})
+        assert "".join(toks) == w
+        for t in toks:
+            assert len(t) == 1 or t in learned
