@@ -135,3 +135,73 @@ def test_recommend_topk_matches_numpy_and_excludes_seen(spark, inter_rows):
             rows[i]["score"] >= rows[i + 1]["score"] - 1e-12
             for i in range(4)
         )
+
+
+def test_streaming_foldin_equals_batch_user_step(spark, tmp_path, inter_rows):
+    """Two-batch streaming fold-in must equal the batch ridge solve over
+    the union: the per-user moment state makes arrival order and batch
+    boundaries irrelevant (verified at 1e-9, the float-sum envelope)."""
+    from streaming_data_ingestion_spark.ml.als import init_item_factors
+    from streaming_data_ingestion_spark.streaming.als_stream import (
+        streaming_user_factors,
+    )
+
+    rows = sorted(inter_rows)
+    item_ids = sorted({i for _, i, _ in rows})
+    v = init_item_factors(item_ids, RANK)
+
+    src = tmp_path / "inter_src"
+    src.mkdir()
+    half = len(rows) // 2
+    schema = "user_id long, item int, rating double"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    # stream reads the directory of parquet parts
+    import shutil
+
+    for p in (src / "b0").glob("*.parquet"):
+        shutil.move(str(p), str(src / "part0.parquet"))
+    shutil.rmtree(str(src / "b0"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    for p in (src / "b1").glob("*.parquet"):
+        shutil.move(str(p), str(src / "part1.parquet"))
+    shutil.rmtree(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    name = "als_foldin"
+    q = (
+        streaming_user_factors(stream, v, item_ids, reg=REG)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per user (max n_obs) is the folded-in result
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_obs"] > prev[0]:
+            got[r["user_id"]] = (r["n_obs"], r["factors"])
+
+    iix = {it: pos for pos, it in enumerate(item_ids)}
+    by_user: dict[int, list] = {}
+    for u, i, rt in rows:
+        by_user.setdefault(u, []).append((i, rt))
+    assert set(got) == set(by_user)
+    for u, pairs in by_user.items():
+        vi = v[[iix[i] for i, _ in pairs]]
+        r_vec = np.array([rt for _, rt in pairs])
+        want = np.linalg.solve(
+            vi.T @ vi + REG * np.eye(RANK), vi.T @ r_vec
+        )
+        n_obs, factors = got[u]
+        assert n_obs == len(pairs)
+        assert np.allclose(factors, want, atol=1e-9)
