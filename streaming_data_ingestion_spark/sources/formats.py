@@ -202,3 +202,42 @@ def binary_files_to_docs(files: DataFrame) -> DataFrame:
         ).alias("meta"),
         F.col("path").alias("source_path"),
     )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML interchange writer (Spark 4 built-in ``xml`` format — no
+    external package). XML is a wire/interchange format like CSV: fine
+    at the edges, wrong for the 100 TB hot path (row format, no
+    pushdown, verbose) — the docstring contract is convert-on-ingest.
+    Timestamps pin the microsecond pattern (_TS_FMT) like every text
+    format here."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .option("timestampFormat", _TS_FMT)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Declared-schema XML read (no inference pass, per module rule)."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", _TS_FMT)
+        .schema(schema)
+        .load(path)
+    )

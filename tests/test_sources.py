@@ -140,6 +140,23 @@ class TestFormats:
         assert back.count() == orig.count()
         assert back.exceptAll(orig).count() == 0
 
+    def test_xml_roundtrip_schema_and_values(self, spark, tmp_path):
+        """Spark 4 ships XML built-in; the round-trip must preserve the
+        declared schema and every value, microsecond timestamps
+        included (the text-format truncation trap _TS_FMT guards)."""
+        from streaming_data_ingestion_spark.sources.formats import (
+            read_xml,
+            write_xml,
+        )
+
+        orig = load(spark, SF_DIR, "events")
+        path = str(tmp_path / "events_xml")
+        write_xml(orig, path)
+        back = read_xml(spark, path, orig.schema)
+        assert back.schema == orig.schema
+        assert back.count() == orig.count()
+        assert back.exceptAll(orig).count() == 0
+
     def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
         from streaming_data_ingestion_spark.sources.formats import (
             read_orc,
