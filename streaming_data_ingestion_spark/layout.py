@@ -219,3 +219,48 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def optimize_zordered(
+    spark,
+    path: str,
+    cluster_cols: list[str],
+    target_rows_per_file: int,
+    bits: int = 16,
+) -> dict:
+    """Table maintenance = compaction + re-clustering in ONE rewrite
+    (the OPTIMIZE ... ZORDER BY shape): read the small-file debris a
+    streaming sink leaves behind, choose the output file count from the
+    actual row count, and land it Z-ordered so the rewritten files are
+    simultaneously right-sized AND multi-dimensionally skippable.
+
+    The rewrite lands in a sibling temp dir and swaps in only after it
+    is fully written — a crash mid-rewrite leaves the original intact.
+    The local-FS swap (rmtree + rename) stands in for what a
+    transactional table format (Delta/Iceberg) does with a metadata
+    commit; on object stores, swap a view/manifest instead of moving
+    files. Run on COLD partitions only, like write_compacted.
+
+    Returns {"n_rows", "files_before", "files_after"} for the
+    maintenance log.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files_before = len(_glob.glob(f"{path}/*.parquet"))
+    df = spark.read.parquet(path).persist()
+    try:
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        tmp = path.rstrip("/") + ".__optimize_tmp__"
+        write_zordered(df, tmp, cluster_cols, n_files, bits=bits)
+    finally:
+        df.unpersist()
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return {
+        "n_rows": n_rows,
+        "files_before": files_before,
+        "files_after": len(_glob.glob(f"{path}/*.parquet")),
+    }

@@ -404,3 +404,74 @@ def test_zorder_layout_skips_files(spark, tmp_path):
     spark.read.parquet(zpath).repartition(z_total).write.parquet(rpath)
     r_hit, r_total = matching(rpath)
     assert r_hit > z_hit, (r_hit, z_hit)
+
+
+def test_optimize_zordered_compacts_and_clusters(spark, tmp_path):
+    """The OPTIMIZE-shaped maintenance job must do both halves in one
+    rewrite: small-file debris collapses to the row-count-derived file
+    budget, every row survives bit-exactly, and the rewritten files are
+    Z-clustered — a 2-D rectangle predicate admits (by footer min/max
+    stats) strictly fewer files than the layout holds, which the
+    pre-optimize round-robin debris does not."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_data_ingestion_spark.layout import optimize_zordered
+
+    path = str(tmp_path / "debris")
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    # simulate streaming sink debris: 64 tiny files
+    ev.repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) >= 32
+    before = ev.collect()
+
+    # size the file budget from the data so the layout has enough
+    # files to demonstrate 2-D skipping at any fixture scale
+    n_rows = len(before)
+    stats = optimize_zordered(
+        spark, path, ["user_id", "event_id"],
+        target_rows_per_file=max(1, n_rows // 16),
+    )
+    assert stats["n_rows"] == len(before)
+    assert stats["files_after"] <= stats["files_before"] // 2
+    after = spark.read.parquet(path)
+    assert after.count() == len(before)
+    assert after.exceptAll(spark.createDataFrame(before)).count() == 0
+
+    def admits(lo_u, hi_u, lo_v, hi_v):
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            u_i, v_i = names.index("user_id"), names.index("event_id")
+            u_min = min(
+                md.row_group(g).column(u_i).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            u_max = max(
+                md.row_group(g).column(u_i).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            v_min = min(
+                md.row_group(g).column(v_i).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            v_max = max(
+                md.row_group(g).column(v_i).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if u_max >= lo_u and u_min <= hi_u and v_max >= lo_v and v_min <= hi_v:
+                hit += 1
+        return hit, total
+
+    max_eid = max(r["event_id"] for r in before)
+    max_uid = max(r["user_id"] for r in before)
+    hit, total = admits(0, max_uid // 8, 0, max_eid // 8)
+    assert total == stats["files_after"]
+    assert hit < total, "Z-ordered files must be skippable on a 2-D range"
