@@ -120,3 +120,32 @@ def assert_valid(df: DataFrame, rules: list[Rule]) -> dict:
     if bad:
         raise AssertionError(f"data-quality violations: {bad}")
     return rep
+
+
+def observed(df: DataFrame, rules: list[Rule], name: str = "dq") -> DataFrame:
+    """Attach the rule counters as OBSERVED METRICS — the zero-cost
+    streaming form: ``df.observe`` computes the same conditional
+    counters as ``check`` during whatever job already runs (no extra
+    scan, batch or streaming) and emits them through the query-progress
+    listener per micro-batch (captured by
+    streaming/metrics.QueryProgressCollector as ``observed_metrics``).
+
+    Uniqueness rules are rejected: observed metrics must be
+    deterministic non-distinct aggregates (Spark's restriction), and a
+    per-batch distinct count is not the contract anyway — run ``check``
+    on the materialized table for that.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for r in rules:
+        if r.unique_col is not None:
+            raise ValueError(
+                f"rule {r.name}: uniqueness cannot be an observed metric "
+                "(distinct aggregates are not allowed in observe(); run "
+                "dq.check on the stored table instead)"
+            )
+        aggs.append(
+            F.sum(F.when(r.violations, 1).otherwise(0))
+            .cast("bigint")
+            .alias(r.name)
+        )
+    return df.observe(name, *aggs)

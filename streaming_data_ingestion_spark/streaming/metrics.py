@@ -52,6 +52,12 @@ class QueryProgressCollector(StreamingQueryListener):
                 "num_input_rows": p.numInputRows,
                 "duration_ms": (p.durationMs or {}).get("triggerExecution"),
                 "event_time": dict(p.eventTime or {}),
+                # dq.observed counters (and any other observe() metrics)
+                # ride the same progress event: name -> {col: value}
+                "observed_metrics": {
+                    k: row.asDict()
+                    for k, row in dict(p.observedMetrics or {}).items()
+                },
                 # late-data accounting: how many input rows the watermark
                 # dropped this batch (the runtime counterpart of the
                 # q_late_events batch audit; sums over stateful operators)

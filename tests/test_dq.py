@@ -96,3 +96,75 @@ def test_row_local_rules_compile_to_one_scan(spark):
     # count the tree form only
     assert plan.count("- Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_observed_rules_surface_per_batch_in_streaming(spark, tmp_path):
+    """dq.observed rides the existing job as observe() metrics: a
+    two-batch stream reports each batch's exact violation counters
+    through the progress listener — continuous data-quality monitoring
+    with zero additional scans."""
+    import time
+
+    from streaming_data_ingestion_spark.streaming.metrics import (
+        QueryProgressCollector,
+    )
+
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"k": 1, "status": "O"}\n{"k": 2, "status": "F"}\n'
+    )
+    (src / "b1.jsonl").write_text(
+        '{"k": null, "status": "O"}\n{"k": 4, "status": "X"}\n'
+    )
+
+    rules = [
+        dq.not_null("k"),
+        dq.accepted_values("status", ["O", "F", "P"]),
+    ]
+    stream = spark.readStream.schema("k long, status string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+
+    collector = QueryProgressCollector.attach(spark)
+    try:
+        q = (
+            dq.observed(stream, rules, name="gate")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "dq_out"))
+            .option("checkpointLocation", str(tmp_path / "dq_ckpt"))
+            .outputMode("append")
+            .queryName("dq_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        deadline = time.time() + 30
+        gates = []
+        while time.time() < deadline:
+            gates = [
+                p["observed_metrics"]["gate"]
+                for p in collector.progress
+                if p["name"] == "dq_stream"
+                and "gate" in (p.get("observed_metrics") or {})
+            ]
+            if len(gates) >= 2:
+                break
+            time.sleep(0.5)
+        totals = {
+            k: sum(g[k] for g in gates) for k in ("n_rows", "k_null", "status_domain")
+        }
+        assert totals == {"n_rows": 4, "k_null": 1, "status_domain": 1}
+        # per-batch resolution: the clean batch reports zeros
+        assert any(
+            g["k_null"] == 0 and g["status_domain"] == 0 for g in gates
+        )
+    finally:
+        collector.detach(spark)
+
+
+def test_observed_rejects_uniqueness(spark):
+    o = load(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="uniqueness"):
+        dq.observed(o, [dq.unique("o_orderkey")])
