@@ -1,0 +1,52 @@
+"""Partition-wise idempotent backfill over a partitioned table.
+
+The batch counterpart of streaming/mv.py's incremental maintenance:
+when upstream logic changes (a fixed quality rule, a new dedup pass) or
+a partition is found corrupt, a 100 TB table is never rebuilt whole —
+the affected partitions are recomputed and swapped atomically while
+every other partition's files stay untouched.
+
+Mechanics: Spark's DYNAMIC partition-overwrite mode replaces exactly
+the partitions present in the written frame. The runner therefore (a)
+filters the rebuild frame to the requested partition values — so a
+buggy build_fn cannot clobber partitions outside the requested set —
+and (b) restores the session's previous overwrite mode afterward
+(hostile-session discipline). Each overwritten partition is all-or-
+nothing at the directory level; re-running the same backfill is a
+no-op by construction (same inputs → same bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    build: Callable[[SparkSession], DataFrame],
+    table_path: str,
+    part_col: str,
+    values: list,
+) -> dict:
+    """Recompute ``values``' partitions of ``table_path`` from
+    ``build``'s output. Returns {"partitions", "rows_written"}."""
+    if not values:
+        return {"partitions": 0, "rows_written": 0}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = build(spark).filter(F.col(part_col).isin(*values))
+        out = out.persist()
+        n = out.count()
+        (
+            out.write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(table_path)
+        )
+        out.unpersist()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions": len(values), "rows_written": n}

@@ -1,0 +1,90 @@
+"""Partition backfill: surgical repair, untouched-partition stability,
+scope containment, idempotence."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.backfill import backfill_partitions
+from streaming_data_ingestion_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+
+def _table_build(spark):
+    ev = load(spark, SF_DIR, "events")
+    return ev.select(
+        "event_id", "user_id", "value",
+        (F.col("user_id") % 4).alias("shard"),
+    )
+
+
+def _file_state(path):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/shard=*/*.parquet")
+    }
+
+
+def test_backfill_repairs_only_requested_partitions(spark, tmp_path):
+    path = str(tmp_path / "sharded")
+    _table_build(spark).write.partitionBy("shard").parquet(path)
+    want = _table_build(spark).collect()
+
+    # corrupt shard 2: overwrite it with garbage rows
+    spark.createDataFrame(
+        [(999999, 0, 0.0, 2)], "event_id long, user_id long, value double, shard long"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard").parquet(path)
+    assert spark.read.parquet(path).count() != len(want)
+
+    before = _file_state(path)
+    stats = backfill_partitions(
+        spark, _table_build, path, "shard", [2]
+    )
+    assert stats["partitions"] == 1
+    after = _file_state(path)
+
+    # repaired: table equals the full rebuild bit-exactly
+    got = spark.read.parquet(path).select(
+        "event_id", "user_id", "value", "shard"
+    )
+    assert got.count() == len(want)
+    assert got.exceptAll(spark.createDataFrame(want)).count() == 0
+    # surgical: only shard=2's files changed
+    untouched_before = {f: m for f, m in before.items() if "shard=2" not in f}
+    untouched_after = {f: m for f, m in after.items() if "shard=2" not in f}
+    assert untouched_before == untouched_after
+
+
+def test_backfill_cannot_escape_requested_scope(spark, tmp_path):
+    """A build_fn that returns MORE partitions than requested must not
+    clobber the extras: the runner filters to the requested values."""
+    path = str(tmp_path / "scoped")
+    _table_build(spark).write.partitionBy("shard").parquet(path)
+    before = _file_state(path)
+
+    def evil_build(spark):
+        # returns every shard, not just the requested one
+        return _table_build(spark)
+
+    backfill_partitions(spark, evil_build, path, "shard", [1])
+    after = _file_state(path)
+    untouched_before = {f: m for f, m in before.items() if "shard=1" not in f}
+    untouched_after = {f: m for f, m in after.items() if "shard=1" not in f}
+    assert untouched_before == untouched_after
+
+
+def test_backfill_restores_overwrite_mode_and_handles_empty(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    assert backfill_partitions(
+        spark, _table_build, str(tmp_path / "x"), "shard", []
+    ) == {"partitions": 0, "rows_written": 0}
+    path = str(tmp_path / "mode")
+    _table_build(spark).write.partitionBy("shard").parquet(path)
+    backfill_partitions(spark, _table_build, path, "shard", [0])
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
