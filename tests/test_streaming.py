@@ -1201,3 +1201,80 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         for r in score_quality(spark.read.parquet(src)).collect()
     }
     assert got == want and len(got) == 200
+
+
+def test_incremental_exact_dedup_grows_its_index(spark, tmp_path):
+    """Cross-batch exact dedup with a persistent digest index: batch 2's
+    repeats of batch-1 texts are dropped (the index grew), novel texts
+    survive, the keeper decision matches the batch q_dedup_exact rule
+    (smallest doc_id per digest), and replaying an epoch converges to
+    the same bytes instead of double-appending."""
+    from streaming_data_ingestion_spark.streaming.dedup_index import (
+        dedup_against_index,
+    )
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    idx = str(tmp_path / "dd_index")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def write_docs(fname, rows):
+        (src / fname).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    write_docs(
+        "b0.jsonl",
+        [
+            {"doc_id": 3, "text": "alpha beta"},
+            {"doc_id": 1, "text": "alpha beta"},   # in-batch dup; keeper=1
+            {"doc_id": 2, "text": "gamma delta"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = dedup_against_index(stream, idx, out, ckpt)
+    q.awaitTermination(120)
+
+    write_docs(
+        "b1.jsonl",
+        [
+            {"doc_id": 9, "text": "alpha beta"},    # cross-batch dup → drop
+            {"doc_id": 7, "text": "epsilon zeta"},  # novel → keep
+        ],
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q2 = dedup_against_index(stream2, idx, out, ckpt)
+    q2.awaitTermination(120)
+
+    survivors = {
+        r["text"]: r["doc_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert survivors == {
+        "alpha beta": 1,
+        "gamma delta": 2,
+        "epsilon zeta": 7,
+    }
+    # the index holds exactly the three distinct digests
+    assert spark.read.parquet(idx).select("digest").distinct().count() == 3
+
+    # epoch replay: re-running the full stream over a FRESH checkpoint
+    # (same inputs, same epochs) must converge to identical survivors
+    q3 = dedup_against_index(
+        spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src)),
+        idx,
+        out,
+        str(tmp_path / "dd_ckpt2"),
+    )
+    q3.awaitTermination(120)
+    again = {
+        r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert again == survivors
