@@ -528,12 +528,10 @@ _SQL_W = (
 )
 
 
-def score_quality(d: DataFrame) -> DataFrame:
-    """Apply the hashed-bigram linear quality gate to any frame with
-    (doc_id, text) — batch OR streaming: the whole pass is stateless
-    row-local arithmetic, so the identical expression tree runs
-    unchanged under ``readStream`` (tested: the streaming gate's
-    decisions are bit-equal to the batch query's on the same rows)."""
+def _quality_cols() -> dict:
+    """The gate's four output expressions, shared by the select form
+    (score_quality — the oracle schema) and the annotate form
+    (with_quality — pipelines that must keep their other columns)."""
     toks = _tokens()
     wts = F.transform(
         _bigrams(toks),
@@ -548,17 +546,41 @@ def score_quality(d: DataFrame) -> DataFrame:
     score_int = F.aggregate(
         wts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
+    return {
+        "n_bigrams": n_bigrams,
+        "score_int": score_int,
+        "score": F.when(n_bigrams == 0, F.lit(0.0)).otherwise(
+            score_int.cast("double") / (10.0 * (F.size(toks) - 1))
+        ),
+        "label": F.when(score_int > 0, F.lit("keep")).otherwise(
+            F.lit("drop")
+        ),
+    }
+
+
+def score_quality(d: DataFrame) -> DataFrame:
+    """Apply the hashed-bigram linear quality gate to any frame with
+    (doc_id, text) — batch OR streaming: the whole pass is stateless
+    row-local arithmetic, so the identical expression tree runs
+    unchanged under ``readStream`` (tested: the streaming gate's
+    decisions are bit-equal to the batch query's on the same rows)."""
+    c = _quality_cols()
     return d.select(
         "doc_id",
-        n_bigrams.alias("n_bigrams"),
-        score_int.alias("score_int"),
-        F.when(n_bigrams == 0, F.lit(0.0))
-        .otherwise(score_int.cast("double") / (10.0 * (F.size(toks) - 1)))
-        .alias("score"),
-        F.when(score_int > 0, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
+        c["n_bigrams"].alias("n_bigrams"),
+        c["score_int"].alias("score_int"),
+        c["score"].alias("score"),
+        c["label"].alias("label"),
     )
+
+
+def with_quality(d: DataFrame) -> DataFrame:
+    """Annotate ANY (…, text) frame with (score, label) without
+    dropping its other columns — the composable pipeline form (a
+    curation stream filters on ``label`` and passes the document
+    through)."""
+    c = _quality_cols()
+    return d.withColumns({"score": c["score"], "label": c["label"]})
 
 
 @query(

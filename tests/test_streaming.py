@@ -1278,3 +1278,104 @@ def test_incremental_exact_dedup_grows_its_index(spark, tmp_path):
         r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()
     }
     assert again == survivors
+
+
+def test_live_curation_pipeline_end_to_end(spark, tmp_path):
+    """The composed live-curation flow every piece was built for:
+    readStream docs → dq.observed contract metrics → stream-identical
+    quality gate → keep-filter → incremental exact dedup against the
+    growing index. Asserts: survivors are unique, every survivor passed
+    the gate, the dropped doc really scored 'drop', and the DQ counters
+    fired per batch through the listener."""
+    import time
+
+    from streaming_data_ingestion_spark import dq
+    from streaming_data_ingestion_spark.queries.llm_quality import (
+        score_quality,
+        with_quality,
+    )
+    from streaming_data_ingestion_spark.streaming.dedup_index import (
+        dedup_against_index,
+    )
+    from streaming_data_ingestion_spark.streaming.metrics import (
+        QueryProgressCollector,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(60)
+    scored = {r["doc_id"]: r["label"] for r in score_quality(docs).collect()}
+    keeps = [d for d, lab in scored.items() if lab == "keep"]
+    drops = [d for d, lab in scored.items() if lab == "drop"]
+    assert keeps and drops, "fixture must exercise both labels"
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": r["doc_id"], "text": r["text"]} for r in docs.collect()
+    ]
+    half = len(rows) // 2
+    (src / "b0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows[:half])
+    )
+    # batch 2 repeats one kept batch-1 doc under a new id (cross-batch
+    # dup) plus the rest of the corpus
+    first_keep = next(r for r in rows[:half] if r["doc_id"] in keeps)
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in rows[half:]
+            + [{"doc_id": 10_000_001, "text": first_keep["text"]}]
+        )
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    gated = (
+        dq.observed(
+            stream,
+            [dq.not_null("doc_id"), dq.not_null("text")],
+            name="contract",
+        )
+        .transform(with_quality)
+        .filter(F.col("label") == "keep")
+        .select("doc_id", "text")
+    )
+
+    collector = QueryProgressCollector.attach(spark)
+    try:
+        q = dedup_against_index(
+            gated,
+            str(tmp_path / "cur_index"),
+            str(tmp_path / "cur_out"),
+            str(tmp_path / "cur_ckpt"),
+        )
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(str(tmp_path / "cur_out"))
+        survivors = [r["doc_id"] for r in out.select("doc_id").collect()]
+        # unique corpus, gate respected, dup dropped
+        assert len(survivors) == len(set(survivors))
+        assert set(survivors) <= set(keeps)
+        assert 10_000_001 not in survivors  # cross-batch dup of first_keep
+        # every kept-labeled distinct text survived exactly once
+        texts = {r["text"] for r in out.collect()}
+        want_texts = {
+            r["text"] for r in rows if scored[r["doc_id"]] == "keep"
+        }
+        assert texts == want_texts
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            mets = [
+                p["observed_metrics"].get("contract")
+                for p in collector.progress
+                if p.get("observed_metrics")
+            ]
+            mets = [m for m in mets if m]
+            if len(mets) >= 2:
+                break
+            time.sleep(0.5)
+        assert sum(m["doc_id_null"] for m in mets) == 0
+        assert sum(m["n_rows"] for m in mets) == len(rows) + 1
+    finally:
+        collector.detach(spark)
