@@ -63,7 +63,13 @@ def docs_to_embeddings(
 ) -> DataFrame:
     """(doc_id, text, …) → (vec_id, embedding float[dim]) — schema-
     compatible with the embeddings table, so every registered
-    similarity operator accepts the output directly."""
+    similarity operator accepts the output directly.
+
+    Persist the result before ITERATIVE consumers (k-means, PQ): their
+    plans reference the embedding column once per centroid/subspace
+    term, and an unpersisted lazy embed expression would be inlined
+    into every reference (codegen explosion). One-pass consumers can
+    stay lazy."""
     return docs.select(
         F.col("doc_id").alias("vec_id"),
         text_embed_expr(text_col, dim).cast("array<float>").alias("embedding"),

@@ -76,7 +76,11 @@ def test_hash_embeddings_ride_the_ivfpq_index(spark, tmp_path):
     )
 
     docs = load(spark, SF_DIR, "documents").limit(150)
-    emb = docs_to_embeddings(docs)
+    # persist: k-means/PQ reference the embedding column many times per
+    # plan; an unpersisted lazy embed expression would be duplicated
+    # into every centroid-distance term (codegen explosion)
+    emb = docs_to_embeddings(docs).persist()
+    emb.count()
     path = str(tmp_path / "text_ivfpq")
     cents = build_ivfpq_index(emb, path, k_cells=4, n_iters=2)
     probe = emb.limit(1).collect()[0]
@@ -86,3 +90,55 @@ def test_hash_embeddings_ride_the_ivfpq_index(spark, tmp_path):
     ).collect()
     assert len(hits) == 5
     assert hits[0]["exact_dist"] < 1e-9
+    emb.unpersist()
+
+
+def test_cluster_balanced_corpus_sampling(spark):
+    """Composition the curation pipeline runs for mixture balancing:
+    hash embeddings → k-means cells → per-cluster hash-deterministic
+    downsample to the smallest cluster's size (SemDeDup-adjacent
+    cluster balancing, no model required). Asserts real multi-cluster
+    structure, deterministic sample membership, and per-cluster caps."""
+    from streaming_data_ingestion_spark.ml.kmeans import (
+        assign_cells,
+        kmeans_fit,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    # persist for the same codegen-explosion reason as the IVFPQ test
+    emb = docs_to_embeddings(docs).persist()
+    emb.count()
+    cents, _ = kmeans_fit(emb, k=4, n_iters=2)
+    assigned = assign_cells(emb, cents).select("vec_id", "cell")
+
+    sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(sizes) >= 2, "hash embeddings must separate the corpus"
+    cap = min(sizes.values())
+
+    # deterministic per-cluster top-`cap` by md5(vec_id): reproducible
+    # on any partitioning (the q_sample_topk_hash idiom, per cluster)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    balanced = assigned.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= cap
+    )
+    got = {
+        r["cell"]: r["n"]
+        for r in balanced.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert all(n == cap for n in got.values())
+    # determinism: same sample membership on a re-run
+    ids1 = sorted(r["vec_id"] for r in balanced.collect())
+    ids2 = sorted(r["vec_id"] for r in balanced.collect())
+    assert ids1 == ids2
+    emb.unpersist()
