@@ -794,3 +794,43 @@ def test_late_events_no_unpartitioned_window(spark):
         # leading partition column list
         assert "windowdefinition(_pid" in seg or "windowdefinition(" not in seg
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# queries whose CONTRACT is a Python execution surface (the UDF family
+# itself, and the Arrow mapInPandas multimodal decode)
+_PYTHON_OK = {
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udf_grouped",
+    "q_udtf",
+    "q_multimodal_features",
+}
+
+
+def test_no_python_in_any_hot_path(spark):
+    """Global guard: outside the declared UDF-surface family, NO
+    registered query's plan may evaluate Python (BatchEvalPython /
+    ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas / PythonUDTF).
+    Every analytical operator stays JVM-side in whole-stage codegen —
+    the single biggest 100 TB throughput invariant this repo claims,
+    now checked mechanically instead of by review."""
+    markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "PythonUDTF",
+    )
+    bad = {}
+    for name in sorted(all_queries()):
+        if name in _SWEEP_SKIP or name in _PYTHON_OK:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as e:
+            bad[name] = f"plan build failed: {e}"
+            continue
+        hits = [m for m in markers if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
