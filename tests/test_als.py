@@ -205,3 +205,70 @@ def test_streaming_foldin_equals_batch_user_step(spark, tmp_path, inter_rows):
         n_obs, factors = got[u]
         assert n_obs == len(pairs)
         assert np.allclose(factors, want, atol=1e-9)
+
+
+def test_streamed_factors_serve_same_recommendations(spark, tmp_path, inter_rows):
+    """Serving loop closure: recommendations computed from the
+    STREAM-folded user factors equal those from the equivalent batch
+    solve — the online refresh path and the offline path hand the
+    recommender interchangeable inputs."""
+    from streaming_data_ingestion_spark.ml.als import (
+        init_item_factors,
+        recommend_topk,
+    )
+    from streaming_data_ingestion_spark.streaming.als_stream import (
+        streaming_user_factors,
+    )
+
+    rows = sorted(inter_rows)[:300]
+    item_ids = sorted({i for _, i, _ in rows})
+    v = init_item_factors(item_ids, RANK)
+    schema = "user_id long, item int, rating double"
+
+    src = tmp_path / "serve_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.json(
+        str(tmp_path / "tmpjson")
+    )
+    import shutil
+
+    for i, p in enumerate(
+        sorted((tmp_path / "tmpjson").glob("*.json"))
+    ):
+        shutil.move(str(p), str(src / f"part{i}.json"))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        streaming_user_factors(stream, v, item_ids, reg=REG)
+        .writeStream.format("memory")
+        .queryName("serve_factors")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.sql(
+        """SELECT user_id, max_by(factors, n_obs) AS factors
+           FROM serve_factors GROUP BY user_id"""
+    )
+    iix = {it: pos for pos, it in enumerate(item_ids)}
+    by_user: dict[int, list] = {}
+    for u, i, rt in rows:
+        by_user.setdefault(u, []).append((i, rt))
+    batch_rows = []
+    for u, pairs in by_user.items():
+        vi = v[[iix[i] for i, _ in pairs]]
+        r_vec = np.array([rt for _, rt in pairs])
+        x = np.linalg.solve(vi.T @ vi + REG * np.eye(RANK), vi.T @ r_vec)
+        batch_rows.append((u, x.tolist()))
+    batch = spark.createDataFrame(
+        batch_rows, "user_id long, factors array<double>"
+    )
+
+    recs_s = recommend_topk(streamed, v, item_ids, k=3).collect()
+    recs_b = recommend_topk(batch, v, item_ids, k=3).collect()
+    key = lambda r: (r["user_id"], r["rk"])  # noqa: E731
+    s_map = {key(r): r["item"] for r in recs_s}
+    b_map = {key(r): r["item"] for r in recs_b}
+    assert s_map == b_map

@@ -475,3 +475,39 @@ def test_optimize_zordered_compacts_and_clusters(spark, tmp_path):
     hit, total = admits(0, max_uid // 8, 0, max_eid // 8)
     assert total == stats["files_after"]
     assert hit < total, "Z-ordered files must be skippable on a 2-D range"
+
+
+def test_optimize_zordered_crash_leaves_original_intact(spark, tmp_path):
+    """Crash-safety contract: if the rewrite fails BEFORE the swap, the
+    original table is untouched and still readable. Simulated by
+    requesting an unwritable cluster column (the bounds aggregate
+    fails) — the temp dir may or may not exist, but the live path's
+    files and rows are bit-identical."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from streaming_data_ingestion_spark.layout import optimize_zordered
+
+    path = str(tmp_path / "safe")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id")
+    ev.repartition(8).write.parquet(path)
+    before_files = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{path}/*.parquet")
+    }
+    before_rows = sorted(r["event_id"] for r in ev.collect())
+
+    with _pytest.raises(Exception):
+        optimize_zordered(
+            spark, path, ["no_such_column"], target_rows_per_file=100
+        )
+
+    after_files = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{path}/*.parquet")
+    }
+    assert after_files == before_files
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert got == before_rows
