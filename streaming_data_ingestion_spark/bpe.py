@@ -143,3 +143,20 @@ def encode_documents(
     return docs.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, n_words long, n_tokens long, tokens string"
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as JSON — the artifact a training run
+    ships to every later encode job (kilobytes; goes in the job's
+    files/broadcast, not a data table)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(merges, f)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        return [tuple(p) for p in json.load(f)]

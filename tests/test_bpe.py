@@ -82,3 +82,17 @@ def test_encode_word_only_emits_learned_symbols(merges):
         assert "".join(toks) == w
         for t in toks:
             assert len(t) == 1 or t in learned
+
+
+def test_merge_table_round_trips(spark, docs, merges, tmp_path):
+    """Train-once / encode-everywhere: the persisted merge table
+    reloads identically and produces identical encodings."""
+    from streaming_data_ingestion_spark.bpe import load_merges, save_merges
+
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    again = load_merges(p)
+    assert again == merges
+    a = {r["doc_id"]: r["tokens"] for r in encode_documents(docs, merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in encode_documents(docs, again).collect()}
+    assert a == b

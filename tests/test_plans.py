@@ -834,3 +834,36 @@ def test_no_python_in_any_hot_path(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_broadcast_threshold_governs_join_strategy(spark):
+    """The engine leans on size-based strategy selection (SCALE.md
+    documents removing broadcast hints at real scale): the SAME
+    unhinted join must broadcast when the dimension fits under
+    autoBroadcastJoinThreshold and fall back to a shuffle join when
+    the threshold is 0 — proving strategy is config/size-driven, not
+    baked into the operators."""
+    from streaming_data_ingestion_spark.tables import load
+
+    def planned():
+        # rebuild per call: a DataFrame memoizes its QueryExecution, so
+        # strategy must be re-derived after each threshold change
+        nation = load(spark, SF_DIR, "nation")
+        customer = load(spark, SF_DIR, "customer")
+        j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        return j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "BroadcastHashJoin" in planned()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = planned()
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
