@@ -50,3 +50,57 @@ def backfill_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"partitions": len(values), "rows_written": n}
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    part_col: str,
+) -> dict:
+    """Row-level MERGE-shaped upsert into a partitioned parquet table
+    without a transactional format: rows in ``updates`` replace
+    same-``key`` rows and append otherwise, touching ONLY the
+    partitions the updates land in.
+
+    Mechanics: the touched partition values come from ``updates`` (one
+    tiny distinct), the current contents of just those partitions are
+    read back (partition-pruned scan), updates win by anti-joining the
+    old rows on ``key``, and the merged result dynamic-overwrites the
+    touched partitions. Untouched partitions' files are never opened.
+    A key that MOVES partitions must be handled upstream (delete+insert)
+    — same as Hive-style MERGE; documented, not hidden.
+
+    Returns {"partitions", "rows_written"}.
+    """
+    parts = [r[0] for r in updates.select(part_col).distinct().collect()]
+    if not parts:
+        return {"partitions": 0, "rows_written": 0}
+    current = spark.read.parquet(table_path).filter(
+        F.col(part_col).isin(*parts)
+    )
+    survivors = current.join(
+        updates.select(F.col(key).alias("__uk")).distinct(),
+        current[key] == F.col("__uk"),
+        "left_anti",
+    )
+    # localCheckpoint (eager): the write below overwrites the very files
+    # `merged` reads, so its lineage must be SEVERED, not merely cached —
+    # a cache eviction mid-write would otherwise recompute from
+    # partially-overwritten inputs
+    merged = survivors.unionByName(
+        updates.select(*current.columns)
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = merged.count()
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions": len(parts), "rows_written": n}

@@ -88,3 +88,60 @@ def test_backfill_restores_overwrite_mode_and_handles_empty(spark, tmp_path):
     _table_build(spark).write.partitionBy("shard").parquet(path)
     backfill_partitions(spark, _table_build, path, "shard", [0])
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
+
+
+def test_upsert_updates_inserts_and_leaves_other_partitions_alone(spark, tmp_path):
+    from streaming_data_ingestion_spark.backfill import upsert_partitioned
+
+    path = str(tmp_path / "upsert")
+    _table_build(spark).write.partitionBy("shard").parquet(path)
+    before_files = _file_state(path)
+    base = {r["event_id"]: r for r in spark.read.parquet(path).collect()}
+
+    # update one existing row in shard 1, insert one new row in shard 1
+    some_id = next(
+        r["event_id"] for r in base.values() if r["shard"] == 1
+    )
+    updates = spark.createDataFrame(
+        [
+            (some_id, 42, 999.5, 1),      # update
+            (77_000_001, 43, 1.5, 1),     # insert
+        ],
+        "event_id long, user_id long, value double, shard long",
+    )
+    stats = upsert_partitioned(spark, path, updates, "event_id", "shard")
+    assert stats["partitions"] == 1
+
+    after = {r["event_id"]: r for r in spark.read.parquet(path).collect()}
+    assert len(after) == len(base) + 1
+    assert after[some_id]["value"] == 999.5 and after[some_id]["user_id"] == 42
+    assert after[77_000_001]["value"] == 1.5
+    # every other row identical
+    for eid, r in base.items():
+        if eid != some_id:
+            assert after[eid]["value"] == r["value"]
+    # untouched partitions' files byte-identical
+    after_files = _file_state(path)
+    ub = {f: m for f, m in before_files.items() if "shard=1" not in f}
+    ua = {f: m for f, m in after_files.items() if "shard=1" not in f}
+    assert ub == ua
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    from streaming_data_ingestion_spark.backfill import upsert_partitioned
+
+    path = str(tmp_path / "upsert2")
+    _table_build(spark).write.partitionBy("shard").parquet(path)
+    updates = spark.createDataFrame(
+        [(88_000_001, 5, 2.5, 3)],
+        "event_id long, user_id long, value double, shard long",
+    )
+    upsert_partitioned(spark, path, updates, "event_id", "shard")
+    once = sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+    upsert_partitioned(spark, path, updates, "event_id", "shard")
+    twice = sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+    assert once == twice
