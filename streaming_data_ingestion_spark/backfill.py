@@ -104,3 +104,40 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"partitions": len(parts), "rows_written": n}
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str,
+    part_col: str,
+) -> dict:
+    """Row-level delete by key, touching only the partitions named in
+    ``keys`` (which must carry both ``key`` and ``part_col``): the
+    partition-pruned read-back drops matching rows via anti-join and
+    dynamic-overwrites just those partitions. Same eager-localCheckpoint
+    lineage severing as upsert_partitioned; naturally idempotent."""
+    parts = [r[0] for r in keys.select(part_col).distinct().collect()]
+    if not parts:
+        return {"partitions": 0, "rows_written": 0}
+    current = spark.read.parquet(table_path).filter(
+        F.col(part_col).isin(*parts)
+    )
+    survivors = current.join(
+        keys.select(F.col(key).alias("__dk")).distinct(),
+        current[key] == F.col("__dk"),
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = survivors.count()
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions": len(parts), "rows_written": n}

@@ -1379,3 +1379,66 @@ def test_live_curation_pipeline_end_to_end(spark, tmp_path):
         assert sum(m["n_rows"] for m in mets) == len(rows) + 1
     finally:
         collector.detach(spark)
+
+
+def test_cdc_apply_stream_maintains_table(spark, tmp_path):
+    """A CDC change stream (upserts + deletes across two micro-batches)
+    maintains the partitioned table: updates win, inserts land,
+    tombstones remove, same-batch upsert-then-delete ends deleted, and
+    a checkpointed re-run with no new input changes nothing."""
+    from streaming_data_ingestion_spark.streaming.cdc import apply_cdc_stream
+
+    table = str(tmp_path / "cdc_table")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+        "k long, v string, shard long",
+    ).write.partitionBy("shard").parquet(table)
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "op string, k long, v string, shard long"
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"op": "upsert", "k": 1, "v": "a2", "shard": 0},   # update
+                {"op": "upsert", "k": 4, "v": "d", "shard": 1},    # insert
+                {"op": "delete", "k": 2, "v": None, "shard": 0},   # tombstone
+            ]
+        )
+    )
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"op": "upsert", "k": 5, "v": "e", "shard": 0},
+                # upsert then tombstone in the SAME batch → ends deleted
+                {"op": "delete", "k": 5, "v": None, "shard": 0},
+                {"op": "upsert", "k": 3, "v": "c2", "shard": 1},
+            ]
+        )
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        q = apply_cdc_stream(
+            stream, table, "k", "shard", str(tmp_path / "cdc_ckpt")
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["k"]: (r["v"], r["shard"])
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {1: ("a2", 0), 3: ("c2", 1), 4: ("d", 1)}
+    assert got == want
+
+    run()  # same checkpoint, no new files: nothing changes
+    again = {
+        r["k"]: (r["v"], r["shard"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == want
