@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -63,8 +64,14 @@ def dedup_against_index(
                 .select("digest")
             )
             novel = batch.join(seen, "digest", "left_anti")
-        except Exception:
-            novel = batch  # no index yet: everything is novel
+        except AnalysisException as e:
+            # ONLY the genuinely-missing-index case may be treated as
+            # "everything is novel" — swallowing a transient read error
+            # here would silently re-emit the whole corpus as new
+            # (the bare-except-overwrites-history bug class)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            novel = batch  # first epoch ever: no index yet
         novel = novel.persist()
         try:
             (
