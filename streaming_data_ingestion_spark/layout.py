@@ -249,6 +249,12 @@ def optimize_zordered(
     import shutil as _shutil
 
     files_before = len(_glob.glob(f"{path}/*.parquet"))
+    if files_before == 0 and _glob.glob(f"{path}/*=*"):
+        raise ValueError(
+            "optimize_zordered operates on an unpartitioned table "
+            "directory; for a Hive-partitioned table run it per "
+            "partition directory (the cold-partition maintenance unit)"
+        )
     df = spark.read.parquet(path).persist()
     try:
         n_rows = df.count()

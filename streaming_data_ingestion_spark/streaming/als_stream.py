@@ -73,7 +73,11 @@ def streaming_user_factors(
         else:
             n, a, b = 0, np.zeros((rank, rank)), np.zeros(rank)
         for pdf in pdfs:
-            # fix accumulation order so replays are bit-identical
+            # fix accumulation order so replays are bit-identical; drop
+            # items the frozen V has no factor for (catalog grew since
+            # the offline train) instead of crashing the stream — they
+            # contribute at the next retrain
+            pdf = pdf[pdf["item"].astype("int64").isin(item_index)]
             pdf = pdf.sort_values(["item", "rating"])
             for item, rating in zip(pdf["item"], pdf["rating"]):
                 vi = np.array(v_rows[item_index[int(item)]])
