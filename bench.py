@@ -128,6 +128,10 @@ EXTENDED = (
     "q_minhash_containment", # asymmetric containment verify on LSH candidates
     "q_join_asof_nearest",   # both-direction asof carries off one sort
     "q_late_events",         # watermark late-drop audit (distributed prefix max)
+    "q_roc_auc",             # grid-binned Mann-Whitney AUC (pair-count form)
+    "q_ks_test",             # fixed-grid two-sample KS distance
+    "q_chi2_independence",   # lang x source chi-square (decimal term sum)
+    "q_gini_token",          # vocab-ranked Gini concentration
 )
 
 

@@ -16,6 +16,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     relational,
     sketches,
     stats,
+    stats_tests,
     streaming_analogs,
     subqueries,
     tpch,

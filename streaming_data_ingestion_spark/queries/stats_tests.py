@@ -1,0 +1,454 @@
+"""Evaluation-statistics operators: ROC-AUC, Kolmogorov-Smirnov,
+chi-square independence, Gini concentration (SURVEY.md §2B breadth — the
+model-eval / corpus-audit passes an LLM-data pipeline runs after the
+quality and dedup stages; the reference pipeline ingests events/documents
+but computes none of these).
+
+Scale design shared by the family:
+
+* Every statistic reduces the fact table to a FIXED-SIZE relation first —
+  a constant score grid (AUC: 1024 bins, KS: 512 bins), a categorical
+  contingency table (chi²: |lang|x|source| cells), or the token
+  vocabulary (Gini) — with one map-side-combined aggregate. The only
+  full-data cost is that single scan+shuffle, exactly like q_histogram.
+* Rank/cumulative structure is then computed ON THE BOUNDED RELATION:
+  AUC uses the pair-count formulation (a broadcast inequality join
+  between two <=G-row sides: cost is G² ~ constant, independent of data
+  size); KS uses the same bounded triangle join for the ECDF; Gini uses
+  the distributed range-exchange ranking from :mod:`ranking` because the
+  vocabulary is NOT constant-bounded.
+* Cross-engine hash-matching: all counts stay integer until one final
+  closed-form double expression written token-identically in the Spark
+  column algebra and the DuckDB SQL, and any sum over >1 double terms
+  goes through DECIMAL(38,10) (order-independent) first — the same
+  discipline as :mod:`stats`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.ranking import with_global_rank
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_roc_auc — binned ROC-AUC of a text-quality score against a language
+# label, via the Mann-Whitney pair-count formulation.
+# --------------------------------------------------------------------------
+
+_AUC_BINS = 1024
+
+
+@query(
+    "q_roc_auc",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    CAST(LEAST(FLOOR((CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                      / CAST(n_chars + 1 AS DOUBLE)) * {_AUC_BINS}.0),
+               {_AUC_BINS - 1}.0) AS INTEGER) AS bin,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+binned AS (
+  SELECT bin,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM scored GROUP BY bin
+),
+pairs AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN p.bin > n.bin THEN p.n_pos * n.n_neg END), 0) AS BIGINT) AS wins,
+    CAST(COALESCE(SUM(CASE WHEN p.bin = n.bin THEN p.n_pos * n.n_neg END), 0) AS BIGINT) AS ties
+  FROM binned p JOIN binned n ON p.bin >= n.bin
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos, CAST(SUM(n_neg) AS BIGINT) AS n_neg
+  FROM binned
+)
+SELECT
+  tot.n_pos,
+  tot.n_neg,
+  pairs.ties AS tied_pairs,
+  (CAST(pairs.wins AS DOUBLE) + 0.5 * CAST(pairs.ties AS DOUBLE))
+    / (CAST(tot.n_pos AS DOUBLE) * CAST(tot.n_neg AS DOUBLE)) AS auc
+FROM pairs, tot
+""",
+    tags=("stats", "eval"),
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC: does a cheap text score (vowel density)
+    separate English documents from the rest?
+
+    The scale-critical move: the corpus collapses to a FIXED 1024-bin
+    score histogram (per bin: positive / negative counts) in one
+    map-side-combined aggregate — the only pass that touches the data.
+    AUC then follows from the Mann-Whitney pair count
+
+        AUC = (#(score_pos > score_neg) + ½·#(score_pos = score_neg))
+              / (n_pos · n_neg)
+
+    computed with a broadcast inequality join between the positive and
+    negative bin tables: both sides are <=1024 rows BY CONSTRUCTION, so
+    the nested-loop cost is a constant ~1M integer multiplies at any
+    data scale (allowlisted in the no-cartesian sweep — grid-bounded,
+    never data-sized). Counts stay BIGINT end-to-end; the single final
+    division is the only floating-point step, so the hash match with
+    DuckDB is exact.
+
+    Binning makes this an approximation of the continuous-score AUC with
+    error <= P(two docs share a bin) — the standard trade (histogram /
+    quantile-sketch AUC) every large-scale evaluator makes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    score = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast(
+        "double"
+    ) / (F.col("n_chars") + F.lit(1)).cast("double")
+    binned = (
+        docs.select(
+            F.least(
+                F.floor(score * F.lit(float(_AUC_BINS))),
+                F.lit(float(_AUC_BINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    p = binned.select(F.col("bin").alias("pbin"), "n_pos")
+    n = binned.select(F.col("bin").alias("nbin"), "n_neg")
+    pairs = (
+        p.join(F.broadcast(n), F.col("pbin") >= F.col("nbin"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pbin") > F.col("nbin"),
+                        F.col("n_pos") * F.col("n_neg"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("wins"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pbin") == F.col("nbin"),
+                        F.col("n_pos") * F.col("n_neg"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ties"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_pos").cast("long").alias("t_pos"),
+        F.sum("n_neg").cast("long").alias("t_neg"),
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("t_pos").alias("n_pos"),
+        F.col("t_neg").alias("n_neg"),
+        F.col("ties").alias("tied_pairs"),
+        (
+            (F.col("wins").cast("double") + F.lit(0.5) * F.col("ties").cast("double"))
+            / (F.col("t_pos").cast("double") * F.col("t_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ks_test — two-sample Kolmogorov–Smirnov distance between the `value`
+# distributions of two event types, on a fixed 512-bin ECDF grid.
+# --------------------------------------------------------------------------
+
+_KS_BINS = 512
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+WITH vals AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM vals
+),
+binned AS (
+  SELECT
+    CAST(LEAST(FLOOR(((value - lo) / (hi - lo)) * {_KS_BINS}.0), {_KS_BINS - 1}.0) AS INTEGER) AS bin,
+    CAST(SUM(g1) AS BIGINT) AS c1,
+    CAST(COUNT(*) - SUM(g1) AS BIGINT) AS c2
+  FROM vals, bounds
+  GROUP BY 1
+),
+cum AS (
+  SELECT a.bin,
+         CAST(SUM(b.c1) AS BIGINT) AS cum1,
+         CAST(SUM(b.c2) AS BIGINT) AS cum2
+  FROM binned a JOIN binned b ON b.bin <= a.bin
+  GROUP BY a.bin
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM binned
+)
+SELECT
+  tot.n1,
+  tot.n2,
+  MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+        - CAST(cum2 AS DOUBLE) / CAST(tot.n2 AS DOUBLE))) AS d_stat,
+  MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(tot.n1 AS DOUBLE)
+        - CAST(cum2 AS DOUBLE) / CAST(tot.n2 AS DOUBLE)))
+    * sqrt((CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))
+           / (CAST(tot.n1 AS DOUBLE) + CAST(tot.n2 AS DOUBLE))) AS ks_lambda
+FROM cum, tot
+GROUP BY tot.n1, tot.n2
+""",
+    tags=("stats", "eval"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test: are 'click' and 'purchase' event values drawn
+    from the same distribution?
+
+    One full-data pass bins both samples onto a shared FIXED 512-bin
+    grid (bounds from a 1-row min/max aggregate, broadcast back — the
+    standard scalar-attach idiom). The ECDF prefix sums are then a
+    bounded triangle join on the <=512-row bin table (<=2^17 integer
+    pairs, constant at any data scale — allowlisted like the AUC grid
+    join), and D = max |F1 − F2| falls out of one final aggregate.
+    Counts are BIGINT throughout; the two divisions and the
+    sqrt-of-ratio (KS lambda, the input to the asymptotic p-value) are
+    the only IEEE steps and are written token-identically in both
+    engines, so the hash match is exact. The p-value's exp() is NOT
+    emitted: transcendental libm results may legitimately differ
+    across engines in the last ulp; lambda carries the full information.
+
+    Grid-binning makes D exact up to one bin width of resolution — the
+    distributed-systems trade every large-scale KS monitor makes
+    (drift detection over sketches).
+    """
+    ev = load(spark, sf_dir, "events")
+    vals = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    bounds = vals.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                    * F.lit(float(_KS_BINS))
+                ),
+                F.lit(float(_KS_BINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+            "g1",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2"),
+        )
+    )
+    a = binned.select(F.col("bin").alias("abin"))
+    cum = (
+        a.join(F.broadcast(binned), F.col("bin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(
+            F.sum("c1").cast("long").alias("cum1"),
+            F.sum("c2").cast("long").alias("cum2"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    diff = F.abs(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(diff).alias("d_stat"),
+            (
+                F.max(diff)
+                * F.sqrt(
+                    (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                    / (F.col("n1").cast("double") + F.col("n2").cast("double"))
+                )
+            ).alias("ks_lambda"),
+        )
+        .select("n1", "n2", "d_stat", "ks_lambda")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_chi2_independence — chi-square test of independence between document
+# language and source (is the corpus mix uniform across sources?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_chi2_independence",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+),
+rowt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY lang),
+colt AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_source
+        FROM cells)
+SELECT
+  tot.n,
+  tot.n_lang,
+  tot.n_source,
+  (tot.n_lang - 1) * (tot.n_source - 1) AS dof,
+  {sql_dec_to_double('''SUM(CAST(
+     (CAST(obs AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+     * (CAST(obs AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+   AS DECIMAL(38,10)))''')} AS chi2
+FROM cells
+JOIN rowt USING (lang)
+JOIN colt USING (source)
+CROSS JOIN tot
+GROUP BY tot.n, tot.n_lang, tot.n_source
+""",
+    tags=("stats", "eval"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence: lang x source contingency over documents.
+
+    The corpus reduces to its contingency table (|lang| x |source|
+    cells, group-sized) in one map-side-combined aggregate; marginals
+    are re-aggregated FROM the cells (never a second data pass) and
+    broadcast-equi-joined back; the grand total is the usual 1-row
+    broadcast. Per-cell (obs − exp)²/exp terms are double-valued, so
+    their sum crosses cells through DECIMAL(38,10) to stay
+    order-independent (the :mod:`stats` discipline) — the chi² statistic
+    hash-matches DuckDB exactly. Output: n, table shape, degrees of
+    freedom, chi².
+    """
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("rt"))
+    colt = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("n_lang"),
+        F.countDistinct("source").cast("long").alias("n_source"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_lang", "n_source")
+        .agg(F.sum(term.cast(DEC)).cast("double").alias("chi2"))
+        .select(
+            "n",
+            "n_lang",
+            "n_source",
+            ((F.col("n_lang") - 1) * (F.col("n_source") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_gini_token — Gini coefficient of the token-frequency distribution
+# (corpus concentration: how head-heavy is the vocabulary?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_gini_token",
+    oracle="""
+WITH freq AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM documents,
+       UNNEST(list_filter(str_split(trim(text), ' '), t -> t != '')) AS t(term)
+  GROUP BY t.term
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f, term) AS r FROM freq
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(f) AS BIGINT) AS n_tokens,
+  (2.0 * CAST(SUM(CAST(r AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0))) AS DOUBLE))
+      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+    - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini
+FROM ranked
+""",
+    tags=("stats", "eval", "text"),
+)
+def q_gini_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token frequencies — the corpus-concentration
+    audit a mixture designer runs before setting sampling weights
+    (a head-heavy vocabulary motivates rarity-aware sampling,
+    cf. q_text_rarity / q_mix_weights).
+
+    Gini over an ascending-ordered frequency vector f_1..f_n is the
+    closed form (2·Σ r·f_r)/(n·Σf) − (n+1)/n — it needs every
+    frequency's EXACT global rank. The vocabulary is data-sized (not a
+    fixed grid), so an unpartitioned window is off the table at 100 TB;
+    ranks come from :func:`ranking.with_global_rank` (parallel range
+    exchange + partition-offset arithmetic, one vocab-sized shuffle,
+    nothing single-partition) ordered by (f, term) — a total order, so
+    ranks and the statistic are engine-independent. Σ r·f accumulates
+    in DECIMAL(38,0): exact integers until the one final double
+    expression, which hash-matches DuckDB bit-for-bit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    ranked, _n = with_global_rank(freq, ["f", "term"], rank_col="r")
+    dec = "decimal(38,0)"
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.col("r").cast(dec) * F.col("f").cast(dec)).alias("srf"),
+    ).select(
+        "n_types",
+        "n_tokens",
+        (
+            (F.lit(2.0) * F.col("srf").cast("double"))
+            / (F.col("n_types").cast("double") * F.col("n_tokens").cast("double"))
+            - (F.col("n_types").cast("double") + F.lit(1.0))
+            / F.col("n_types").cast("double")
+        ).alias("gini"),
+    )

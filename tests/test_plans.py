@@ -478,6 +478,13 @@ _CARTESIAN_OK = {
     "q_histogram",         # bin spine broadcast
     "q_sim_ivfpq_recall",  # 8-row centroid fan-out + 3-row query truth side
     "q_pca2_project",      # 1-row fitted-model broadcast back over the scan
+    "q_roc_auc",           # pair-count inequality join between the two
+    #                        <=1024-row score-grid sides + 1-row totals —
+    #                        grid-bounded by construction, never data-sized
+    "q_ks_test",           # 1-row min/max bounds broadcast + ECDF triangle
+    #                        join on the <=512-row bin grid
+    "q_chi2_independence",  # 1-row grand-total broadcast onto the
+    #                        group-sized contingency cells
     "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
@@ -867,3 +874,28 @@ def test_broadcast_threshold_governs_join_strategy(spark):
         assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_roc_auc_single_data_pass(spark):
+    """q_roc_auc: the documents table is scanned for ONE map-side-combined
+    grid aggregate; every join below the output is broadcast (the
+    inequality pair join and the 1-row totals are both grid-bounded).
+    No data-sized shuffle may appear beyond the single bin exchange."""
+    plan = plan_of(spark, "q_roc_auc")
+    assert "partial_sum" in plan or "partial_count" in plan
+    # only the bin-grid exchanges (grid agg + two tiny re-aggs), never a
+    # doc-keyed or score-keyed data shuffle
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "bin" in ln, ln
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_token_no_unpartitioned_window(spark):
+    """q_gini_token ranks the vocabulary via the range-exchange ranking
+    construction — the plan must contain a range repartition and NO
+    window operator at all (the closed form needs only the rank column
+    with_global_rank synthesizes arithmetically)."""
+    plan = plan_of(spark, "q_gini_token")
+    assert "rangepartitioning" in plan or "RangePartitioning" in plan
+    assert "Window" not in plan
