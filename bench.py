@@ -131,6 +131,7 @@ EXTENDED = (
     "q_roc_auc",             # grid-binned Mann-Whitney AUC (pair-count form)
     "q_ks_test",             # fixed-grid two-sample KS distance
     "q_chi2_independence",   # lang x source chi-square (decimal term sum)
+    "q_mutual_information",  # MI/NMI from the same contingency reduction
     "q_gini_token",          # vocab-ranked Gini concentration
 )
 

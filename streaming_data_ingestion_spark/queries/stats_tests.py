@@ -385,6 +385,113 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_mutual_information — mutual information (and normalized MI) between
+# document language and source, from the same contingency reduction as
+# q_chi2_independence.
+# --------------------------------------------------------------------------
+
+_MI_TERM = """SUM(CAST(
+  (CAST(obs AS DOUBLE) / CAST(tot.n AS DOUBLE))
+  * ln((CAST(obs AS DOUBLE) * CAST(tot.n AS DOUBLE))
+       / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+AS DECIMAL(38,10)))"""
+
+
+@query(
+    "q_mutual_information",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY lang, source
+),
+rowt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY lang),
+colt AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT ROUND({sql_dec_to_double(_MI_TERM)}, 6) AS mi_nats
+  FROM cells JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN tot
+),
+hl AS (
+  SELECT ROUND({sql_dec_to_double(
+      "SUM(CAST(-(CAST(rt AS DOUBLE) / CAST(tot.n AS DOUBLE)) "
+      "* ln(CAST(rt AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(38,10)))"
+  )}, 6) AS h_lang
+  FROM rowt CROSS JOIN tot
+),
+hc AS (
+  SELECT ROUND({sql_dec_to_double(
+      "SUM(CAST(-(CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE)) "
+      "* ln(CAST(ct AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(38,10)))"
+  )}, 6) AS h_source
+  FROM colt CROSS JOIN tot
+)
+SELECT
+  mi_nats,
+  h_lang,
+  h_source,
+  ROUND(mi_nats / sqrt(h_lang * h_source), 6) AS nmi
+FROM mi, hl, hc
+""",
+    tags=("stats", "eval"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source — the
+    association-strength companion to q_chi2_independence's significance
+    readout (chi² scales with n; MI is the effect size a corpus auditor
+    actually thresholds on), plus Shannon marginal entropies and the
+    sqrt-normalized NMI.
+
+    Same scale skeleton as chi²: one contingency aggregate touches the
+    data, marginals re-aggregate from the cells, everything downstream is
+    group-sized with 1-row broadcasts. Each cell's p·ln(p n/(r c)) term
+    is one IEEE double; the cross-cell reductions go through
+    DECIMAL(38,10) (order-independent) and round to 6 dp to absorb the
+    cross-engine libm ln() ULP — the q_entropy absorber. NMI is computed
+    FROM the rounded values, so it is bit-deterministic by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("rt"))
+    colt = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+
+    obs_d = F.col("obs").cast("double")
+    n_d = F.col("n").cast("double")
+    term = (obs_d / n_d) * F.log(
+        (obs_d * n_d) / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    mi = (
+        cells.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(term.cast(DEC)).cast("double"), 6).alias("mi_nats"))
+    )
+
+    def _marginal_entropy(marg: DataFrame, cnt: str, alias: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.round(F.sum((-p * F.log(p)).cast(DEC)).cast("double"), 6).alias(alias)
+        )
+
+    hl = _marginal_entropy(rowt, "rt", "h_lang")
+    hc = _marginal_entropy(colt, "ct", "h_source")
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "mi_nats",
+            "h_lang",
+            "h_source",
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_lang") * F.col("h_source")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q_gini_token — Gini coefficient of the token-frequency distribution
 # (corpus concentration: how head-heavy is the vocabulary?).
 # --------------------------------------------------------------------------

@@ -485,6 +485,8 @@ _CARTESIAN_OK = {
     #                        join on the <=512-row bin grid
     "q_chi2_independence",  # 1-row grand-total broadcast onto the
     #                        group-sized contingency cells
+    "q_mutual_information",  # same contingency skeleton: 1-row total +
+    #                        1-row entropy broadcasts
     "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
