@@ -133,6 +133,7 @@ EXTENDED = (
     "q_chi2_independence",   # lang x source chi-square (decimal term sum)
     "q_mutual_information",  # MI/NMI from the same contingency reduction
     "q_gini_token",          # vocab-ranked Gini concentration
+    "q_bpe_encode",          # BPE train + zero-shuffle mapInPandas encode
 )
 
 

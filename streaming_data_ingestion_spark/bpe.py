@@ -112,19 +112,27 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def encode_documents(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame, merges: list[tuple[str, str]], passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
     """Row-local corpus encode: (doc_id, n_words, n_tokens, tokens) with
     tokens serialized space-joined (scalar column — the repo's
     array-output rule). mapInPandas with a per-batch word memo; the
     merge-rank dict rides in the task closure (merge tables are a few
-    thousand entries — kilobytes)."""
+    thousand entries — kilobytes).
+
+    ``passthrough`` columns ride through the map unchanged so a
+    downstream group-by (per-source token accounting) needs no join back
+    to the corpus — at scale a doc_id equi-join purely to recover a
+    grouping column would be a second full shuffle for nothing.
+    """
     ranks = {p: i for i, p in enumerate(merges)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             out = {"doc_id": [], "n_words": [], "n_tokens": [], "tokens": []}
+            for c in passthrough:
+                out[c] = list(pdf[c])
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in str(text).strip().split(" ") if w]
                 toks: list[str] = []
@@ -140,8 +148,12 @@ def encode_documents(
                 out["tokens"].append(" ".join(toks))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        run, schema="doc_id long, n_words long, n_tokens long, tokens string"
+    extra = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    return docs.select("doc_id", "text", *passthrough).mapInPandas(
+        run,
+        schema=f"doc_id long, n_words long, n_tokens long, tokens string{extra}",
     )
 
 

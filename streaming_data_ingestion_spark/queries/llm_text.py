@@ -1263,3 +1263,48 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("pair").asc())
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q_bpe_encode — apply a trained BPE merge table to the corpus
+# (the tokenizer-apply pass every training-data pipeline ends with).
+# --------------------------------------------------------------------------
+
+
+@query("q_bpe_encode", oracle=None, tags=("llm", "text", "tokenizer"))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 30-merge BPE table on the corpus and encode every document
+    with it, reporting per-source token accounting: document count, word
+    and BPE-token totals, and the compression ratio tokens/words.
+
+    Rows-only by contract (the greedy merge loop is iterative and not
+    SQL-expressible); correctness is pinned instead by
+    ``tests/test_bpe.py``, which replays the identical encode in pure
+    Python on the same fixture and asserts equal totals, and by the
+    trainer's own invariants (first merge ≡ q_bpe_pair_stats' top row).
+
+    Scale shape: training's only corpus-sized stage is the word-count
+    pass (the vocabulary it collects is megabytes at 100 TB — the same
+    memory contract HuggingFace/SentencePiece trainers make); the merge
+    loop is driver-side over that bounded table; encode is a zero-shuffle
+    ``mapInPandas`` scan with the kilobyte merge table in the task
+    closure and ``source`` passed through so the final group-sized
+    aggregate needs no join back to the corpus.
+    """
+    from streaming_data_ingestion_spark.bpe import encode_documents, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=30)
+    enc = encode_documents(docs, merges, passthrough=("source",))
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )

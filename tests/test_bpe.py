@@ -96,3 +96,29 @@ def test_merge_table_round_trips(spark, docs, merges, tmp_path):
     a = {r["doc_id"]: r["tokens"] for r in encode_documents(docs, merges).collect()}
     b = {r["doc_id"]: r["tokens"] for r in encode_documents(docs, again).collect()}
     assert a == b
+
+
+def test_q_bpe_encode_matches_pure_python_replay(spark):
+    """The registered rows-only query's per-source totals must equal a
+    pure-Python replay (train + encode_word on collected fixture docs) —
+    the oracle substitute for a non-SQL-expressible iterative operator."""
+    from collections import defaultdict
+
+    from streaming_data_ingestion_spark.bpe import encode_word, train_bpe
+
+    docs = load(spark, SF_DIR, "documents")
+    merges = train_bpe(docs, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    expect = defaultdict(lambda: [0, 0, 0])  # docs, words, tokens
+    for r in docs.select("source", "text").collect():
+        words = [w for w in str(r["text"]).strip().split(" ") if w]
+        toks = sum(len(encode_word(w, ranks)) for w in words)
+        e = expect[r["source"]]
+        e[0] += 1
+        e[1] += len(words)
+        e[2] += toks
+    got = {
+        r["source"]: (r["n_docs"], r["total_words"], r["total_tokens"])
+        for r in all_queries()["q_bpe_encode"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {s: tuple(v) for s, v in expect.items()}

@@ -40,6 +40,8 @@ def test_oracle_coverage_is_near_total():
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
     assert rows_only == [
         "q_agg_approx",          # HLL++ internals differ by design
+        "q_bpe_encode",          # iterative greedy merge loop; pinned by
+        #                          the pure-Python replay in test_bpe.py
         "q_multimodal_features", # Arrow mapInPandas decode path
         "q_sim_ivfpq_index",     # physical stored-index layout on disk
     ], rows_only
