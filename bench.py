@@ -134,6 +134,7 @@ EXTENDED = (
     "q_mutual_information",  # MI/NMI from the same contingency reduction
     "q_gini_token",          # vocab-ranked Gini concentration
     "q_bpe_encode",          # BPE train + zero-shuffle mapInPandas encode
+    "q_quantile_rollup_merge",  # shared-grid mergeable percentile rollup
 )
 
 

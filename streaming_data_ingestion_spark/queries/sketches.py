@@ -284,3 +284,145 @@ def q_hll_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("union_within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_quantile_rollup_merge — mergeable quantile sketches on a shared grid:
+# per-(event_type, day) histogram partials roll up to per-type and global
+# p50/p90/p99 without rescanning the data.
+# --------------------------------------------------------------------------
+
+_QR_BINS = 512
+
+
+@query(
+    "q_quantile_rollup_merge",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+fine AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS day,
+         CAST(LEAST(FLOOR(((value - lo) / (hi - lo)) * {_QR_BINS}.0),
+                    {_QR_BINS - 1}.0) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, bounds
+  GROUP BY 1, 2, 3
+),
+scoped AS (
+  SELECT event_type AS scope, bin, CAST(SUM(c) AS BIGINT) AS c
+  FROM fine GROUP BY 1, 2
+  UNION ALL
+  SELECT '(all)' AS scope, bin, CAST(SUM(c) AS BIGINT) AS c
+  FROM fine GROUP BY 1, 2
+),
+tot AS (
+  SELECT scope, CAST(SUM(c) AS BIGINT) AS n FROM scoped GROUP BY scope
+),
+cum AS (
+  SELECT a.scope, a.bin, CAST(SUM(b.c) AS BIGINT) AS cum
+  FROM scoped a JOIN scoped b ON a.scope = b.scope AND b.bin <= a.bin
+  GROUP BY a.scope, a.bin
+),
+qb AS (
+  SELECT cum.scope, tot.n,
+         MIN(CASE WHEN cum * 100 >= 50 * tot.n THEN bin END) AS b50,
+         MIN(CASE WHEN cum * 100 >= 90 * tot.n THEN bin END) AS b90,
+         MIN(CASE WHEN cum * 100 >= 99 * tot.n THEN bin END) AS b99
+  FROM cum JOIN tot ON cum.scope = tot.scope
+  GROUP BY cum.scope, tot.n
+)
+SELECT scope, n,
+       lo + (CAST(b50 AS DOUBLE) + 1.0) * ((hi - lo) / {_QR_BINS}.0) AS p50,
+       lo + (CAST(b90 AS DOUBLE) + 1.0) * ((hi - lo) / {_QR_BINS}.0) AS p90,
+       lo + (CAST(b99 AS DOUBLE) + 1.0) * ((hi - lo) / {_QR_BINS}.0) AS p99
+FROM qb, bounds
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup: the percentile analog of
+    q_hll_rollup_union. Per-(event_type, day) histogram partials on a
+    SHARED fixed 512-bin grid merge — by plain addition — up to
+    per-type and corpus-wide p50/p90/p99, answering every coarser grain
+    without rescanning the data.
+
+    The shared grid is what makes the sketch mergeable: bounds come from
+    one 1-row min/max broadcast, so every partial buckets identically
+    and a rollup is just SUM(c) per bin (contrast t-digest/KLL merges,
+    which need sketch-internal logic; a fixed grid trades adaptive
+    resolution for additive merge and bit-exact determinism). Quantile
+    extraction selects the first bin whose cumulative count crosses
+    ceil(q·n) — the comparison is the integer cross-multiplication
+    cum·100 ≥ q%·n, so no float boundary can disagree between engines —
+    and reports the bin's upper edge (error ≤ one bin width, the
+    documented approximation every histogram-quantile dashboard makes).
+    The cumulative pass is the bounded triangle join on the ≤(types+1)·512-row
+    scoped histogram — grid-bounded at any data scale, same family as
+    q_ks_test's ECDF join.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    fine = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.least(
+                F.floor(
+                    ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                    * F.lit(float(_QR_BINS))
+                ),
+                F.lit(float(_QR_BINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_type = (
+        fine.groupBy("event_type", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .select(F.col("event_type").alias("scope"), "bin", "c")
+    )
+    global_h = (
+        fine.groupBy("bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .select(F.lit("(all)").alias("scope"), "bin", "c")
+    )
+    scoped = per_type.unionAll(global_h)
+    tot = scoped.groupBy("scope").agg(F.sum("c").cast("long").alias("n"))
+    b = scoped.select(F.col("scope").alias("bscope"), F.col("bin").alias("bbin"), "c")
+    cum = (
+        scoped.select("scope", "bin")
+        .join(
+            F.broadcast(b),
+            (F.col("scope") == F.col("bscope")) & (F.col("bbin") <= F.col("bin")),
+        )
+        .groupBy("scope", "bin")
+        .agg(F.sum("c").cast("long").alias("cum"))
+    )
+
+    def _qbin(pct: int, alias: str) -> Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(pct) * F.col("n"), F.col("bin"))
+        ).alias(alias)
+
+    qb = (
+        cum.join(F.broadcast(tot), "scope")
+        .groupBy("scope", "n")
+        .agg(_qbin(50, "b50"), _qbin(90, "b90"), _qbin(99, "b99"))
+    )
+
+    def _edge(bcol: str, alias: str) -> Column:
+        return (
+            F.col("lo")
+            + (F.col(bcol).cast("double") + F.lit(1.0))
+            * ((F.col("hi") - F.col("lo")) / F.lit(float(_QR_BINS)))
+        ).alias(alias)
+
+    return qb.crossJoin(F.broadcast(bounds)).select(
+        "scope", "n", _edge("b50", "p50"), _edge("b90", "p90"), _edge("b99", "p99")
+    )

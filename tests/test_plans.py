@@ -487,6 +487,8 @@ _CARTESIAN_OK = {
     #                        group-sized contingency cells
     "q_mutual_information",  # same contingency skeleton: 1-row total +
     #                        1-row entropy broadcasts
+    "q_quantile_rollup_merge",  # 1-row grid-bounds broadcasts; the ECDF
+    #                        pass itself is scope-equi (hash join)
     "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
