@@ -135,6 +135,7 @@ EXTENDED = (
     "q_gini_token",          # vocab-ranked Gini concentration
     "q_bpe_encode",          # BPE train + zero-shuffle mapInPandas encode
     "q_quantile_rollup_merge",  # shared-grid mergeable percentile rollup
+    "q_forecast_holt",       # struct-fold Holt smoothing over the daily rollup
 )
 
 

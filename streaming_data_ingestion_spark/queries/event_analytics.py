@@ -1649,3 +1649,95 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         ((F.col("n") - F.col("trend")) - F.col("seasonal")).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_forecast_holt — Holt linear-trend forecast of daily event volume per
+# type (the capacity-planning readout on top of the daily rollup).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_holt",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+rec AS (
+  SELECT event_type, i, n_days, v AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT d.event_type, d.i, d.n_days,
+         0.5 * d.v + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       l AS level, b AS trend, l + 7.0 * b AS forecast_7d
+FROM rec WHERE i = n_days
+""",
+    tags=("events", "timeseries", "forecast"),
+)
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (level + trend double-exponential) of
+    each event type's daily volume, with the 7-day-ahead forecast — the
+    capacity-planning companion to q_ewma's single-exponential fold.
+
+    Recursion (α = β = 1/2):  l_i = ½x_i + ½(l+b);  b_i = ½(l_i−l) + ½b
+    — every step is exact power-of-two scalings plus IEEE additions, and
+    both engines run the SAME fold over the SAME day ordering: Spark as
+    a struct-accumulator `aggregate` over the sorted per-type day array,
+    DuckDB as a recursive CTE stepping i→i+1 (the b-step re-states the
+    l-step expression inline so the two engines evaluate the identical
+    operation sequence).
+
+    Scale shape: ONE (event_type, day) shuffle with map-side-combined
+    DECIMAL partials collapses the fact table to the daily rollup — the
+    only data-sized stage; the per-type fold then runs over an array
+    bounded by the CALENDAR (days, not events), the same bounded-state
+    argument as q_ewma's recency cap. No window over the fact table, no
+    Python, no driver loop.
+    """
+    from streaming_data_ingestion_spark.compat import DEC
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    vs = F.transform(F.col("rows"), lambda s: s["v"])
+    half = F.lit(0.5)
+
+    def _step(acc, x):
+        new_l = half * x + half * (acc["l"] + acc["b"])
+        new_b = half * ((half * x + half * (acc["l"] + acc["b"])) - acc["l"]) + (
+            half * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(vs, F.lit(2), F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vs, 1).alias("l"), F.lit(0.0).cast("double").alias("b")
+        ),
+        _step,
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        (fold["l"] + F.lit(7.0) * fold["b"]).alias("forecast_7d"),
+    )
