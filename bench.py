@@ -136,6 +136,8 @@ EXTENDED = (
     "q_bpe_encode",          # BPE train + zero-shuffle mapInPandas encode
     "q_quantile_rollup_merge",  # shared-grid mergeable percentile rollup
     "q_forecast_holt",       # struct-fold Holt smoothing over the daily rollup
+    "q_calibration_bins",    # reliability diagram + ECE on the 16-bin grid
+    "q_psi_drift",           # split-half PSI drift over the 256-bin grid
 )
 
 

@@ -559,3 +559,225 @@ def q_gini_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_types").cast("double")
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_calibration_bins — reliability diagram + expected calibration error
+# for the vowel-density quality score against the lang='en' label.
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 16
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+WITH scored AS (
+  SELECT
+    (CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+     / CAST(n_chars + 1 AS DOUBLE)) AS score,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+binned AS (
+  SELECT
+    CAST(LEAST(FLOOR(score * {_CAL_BINS}.0), {_CAL_BINS - 1}.0) AS INTEGER) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pos) AS BIGINT) AS n_pos,
+    {sql_dec_to_double('SUM(CAST(score AS DECIMAL(38,10)))')} AS sum_score
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM binned),
+ece AS (
+  SELECT {sql_dec_to_double(
+      "SUM(CAST((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) "
+      "* ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) "
+      "- sum_score / CAST(n AS DOUBLE)) AS DECIMAL(38,10)))"
+  )} AS ece
+  FROM binned CROSS JOIN tot
+)
+SELECT bin, n, n_pos,
+       sum_score / CAST(n AS DOUBLE) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       ece.ece AS ece
+FROM binned CROSS JOIN ece
+""",
+    tags=("stats", "eval"),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q_roc_auc score/label pair: per
+    confidence bin, the mean predicted score vs the observed positive
+    rate, plus the overall expected calibration error (ECE) — the
+    standard audit before a classifier's scores gate a corpus filter
+    (AUC says the ORDER is right; calibration says the VALUES mean what
+    they claim).
+
+    Same scale posture as the family: one map-side-combined aggregate
+    onto a fixed 16-bin confidence grid is the only data pass; ECE is a
+    second fold over the 16-row relation attached by 1-row broadcast.
+    Counts are BIGINT; per-bin score sums cross the reduction through
+    DECIMAL(38,10); the divisions are the only IEEE steps and are
+    written token-identically in both engines — bit-exact, no rounding
+    absorber needed (no transcendentals anywhere).
+    """
+    docs = load(spark, sf_dir, "documents")
+    score = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast(
+        "double"
+    ) / (F.col("n_chars") + F.lit(1)).cast("double")
+    binned = (
+        docs.select(
+            F.least(
+                F.floor(score * F.lit(float(_CAL_BINS))),
+                F.lit(float(_CAL_BINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+            score.alias("score"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(F.col("score").cast(DEC)).cast("double").alias("sum_score"),
+        )
+    )
+    tot = binned.agg(F.sum("n").cast("long").alias("total"))
+    gap = F.abs(
+        F.col("n_pos").cast("double") / F.col("n").cast("double")
+        - F.col("sum_score") / F.col("n").cast("double")
+    )
+    weight = F.col("n").cast("double") / F.col("total").cast("double")
+    ece = (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(F.sum((weight * gap).cast(DEC)).cast("double").alias("ece"))
+    )
+    return binned.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("sum_score") / F.col("n").cast("double")).alias("mean_score"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+        "ece",
+    )
+
+
+# --------------------------------------------------------------------------
+# q_psi_drift — Population Stability Index between the first and second
+# halves of the event stream (the production drift monitor).
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 256
+_PSI_EPS = "0.000001"  # empty-bin clip, the standard PSI convention
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+WITH spanned AS (
+  SELECT value, ts,
+         MIN(value) OVER () AS lo, MAX(value) OVER () AS hi,
+         MIN(ts) OVER () AS t0, MAX(ts) OVER () AS t1
+  FROM events
+),
+halves AS (
+  SELECT
+    CAST(LEAST(FLOOR(((value - lo) / (hi - lo)) * {_PSI_BINS}.0),
+               {_PSI_BINS - 1}.0) AS INTEGER) AS bin,
+    CASE WHEN epoch(ts) * 2 < epoch(t0) + epoch(t1) THEN 1 ELSE 0 END AS early
+  FROM spanned
+),
+binned AS (
+  SELECT bin,
+         CAST(SUM(early) AS BIGINT) AS c_early,
+         CAST(COUNT(*) - SUM(early) AS BIGINT) AS c_late
+  FROM halves GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(c_early) AS BIGINT) AS n_early,
+         CAST(SUM(c_late) AS BIGINT) AS n_late
+  FROM binned
+)
+SELECT
+  tot.n_early,
+  tot.n_late,
+  ROUND({sql_dec_to_double(
+    "SUM(CAST("
+    "(GREATEST(CAST(c_early AS DOUBLE) / CAST(tot.n_early AS DOUBLE), " + _PSI_EPS + ") "
+    " - GREATEST(CAST(c_late AS DOUBLE) / CAST(tot.n_late AS DOUBLE), " + _PSI_EPS + ")) "
+    "* ln(GREATEST(CAST(c_early AS DOUBLE) / CAST(tot.n_early AS DOUBLE), " + _PSI_EPS + ") "
+    "   / GREATEST(CAST(c_late AS DOUBLE) / CAST(tot.n_late AS DOUBLE), " + _PSI_EPS + ")) "
+    "AS DECIMAL(38,10)))"
+  )}, 6) AS psi
+FROM binned CROSS JOIN tot
+GROUP BY tot.n_early, tot.n_late
+""",
+    tags=("stats", "eval", "drift"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution between
+    the first and second halves of the stream's time span — the metric
+    production scoring pipelines alarm on (PSI < 0.1 stable, > 0.25
+    drifted), complementing q_ks_test's max-gap view with the
+    full-distribution divergence view.
+
+    One data pass bins values onto a fixed 256-bin grid and splits by
+    the time midpoint (value bounds and span from 1-row aggregates,
+    broadcast back). PSI folds over the ≤256-row bin table with the
+    standard empty-bin clip (shares floored at 1e-6 — deterministic,
+    no data-dependent epsilon). Σ(p−q)·ln(p/q) terms are each one IEEE
+    double, decimal-summed for order independence, rounded to 6 dp to
+    absorb the cross-engine libm ln() ULP (the q_entropy absorber).
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    eps = F.lit(1e-06)
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+                    * F.lit(float(_PSI_BINS))
+                ),
+                F.lit(float(_PSI_BINS - 1)),
+            )
+            .cast("int")
+            .alias("bin"),
+            F.when(
+                F.unix_timestamp("ts") * 2
+                < F.unix_timestamp("t0") + F.unix_timestamp("t1"),
+                1,
+            )
+            .otherwise(0)
+            .alias("early"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("early").cast("long").alias("c_early"),
+            (F.count(F.lit(1)) - F.sum("early")).cast("long").alias("c_late"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("c_early").cast("long").alias("n_early"),
+        F.sum("c_late").cast("long").alias("n_late"),
+    )
+    p = F.greatest(F.col("c_early").cast("double") / F.col("n_early").cast("double"), eps)
+    q = F.greatest(F.col("c_late").cast("double") / F.col("n_late").cast("double"), eps)
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("n_early", "n_late")
+        .agg(
+            F.round(F.sum(((p - q) * F.log(p / q)).cast(DEC)).cast("double"), 6).alias(
+                "psi"
+            )
+        )
+        .select("n_early", "n_late", "psi")
+    )

@@ -489,6 +489,9 @@ _CARTESIAN_OK = {
     #                        1-row entropy broadcasts
     "q_quantile_rollup_merge",  # 1-row grid-bounds broadcasts; the ECDF
     #                        pass itself is scope-equi (hash join)
+    "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
+    #                        16-row confidence grid
+    "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
     "q_heavy_hitters_cms",  # 1-row occurrence-total broadcast (φ cut);
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
