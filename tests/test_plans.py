@@ -811,13 +811,17 @@ def test_late_events_no_unpartitioned_window(spark):
 
 
 # queries whose CONTRACT is a Python execution surface (the UDF family
-# itself, and the Arrow mapInPandas multimodal decode)
+# itself, the Arrow mapInPandas multimodal decode, and the BPE
+# tokenizer-apply pass — a greedy merge loop with the kilobyte merge
+# table in the task closure, the same execution shape HF/SentencePiece
+# tokenizer passes have; zero-shuffle Arrow scan, not a hot join/agg)
 _PYTHON_OK = {
     "q_udf_python",
     "q_udf_pandas",
     "q_udf_grouped",
     "q_udtf",
     "q_multimodal_features",
+    "q_bpe_encode",
 }
 
 
