@@ -7,6 +7,7 @@ from streaming_data_ingestion_spark.queries import (  # noqa: F401
     functions_scalar,
     joins,
     layout_q,
+    lifecycle,
     llm_dedup,
     llm_pipeline,
     llm_quality,

@@ -1,0 +1,314 @@
+"""User-lifecycle / time-series diagnostics over the event stream
+(SURVEY.md §2B breadth — product-analytics readouts the reference's
+ingest pipeline (`/root/reference/spark-streaming.py`) feeds into
+Cassandra but never computes: growth accounting, serial dependence,
+and time-to-conversion survival).
+
+Scale design shared by the family:
+
+* Each query's ONLY data-sized stage is one map-side-combined aggregate
+  that collapses the event fact table to a CALENDAR- or USER-bounded
+  relation (per-day counts, per-user first/conversion timestamps →
+  per-duration counts). Everything after runs on that bounded relation.
+* Cumulative / lagged / triangular structure is computed ON THE BOUNDED
+  RELATION via broadcast inequality joins (the q_ks_test ECDF idiom) or
+  equi-joins against an exploded lag spine — never an unpartitioned
+  window over the fact table (the repo-wide ban).
+* Cross-engine hash discipline is the house standard (:mod:`compat`):
+  integer counts stay integer, any sum over >1 double terms goes through
+  DECIMAL(38,10), single divisions/products happen identically per-row
+  in both engines, and final transcendental outputs are ``round(6)`` to
+  absorb libm ULP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_cum_uniques — cumulative distinct users by day (the growth dashboard's
+# "total accounts" curve, computed incrementally-shaped).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cum_uniques",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY day
+)
+SELECT
+  CAST(a.day AS TIMESTAMP) AS day,
+  a.new_users,
+  CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+FROM daily a JOIN daily b ON b.day <= a.day
+GROUP BY a.day, a.new_users
+ORDER BY a.day
+""",
+    tags=("events", "lifecycle"),
+)
+def q_cum_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-unique-user counts.
+
+    The naive formulation — COUNT(DISTINCT user) over an ever-growing
+    day-window — rescans the whole history per day. This is the
+    incremental identity instead: a user contributes exactly once, on
+    their FIRST-SEEN day, so dashboards get ``cum(t) = Σ_{d≤t} new(d)``.
+
+    Scale shape: one user-keyed aggregate (min day per user — map-side
+    combined, users-sized shuffle) + one day-keyed aggregate → the daily
+    relation is CALENDAR-bounded, and the running total is a broadcast
+    triangle join on it (days² pairs ≈ nothing; at 10 years that is
+    3650² = 13M pairs, still one task's work). No unpartitioned window,
+    no per-day rescan.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.day") <= F.col("a.day"))
+        .groupBy(
+            # date → timestamp for the cross-engine compare (pandas reads
+            # a Spark DATE as object; the house convention is TIMESTAMP)
+            F.col("a.day").cast("timestamp").alias("day"),
+            F.col("a.new_users").alias("new_users"),
+        )
+        .agg(F.sum("b.new_users").cast("long").alias("cum_users"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_acf — autocorrelation function of daily event volume, lags 1..7
+# (the serial-dependence diagnostic behind seasonality / forecast choices).
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mu FROM daily
+),
+cent AS (
+  SELECT day, CAST(cnt AS DOUBLE) - mu.mu AS dev FROM daily, mu
+),
+den AS (
+  SELECT {sql_dec_to_double("SUM(CAST(dev * dev AS DECIMAL(38,10)))")} AS denom
+  FROM cent
+),
+lags AS (SELECT CAST(i AS BIGINT) AS lag FROM range(1, {_ACF_MAX_LAG + 1}) t(i)),
+pairs AS (
+  SELECT l.lag, a.dev AS da, b.dev AS db
+  FROM cent a
+  JOIN lags l ON TRUE
+  JOIN cent b ON b.day = a.day - CAST(l.lag AS INTEGER)
+)
+SELECT
+  lag,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND({sql_dec_to_double("SUM(CAST(da * db AS DECIMAL(38,10)))")}
+        / (SELECT denom FROM den), 6) AS acf
+FROM pairs
+GROUP BY lag
+ORDER BY lag
+""",
+    tags=("events", "timeseries", "stats"),
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7: ``r_k = Σ(x_t−μ)(x_{t−k}−μ) / Σ(x_t−μ)²`` — the diagnostic
+    that says whether q_seasonality / q_forecast_holt have structure to
+    model at all (weekly data should spike at lag 7).
+
+    Scale shape: ONE day-keyed count collapses the fact table to the
+    calendar-bounded daily relation. Lagged pairing is an EQUI-join —
+    each day explodes the constant 7-row lag spine and joins back on the
+    computed prior day — so no inequality scan anywhere; the identical
+    centered subtree on both join sides collapses to one ReusedExchange.
+    μ and the denominator are 1-row broadcasts. Per-term products are
+    row-local IEEE doubles; both sums go through DECIMAL(38,10).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mu = daily.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    cent = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("cnt").cast("double") - F.col("mu")).alias("dev")
+    )
+    den = cent.agg(
+        F.sum((F.col("dev") * F.col("dev")).cast(DEC)).cast("double").alias("denom")
+    )
+    a = cent.select(
+        "day",
+        F.col("dev").alias("da"),
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag"),
+    ).withColumn("prev_day", F.date_sub("day", F.col("lag")))
+    b = cent.select(F.col("day").alias("bday"), F.col("dev").alias("db"))
+    return (
+        a.join(b, a.prev_day == b.bday)
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("da") * F.col("db")).cast(DEC)).cast("double").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select("lag", "n_pairs", F.round(F.col("num") / F.col("denom"), 6).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_survival_km — Kaplan-Meier time-to-conversion curve with right-
+# censoring (signup-to-purchase survival, the funnel's statistical form).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+WITH hz AS (
+  SELECT MAX(CAST(ts AS DATE)) AS horizon FROM events
+),
+u AS (
+  SELECT
+    user_id,
+    MIN(CAST(ts AS DATE)) AS t0,
+    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS tp
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT
+    CAST(datediff('day', t0, COALESCE(tp, hz.horizon)) AS BIGINT) AS duration,
+    (tp IS NOT NULL) AS observed
+  FROM u, hz
+),
+c AS (
+  SELECT duration, observed, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dur GROUP BY duration, observed
+),
+ev_days AS (
+  SELECT duration AS t, cnt AS d FROM c WHERE observed
+),
+risk AS (
+  SELECT e.t, e.d, CAST(SUM(ac.cnt) AS BIGINT) AS n
+  FROM ev_days e JOIN c ac ON ac.duration >= e.t
+  GROUP BY e.t, e.d
+),
+f AS (
+  SELECT t, d, n,
+         1.0 - (CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS factor
+  FROM risk
+)
+SELECT
+  a.t AS t_day,
+  a.n AS n_risk,
+  a.d AS n_events,
+  CASE WHEN MIN(b.factor) = 0.0 THEN 0.0
+       ELSE ROUND(exp({sql_dec_to_double(
+           "SUM(CAST(ln(CASE WHEN b.factor = 0.0 THEN 1.0 ELSE b.factor END)"
+           " AS DECIMAL(38,10)))")}), 6)
+  END AS survival
+FROM f a JOIN f b ON b.t <= a.t
+GROUP BY a.t, a.n, a.d
+ORDER BY a.t
+""",
+    tags=("events", "lifecycle", "stats"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of days-to-first-purchase per user, right-
+    censored at the data horizon: ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)`` over
+    the observed event days — the censoring-correct generalization of
+    q_funnel_time (which can only average users who DID convert).
+
+    Scale shape: the only fact-sized stage is one user-keyed aggregate
+    (first event / first purchase per user). That collapses to a
+    (duration, observed) count table bounded by the CALENDAR, and the
+    at-risk sets, hazard factors, and the cumulative product (computed
+    as exp of a DECIMAL-summed Σln — with the S=0 absorbing case split
+    out so ln(0) never evaluates) all run as broadcast triangle joins on
+    that bounded relation. Factors are single IEEE divisions, identical
+    per-row in both engines; round(6) absorbs the libm ln/exp ULP.
+    """
+    ev = load(spark, sf_dir, "events")
+    hz = ev.agg(F.max(F.to_date("ts")).alias("horizon"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.to_date("ts"))).alias("tp"),
+    )
+    dur = u.crossJoin(F.broadcast(hz)).select(
+        F.datediff(F.coalesce("tp", "horizon"), F.col("t0"))
+        .cast("long")
+        .alias("duration"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    c = dur.groupBy("duration", "observed").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ev_days = c.where("observed").select(F.col("duration").alias("t"), F.col("cnt").alias("d"))
+    risk = (
+        ev_days.join(F.broadcast(c.alias("ac")), F.col("ac.duration") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.sum("ac.cnt").cast("long").alias("n"))
+    )
+    f = risk.select(
+        "t",
+        "d",
+        "n",
+        (F.lit(1.0) - (F.col("d").cast("double") / F.col("n").cast("double"))).alias(
+            "factor"
+        ),
+    )
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
+        .groupBy(
+            F.col("a.t").alias("t_day"),
+            F.col("a.n").alias("n_risk"),
+            F.col("a.d").alias("n_events"),
+        )
+        .agg(
+            F.min("b.factor").alias("minf"),
+            # ln(0) = -inf would poison the decimal cast (and DuckDB
+            # errors on it even inside a discarded CASE branch), so the
+            # zero factor is masked to ln(1)=0 here and the S(t)=0
+            # absorbing case is decided by minf below.
+            F.sum(
+                F.log(
+                    F.when(F.col("b.factor") == 0.0, F.lit(1.0)).otherwise(
+                        F.col("b.factor")
+                    )
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("lnsum"),
+        )
+        .select(
+            "t_day",
+            "n_risk",
+            "n_events",
+            F.when(F.col("minf") == 0.0, F.lit(0.0))
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("survival"),
+        )
+        .orderBy("t_day")
+    )

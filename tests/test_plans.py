@@ -478,6 +478,13 @@ _CARTESIAN_OK = {
     "q_histogram",         # bin spine broadcast
     "q_sim_ivfpq_recall",  # 8-row centroid fan-out + 3-row query truth side
     "q_pca2_project",      # 1-row fitted-model broadcast back over the scan
+    "q_cum_uniques",       # running total via triangle join on the
+    #                        calendar-bounded daily relation (days² pairs)
+    "q_acf",               # 1-row mean/denominator broadcasts onto the
+    #                        calendar-bounded daily relation
+    "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
+    #                        triangle joins on the calendar-bounded
+    #                        (duration, observed) count table
     "q_roc_auc",           # pair-count inequality join between the two
     #                        <=1024-row score-grid sides + 1-row totals —
     #                        grid-bounded by construction, never data-sized

@@ -16,9 +16,27 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _driver_checked() -> set[str]:
+    """Keys with a SATISFIED driver row (green, or rows-only by contract).
+
+    A key whose latest row errored (r04: q_pq_encode / q_emb_quantize)
+    is NOT checked — it has no standing green result and legitimately
+    occupies a window slot for re-verification, exactly like a
+    never-checked key. Mirrors ``__spark_entry__._satisfied``.
+    """
     keys: set[str] = set()
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        keys |= set(json.loads(f.read_text()))
+        for k, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                if row.get("spark_rows") is not None:
+                    keys.add(k)
+            elif (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            ):
+                keys.add(k)
     return keys
 
 
@@ -69,5 +87,7 @@ def test_every_oracle_belongs_to_a_registered_query():
     mod = _entry()
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only keys are the rare exception (inventory test pins the list)
-    assert len(q) - len(o) <= 3
+    # rows-only keys are the rare exception — test_inventory.py pins the
+    # exact 4-key list (q_agg_approx, q_bpe_encode, q_multimodal_features,
+    # q_sim_ivfpq_index); this is just the drift tripwire
+    assert len(q) - len(o) <= 4
