@@ -46,7 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 #   priority 1 — keys whose LATEST driver row failed (error or mismatch):
 #                they have no standing green result and must re-run first;
-#   priority 2 — keys with NO driver row in any round (new operators);
+#   priority 2 — keys with NO driver row in any round (new operators),
+#                LONGEST-WAITING first: keys that were already registered
+#                when the last recorded round ran (they have waited a full
+#                round for a slot) go ahead of keys added since;
 #   priority 3 — everything else, oldest-verified round first (name as
 #                tie-break), so window slack continuously re-confirms the
 #                stalest green results.
@@ -69,6 +72,29 @@ def _satisfied(row: dict) -> bool:
         and row.get("schema_match") is True
         and row.get("hash_match") is True
     )
+
+
+# Keys that existed in the registry when CORRECTNESS_r04 was recorded but
+# had no driver row in any of r01-r04 (VERDICT r4 "What's missing" item 1:
+# the 36-key backlog). They must win window slots over operators added in
+# round 5 — otherwise alphabetically-early new keys displace keys that
+# have already waited a full round, and the backlog never drains. Keys
+# listed here that have since gained a green row sort into bucket 2
+# normally; the set only breaks ties INSIDE the never-checked bucket.
+_WAITING_SINCE_R4 = frozenset({
+    "q_anomaly_mad", "q_approx_error", "q_approx_quantile",
+    "q_attribution", "q_cross_dedup", "q_dataset_card",
+    "q_emb_covariance", "q_entropy", "q_ewma", "q_fingerprint",
+    "q_fingerprint_rolling", "q_heavy_hitters_cms", "q_hll_rollup_union",
+    "q_lang_id", "q_markov_transitions", "q_multimodal_features",
+    "q_path_3gram", "q_quality_score", "q_sample_stratified",
+    "q_sample_topk_hash", "q_scd2_intervals", "q_seq_pack",
+    "q_sim_ivfpq_index", "q_sim_range", "q_skew_profile",
+    "q_stream_session", "q_stream_sliding", "q_stream_tumbling",
+    "q_text_stats", "q_time_rollup", "q_time_weighted_avg",
+    "q_token_count", "q_tpcds_cumulative_lead", "q_tpcds_moving_dev",
+    "q_tpcds_rollup_rank", "q_ttest",
+})
 
 
 def _rotation(names: list[str]) -> list[str]:
@@ -95,7 +121,8 @@ def _rotation(names: list[str]) -> list[str]:
         if seen is not None and (ok is None or ok < seen):
             return (0, k)  # latest row failed — re-verify first
         if seen is None:
-            return (1, k)  # never driver-checked
+            # never driver-checked: longest-waiting (pre-r5 backlog) first
+            return (1, 0 if k in _WAITING_SINCE_R4 else 1, k)
         return (2, ok, k)  # green — stalest round first
 
     return sorted(names, key=bucket)

@@ -83,6 +83,22 @@ def test_first_window_prefers_never_checked_keys():
     )
 
 
+def test_backlog_keys_outrank_new_keys_in_the_window():
+    """Never-checked keys that were already waiting when the last round's
+    artifacts were recorded (the VERDICT-r4 36-key backlog) must occupy
+    window slots before operators registered since — otherwise the
+    backlog never drains while new keys keep arriving."""
+    mod = _entry()
+    checked = _driver_checked()
+    keys = list(mod.queries())
+    window = set(keys[:50])
+    waiting = [k for k in mod._WAITING_SINCE_R4 if k in keys and k not in checked]
+    outside = sorted(set(waiting) - window)
+    assert not outside or len(waiting) + 2 > 50, (
+        f"backlog keys displaced from the driver window by newer keys: {outside}"
+    )
+
+
 def test_every_oracle_belongs_to_a_registered_query():
     mod = _entry()
     q, o = mod.queries(), mod.oracle_sql()
