@@ -138,6 +138,11 @@ EXTENDED = (
     "q_forecast_holt",       # struct-fold Holt smoothing over the daily rollup
     "q_calibration_bins",    # reliability diagram + ECE on the 16-bin grid
     "q_psi_drift",           # split-half PSI drift over the 256-bin grid
+    "q_cum_uniques",         # first-seen identity + triangle running total
+    "q_acf",                 # lag-spine equi-join autocorrelation
+    "q_survival_km",         # right-censored Kaplan-Meier conversion curve
+    "q_streaks",             # gaps-and-islands longest-streak distribution
+    "q_kmeans_assign",       # broadcast-centroid Lloyd assignment + WSS
 )
 
 

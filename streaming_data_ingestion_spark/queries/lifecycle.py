@@ -312,3 +312,66 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_day")
     )
+
+
+# --------------------------------------------------------------------------
+# q_streaks — longest consecutive-day activity streak per user, reported
+# as a distribution (the habit-formation readout; gaps-and-islands form).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM d
+),
+s AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY user_id, anchor
+),
+l AS (
+  SELECT user_id, MAX(len) AS streak_len FROM s GROUP BY user_id
+)
+SELECT
+  CAST(streak_len AS BIGINT) AS streak_len,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM l
+GROUP BY streak_len
+ORDER BY streak_len
+""",
+    tags=("events", "lifecycle"),
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user, aggregated to a
+    (streak length → user count) distribution — the classic
+    gaps-and-islands pattern: within each user, ``day − row_number``
+    is constant exactly across a consecutive run, so one partitioned
+    window turns runs into groupable island anchors.
+
+    Scale shape: one (user, day) distinct collapses the fact table to a
+    users×calendar-bounded relation; the ROW_NUMBER window is PARTITIONED
+    by user (the repo-wide rule — never a global window); two further
+    tiny aggregates produce a calendar-bounded output. Total: two
+    user-keyed exchanges, each map-side combinable. At 10⁹ users the
+    plan is unchanged — per-user state is one sort of that user's active
+    days.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    s = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    longest = s.groupBy("user_id").agg(F.max("len").alias("sl"))
+    return (
+        longest.groupBy(F.col("sl").cast("long").alias("streak_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_len")
+    )

@@ -593,3 +593,103 @@ def q_pca2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((cx * (-F.col("vy")) + cy * F.col("vx")) / F.lit(1e10)).alias("pc2"),
         (F.col("lam") / (F.col("a") + F.col("c"))).alias("var_share_pc1"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_kmeans_assign — one deterministic Lloyd assignment step over the
+# embedding corpus: the registered, oracle-checked consumer of the k-means
+# pipeline (ml/kmeans.py trains iteratively via mapInPandas partials; its
+# per-iteration assignment step is exactly this query, hash-verified).
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+@query(
+    "q_kmeans_assign",
+    oracle=f"""
+WITH c8 AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  ORDER BY vec_id LIMIT {_KM_K}
+),
+dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cdims AS (
+  SELECT cid, generate_subscripts(cemb, 1) AS i,
+         CAST(unnest(cemb) AS DOUBLE) AS c
+  FROM c8
+),
+d2 AS (
+  SELECT vec_id, cid,
+         SUM(CAST((x - c) * (x - c) AS DECIMAL(38,10))) AS d2
+  FROM dims JOIN cdims USING (i)
+  GROUP BY vec_id, cid
+),
+a AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d2
+)
+SELECT
+  cid AS centroid_id,
+  CAST(COUNT(*) AS BIGINT) AS n_assigned,
+  ROUND({sql_dec_to_double("SUM(d2)")}, 6) AS wss
+FROM a
+WHERE rn = 1
+GROUP BY cid
+ORDER BY centroid_id
+""",
+    tags=("embeddings", "ml"),
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step: each embedding goes to its nearest of
+    k=8 fixed centroids (the 8 smallest vec_ids — the deterministic
+    "first-k" seeding), reporting per-cluster membership counts and
+    within-cluster sum of squares. This is the hash-verified contract
+    for the assignment half of ml/kmeans.py (whose mapInPandas trainer
+    cannot itself be oracled: numpy's reduction order isn't DuckDB's).
+
+    Cross-engine exactness: each squared per-dimension gap (x−c)² is one
+    IEEE multiply of identical doubles (FLOAT→DOUBLE widening is exact in
+    both engines), then DECIMAL(38,10)-summed — order-independent, so the
+    64-term distance and the argmin over it are bit-identical. Ties break
+    on centroid id via the same ROW_NUMBER in both engines.
+
+    Scale shape: the fact-sized work is ONE posexplode (n×64 rows) →
+    broadcast equi-join on the dimension index against the 8×64 centroid
+    relation → one (vec_id, cid)-keyed partial aggregate; the argmin
+    window is PARTITIONED by vec_id (never global). That is the textbook
+    distributed k-means assignment: broadcast the model, score at scan
+    speed, shuffle only (n×k)-sized distance partials. At 100 TB the
+    same plan holds with the centroid count as the only multiplier.
+    """
+    from pyspark.sql.window import Window
+
+    emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
+    cents = emb.orderBy("vec_id").limit(_KM_K)
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cdims = cents.select(
+        F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("i", "cf")
+    ).select("cid", "i", F.col("cf").cast("double").alias("c"))
+    gap = F.col("x") - F.col("c")
+    d2 = (
+        dims.join(F.broadcast(cdims), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((gap * gap).cast(DEC)).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(F.sum("d2").cast("double"), 6).alias("wss"),
+        )
+        .orderBy("centroid_id")
+    )
