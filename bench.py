@@ -143,6 +143,7 @@ EXTENDED = (
     "q_survival_km",         # right-censored Kaplan-Meier conversion curve
     "q_streaks",             # gaps-and-islands longest-streak distribution
     "q_kmeans_assign",       # broadcast-centroid Lloyd assignment + WSS
+    "q_decile_lift",         # distributed-NTILE gains/lift table
 )
 
 

@@ -781,3 +781,134 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_early", "n_late", "psi")
     )
+
+
+# --------------------------------------------------------------------------
+# q_decile_lift — gains/lift table of the quality score against the
+# lang='en' label: the corpus-selection readout (how much better is the
+# top-k% of the corpus by score than random sampling?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+WITH scored AS (
+  SELECT
+    doc_id,
+    (CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+     / CAST(n_chars + 1 AS DOUBLE)) AS score,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+dec AS (
+  SELECT pos,
+         CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+           AS decile
+  FROM scored
+),
+g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM dec GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp
+  FROM g
+),
+c AS (
+  SELECT a.decile, a.n, a.n_pos,
+         CAST(SUM(b.n) AS BIGINT) AS cum_n,
+         CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos
+  FROM g a JOIN g b ON b.decile <= a.decile
+  GROUP BY a.decile, a.n, a.n_pos
+)
+SELECT
+  c.decile,
+  c.n,
+  c.n_pos,
+  CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS pos_rate,
+  (CAST(c.cum_pos AS DOUBLE) * CAST(tot.tn AS DOUBLE))
+    / (CAST(c.cum_n AS DOUBLE) * CAST(tot.tp AS DOUBLE)) AS cum_lift
+FROM c, tot
+ORDER BY c.decile
+""",
+    tags=("stats", "eval"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table: rank the corpus by the quality score
+    (descending), cut into 10 equal-count bins, and report per decile
+    the positive (lang='en') rate plus the CUMULATIVE lift — the curve a
+    corpus-selection pipeline reads to decide "keep the top 30%". Closes
+    the eval family: q_roc_auc measures ranking power, q_calibration_bins
+    measures probability quality, this measures the selection payoff.
+
+    Scale shape: the decile cut uses the distributed ranking module
+    (parallel range exchange + partition offsets + closed-form NTILE —
+    never a single-partition window over the corpus); everything after
+    is a 10-row relation, where the cumulative structure is the house
+    broadcast triangle join and totals are a 1-row broadcast. Counts
+    stay BIGINT; the two final divisions are single IEEE ops on exact
+    integers (< 2^53), written token-identically in both engines, so
+    the hash match is exact.
+    """
+    from streaming_data_ingestion_spark.ranking import (
+        ntile_of_rank,
+        with_global_rank,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    score = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")).cast(
+        "double"
+    ) / (F.col("n_chars") + F.lit(1)).cast("double")
+    scored = docs.select(
+        "doc_id", (-score).alias("neg_score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ranked, n_total = with_global_rank(
+        scored,
+        ["neg_score", "doc_id"],
+        rank_col="r",
+        cache=("q_decile_lift.ranked", sf_dir),
+    )
+    g = (
+        ranked.select(ntile_of_rank(F.col("r"), n_total, 10).alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("n_pos").cast("long").alias("tp")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    c = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n").alias("n"),
+            F.col("a.n_pos").alias("n_pos"),
+        )
+        .agg(
+            F.sum("b.n").cast("long").alias("cum_n"),
+            F.sum("b.n_pos").cast("long").alias("cum_pos"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            (
+                (F.col("cum_pos").cast("double") * F.col("tn").cast("double"))
+                / (F.col("cum_n").cast("double") * F.col("tp").cast("double"))
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )

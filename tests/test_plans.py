@@ -485,6 +485,9 @@ _CARTESIAN_OK = {
     "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
     #                        triangle joins on the calendar-bounded
     #                        (duration, observed) count table
+    "q_decile_lift",       # triangle join + 1-row totals on the 10-row
+    #                        decile relation (the fact pass is the ranged
+    #                        exchange inside with_global_rank)
     "q_roc_auc",           # pair-count inequality join between the two
     #                        <=1024-row score-grid sides + 1-row totals —
     #                        grid-bounded by construction, never data-sized
