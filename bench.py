@@ -144,6 +144,7 @@ EXTENDED = (
     "q_streaks",             # gaps-and-islands longest-streak distribution
     "q_kmeans_assign",       # broadcast-centroid Lloyd assignment + WSS
     "q_decile_lift",         # distributed-NTILE gains/lift table
+    "q_forecast_hw",         # Holt-Winters seasonal struct-array fold
 )
 
 

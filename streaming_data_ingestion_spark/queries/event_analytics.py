@@ -1741,3 +1741,139 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["b"].alias("trend"),
         (fold["l"] + F.lit(7.0) * fold["b"]).alias("forecast_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_forecast_hw — additive Holt-Winters (level + trend + weekly season)
+# forecast of daily event volume per type; the seasonal completion of
+# q_forecast_holt (q_acf's lag-7 spike is the structure this models).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_hw",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+),
+init AS (
+  SELECT event_type, n_days,
+         (MAX(CASE WHEN i=1 THEN v END) + MAX(CASE WHEN i=2 THEN v END)
+          + MAX(CASE WHEN i=3 THEN v END) + MAX(CASE WHEN i=4 THEN v END)
+          + MAX(CASE WHEN i=5 THEN v END) + MAX(CASE WHEN i=6 THEN v END)
+          + MAX(CASE WHEN i=7 THEN v END)) / 7.0 AS l0,
+         [MAX(CASE WHEN i=1 THEN v END), MAX(CASE WHEN i=2 THEN v END),
+          MAX(CASE WHEN i=3 THEN v END), MAX(CASE WHEN i=4 THEN v END),
+          MAX(CASE WHEN i=5 THEN v END), MAX(CASE WHEN i=6 THEN v END),
+          MAX(CASE WHEN i=7 THEN v END)] AS x7
+  FROM idx WHERE i <= 7 AND n_days >= 8
+  GROUP BY event_type, n_days
+),
+rec AS (
+  SELECT event_type, CAST(7 AS BIGINT) AS i, n_days,
+         l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+         [x7[1]-l0, x7[2]-l0, x7[3]-l0, x7[4]-l0,
+          x7[5]-l0, x7[6]-l0, x7[7]-l0] AS s
+  FROM init
+  UNION ALL
+  SELECT d.event_type, d.i, r.n_days,
+         0.5 * (d.v - r.s[1]) + 0.5 * (r.l + r.b),
+         0.5 * ((0.5 * (d.v - r.s[1]) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.5 * r.b,
+         list_append(
+           r.s[2:7],
+           0.5 * (d.v - (0.5 * (d.v - r.s[1]) + 0.5 * (r.l + r.b)))
+             + 0.5 * r.s[1])
+  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       l AS level, b AS trend,
+       l + 1.0 * b + s[1] AS forecast_1d,
+       l + 7.0 * b + s[7] AS forecast_7d
+FROM rec WHERE i = n_days
+""",
+    tags=("events", "timeseries", "forecast"),
+)
+def q_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters smoothing (level + trend + period-7 season,
+    α = β = γ = ½) of each event type's daily volume, with 1-day- and
+    7-day-ahead forecasts — the seasonal completion of q_forecast_holt
+    for series where q_acf shows a weekly spike.
+
+    Recursion per day i (season m = 7, s queue head = season of day i):
+        l_i = ½(x_i − s_head) + ½(l + b)
+        b_i = ½(l_i − l) + ½ b
+        s_i = ½(x_i − l_i) + ½ s_head        (appended, head dropped)
+    seeded classically: l₀ = mean of the first week, b₀ = 0,
+    s₀ⱼ = xⱼ − l₀. Every coefficient is an exact power-of-two scaling,
+    so each step is a fixed IEEE operation sequence both engines run
+    identically: Spark as a struct{l, b, s:array} accumulator fold over
+    the sorted per-type day array, DuckDB as a recursive CTE carrying a
+    7-element list and stepping i→i+1 (the l-step expression re-stated
+    inline wherever the b/s steps consume it, so the arithmetic is
+    token-identical). Types with under 8 days have no post-seed step
+    and are excluded in both engines.
+
+    Scale shape: identical to q_forecast_holt — ONE (event_type, day)
+    DECIMAL-partial shuffle collapses the fact table; the fold then runs
+    over a CALENDAR-bounded array with constant (7-slot) seasonal state.
+    No window over the fact table, no Python, no driver loop.
+    """
+    from streaming_data_ingestion_spark.compat import DEC
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).where(F.col("n_days") >= 8)
+    vs = F.transform(F.col("rows"), lambda s: s["v"])
+    half = F.lit(0.5)
+
+    def el(j: int):
+        return F.element_at(vs, j)
+
+    l0 = (el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7)) / F.lit(7.0)
+    s0 = F.array(*[el(j) - l0 for j in range(1, 8)])
+
+    def _step(acc, x):
+        s_head = F.element_at(acc["s"], 1)
+        l_new = half * (x - s_head) + half * (acc["l"] + acc["b"])
+        b_new = half * (
+            (half * (x - s_head) + half * (acc["l"] + acc["b"])) - acc["l"]
+        ) + half * acc["b"]
+        s_elem = (
+            half * (x - (half * (x - s_head) + half * (acc["l"] + acc["b"])))
+            + half * s_head
+        )
+        s_new = F.concat(F.slice(acc["s"], 2, 6), F.array(s_elem))
+        return F.struct(l_new.alias("l"), b_new.alias("b"), s_new.alias("s"))
+
+    fold = F.aggregate(
+        F.slice(vs, F.lit(8), F.greatest(F.size(vs) - 7, F.lit(0))),
+        F.struct(l0.alias("l"), F.lit(0.0).cast("double").alias("b"), s0.alias("s")),
+        _step,
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        fold["l"].alias("level"),
+        fold["b"].alias("trend"),
+        (fold["l"] + F.lit(1.0) * fold["b"] + F.element_at(fold["s"], 1)).alias(
+            "forecast_1d"
+        ),
+        (fold["l"] + F.lit(7.0) * fold["b"] + F.element_at(fold["s"], 7)).alias(
+            "forecast_7d"
+        ),
+    )
