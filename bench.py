@@ -145,6 +145,7 @@ EXTENDED = (
     "q_kmeans_assign",       # broadcast-centroid Lloyd assignment + WSS
     "q_decile_lift",         # distributed-NTILE gains/lift table
     "q_forecast_hw",         # Holt-Winters seasonal struct-array fold
+    "q_als_user_step",       # closed-form rank-1 ALS ridge user step
 )
 
 

@@ -693,3 +693,94 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_als_user_step — one closed-form rank-1 ALS user half-step: the
+# oracle-checked consumer of the ml/als.py trainer (whose general-rank
+# normal-equation solves run in numpy inside applyInPandas and cannot
+# themselves be oracled).
+# --------------------------------------------------------------------------
+
+_ALS_LAMBDA = 0.1
+
+
+@query(
+    "q_als_user_step",
+    oracle=f"""
+WITH inter AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY user_id, item
+),
+v AS (
+  SELECT user_id, n,
+         CAST(((CAST(item AS BIGINT) * 31 + 1) * 2654435761) % 1000 AS DOUBLE)
+           / 1000.0 - 0.5 AS vi
+  FROM inter
+)
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sql_dec_to_double("SUM(CAST(CAST(n AS DOUBLE) * vi AS DECIMAL(38,10)))")}
+    / ({sql_dec_to_double("SUM(CAST(vi * vi AS DECIMAL(38,10)))")} + {_ALS_LAMBDA}) AS u1
+FROM v
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("events", "ml"),
+)
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rank-1 ALS user half-step over the implicit-count interaction
+    matrix: with the item factor fixed at ml/als.py's deterministic hash
+    init v(item) = ((item·31+1)·2654435761 mod 1000)/1000 − ½, the ridge
+    normal equations collapse to the closed form
+
+        u_u = Σ_i n_ui·v_i / (Σ_i v_i² + λ),   λ = 0.1
+
+    — the exact computation ml/als.py's grouped applyInPandas performs
+    per user at rank 1, hash-verified (its general-rank numpy solves
+    cannot be oracled; this pins the normal-equation assembly the same
+    way q_kmeans_assign pins the Lloyd step). Ratings are raw integer
+    counts — the trainer's ln(1+n) damping is a libm call whose ULP both
+    engines may place differently, so the verified contract uses the
+    exact-integer form.
+
+    Cross-engine exactness: v_i is pure integer arithmetic until one
+    division by 1000 (single IEEE op); every product is one multiply of
+    identical doubles; both sums are DECIMAL(38,10); the final division
+    is a single IEEE op on identical operands.
+
+    Scale shape: one (user, item)-keyed count (map-side combined — the
+    only fact-sized stage) and one user-keyed aggregate; the item factor
+    is computed row-side from the id (never joined). At 10⁹ users the
+    plan is two hash exchanges of the interaction relation, exactly the
+    user step of the distributed trainer.
+    """
+    ev = load(spark, sf_dir, "events")
+    inter = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    vi = (
+        ((F.col("item").cast("long") * 31 + 1) * F.lit(2654435761)) % 1000
+    ).cast("double") / F.lit(1000.0) - F.lit(0.5)
+    v = inter.select("user_id", "n", vi.alias("vi"))
+    num = F.sum((F.col("n").cast("double") * F.col("vi")).cast(DEC)).cast("double")
+    den = F.sum((F.col("vi") * F.col("vi")).cast(DEC)).cast("double")
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (num / (den + F.lit(_ALS_LAMBDA))).alias("u1"),
+        )
+        .orderBy("user_id")
+    )
