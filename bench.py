@@ -146,6 +146,7 @@ EXTENDED = (
     "q_decile_lift",         # distributed-NTILE gains/lift table
     "q_forecast_hw",         # Holt-Winters seasonal struct-array fold
     "q_als_user_step",       # closed-form rank-1 ALS ridge user step
+    "q_winnow",              # MOSS winnowed shared-fingerprint postings
 )
 
 

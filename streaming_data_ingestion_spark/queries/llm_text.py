@@ -1308,3 +1308,101 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_winnow — MOSS winnowing: shared robust substring fingerprints across
+# the corpus (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the plagiarism/
+# near-dup primitive that guarantees any shared run of >= k+w-1 tokens
+# produces at least one shared fingerprint).
+# --------------------------------------------------------------------------
+
+_WIN_K = 5  # gram size
+_WIN_W = 4  # winnowing window (guarantee threshold t = k + w - 1 = 8)
+
+
+@query(
+    "q_winnow",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_WIN_K + _WIN_W - 1}
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             range(1, len(t) - {_WIN_K - 1} + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])),
+           g -> ('0x' || substring(md5(g), 1, 8))::BIGINT) AS h
+  FROM toks
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(h) - {_WIN_W - 1} + 1),
+           i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fps
+  FROM gh
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(fps) AS fp FROM sel)
+GROUP BY fp
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, fp ASC
+LIMIT 100
+""",
+    tags=("llm", "dedup"),
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint postings: per document, hash every token
+    5-gram, slide a 4-wide window over the hash sequence keeping each
+    window's minimum, and report the fingerprints shared by >= 2
+    documents — the MOSS guarantee: any common token run of length
+    >= k+w-1 = 8 yields at least one shared fingerprint, at ~2/(w+1)
+    the density of the full gram set. Complements q_dedup_minhash
+    (whole-doc set similarity) and q_dup_substring (exact gram spans):
+    winnowing is the position-robust middle ground.
+
+    Per-document work is all higher-order array functions — grams and
+    window minima via the zip-of-slices idiom (the arrays are built
+    from a materialized column reference, never re-evaluated per
+    element, so cost is O(tokens), not O(tokens²)). Docs shorter than
+    the t=8 guarantee are excluded in both engines (they'd also zip
+    ragged slices into nulls, where Spark's least() and DuckDB's
+    least() disagree on null handling). The only shuffle is the
+    map-side-combined fingerprint count — selected-fingerprint-
+    vocabulary-sized, ~2/(w+1) of the gram vocabulary. (freq, fp) is a
+    total order, so LIMIT 100 is deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = _tokens()
+    docs = d.select("doc_id", t.alias("t")).where(
+        F.size("t") >= _WIN_K + _WIN_W - 1
+    )
+    tc = F.col("t")
+    mg = F.size(tc) - (_WIN_K - 1)
+    grams = F.transform(
+        F.arrays_zip(*[F.slice(tc, j + 1, mg) for j in range(_WIN_K)]),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(_WIN_K)]),
+    )
+    gh = docs.select(
+        "doc_id",
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ).alias("h"),
+    )
+    hc = F.col("h")
+    mw = F.size(hc) - (_WIN_W - 1)
+    minima = F.transform(
+        F.arrays_zip(*[F.slice(hc, j + 1, mw) for j in range(_WIN_W)]),
+        lambda s: F.least(*[s[str(j)] for j in range(_WIN_W)]),
+    )
+    sel = gh.select("doc_id", F.array_distinct(minima).alias("fps"))
+    return (
+        sel.select("doc_id", F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(100)
+    )
