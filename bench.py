@@ -147,6 +147,7 @@ EXTENDED = (
     "q_forecast_hw",         # Holt-Winters seasonal struct-array fold
     "q_als_user_step",       # closed-form rank-1 ALS ridge user step
     "q_winnow",              # MOSS winnowed shared-fingerprint postings
+    "q_sim_pair_hist",       # cell-scoped cosine threshold calibration
 )
 
 

@@ -1567,3 +1567,64 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), zero) / 5.0).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_pair_hist — cosine-similarity histogram over the IVF-cell candidate
+# pairs: the calibration readout behind q_emb_neardup/q_semdedup's 0.35
+# threshold (where does the pair distribution actually split?).
+# --------------------------------------------------------------------------
+
+_PH_BINS = 32  # over [-1, 1): width 1/16, exact power-of-two edges
+
+
+@query(
+    "q_sim_pair_hist",
+    oracle=f"""
+SELECT
+  CAST(LEAST(FLOOR(({_sql_cos("a.embedding", "b.embedding")} + 1.0) * 16.0),
+             31.0) AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("llm", "similarity", "eval"),
+)
+def q_sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (32 bins over [-1, 1)) of exact pairwise cosines within
+    each label cell — the distribution a pipeline reads to CALIBRATE the
+    near-dup threshold (q_emb_neardup's 0.35 is defensible exactly when
+    this histogram shows a valley there). Same candidate scope as
+    q_emb_neardup: the label equi-join keeps pair count Σ_cell n_cell²,
+    never n².
+
+    Bin edges are exact power-of-two arithmetic ((c+1)·16, both factors
+    exact), and the cosine itself is the house ordered fold — bit-
+    identical across engines — so bin membership cannot straddle a ULP.
+    The histogram output is constant-sized (32 rows) at any corpus
+    scale; the only data-sized stage is the cell-bounded pair join both
+    engines share.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.least(F.floor((cos + F.lit(1.0)) * F.lit(16.0)), F.lit(31.0))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )
