@@ -148,6 +148,7 @@ EXTENDED = (
     "q_als_user_step",       # closed-form rank-1 ALS ridge user step
     "q_winnow",              # MOSS winnowed shared-fingerprint postings
     "q_sim_pair_hist",       # cell-scoped cosine threshold calibration
+    "q_assoc_rules",         # market-basket support/confidence/lift
 )
 
 

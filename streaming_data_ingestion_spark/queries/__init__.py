@@ -4,6 +4,7 @@ every query into :mod:`streaming_data_ingestion_spark.registry`."""
 from streaming_data_ingestion_spark.queries import (  # noqa: F401
     aggregates,
     event_analytics,
+    basket,
     functions_scalar,
     joins,
     layout_q,

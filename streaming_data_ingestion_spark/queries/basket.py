@@ -1,0 +1,126 @@
+"""Market-basket / association-rule mining over the order fact table
+(SURVEY.md §2B breadth — the classic retail-OLAP workload family the
+reference's ingest pipeline feeds but never computes).
+
+Scale design: frequent-itemset mining at 100 TB is support-pruned
+BEFORE pair expansion (the apriori property: a pair can only be
+frequent if both items are), so the pair self-join runs over the
+frequent-item-filtered basket relation — Σ basket² pairs of a reduced
+alphabet, shuffled on the basket key (an equi-join, never a cartesian).
+Counts stay BIGINT end-to-end; support/confidence/lift are single IEEE
+divisions of exact integer products (< 2^53), written token-identically
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_assoc_rules — pairwise association rules (support / confidence / lift).
+# --------------------------------------------------------------------------
+
+_MIN_PAIR = 2  # minimum pair support (co-occurrence count)
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orders FROM b
+),
+item AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY p
+),
+pair AS (
+  SELECT a.p AS part_a, c.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+  GROUP BY a.p, c.p
+  HAVING COUNT(*) >= {_MIN_PAIR}
+)
+SELECT
+  pair.part_a,
+  pair.part_b,
+  pair.n_ab,
+  ia.n_i AS n_a,
+  ib.n_i AS n_b,
+  CAST(pair.n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+  CAST(pair.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+  (CAST(pair.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+    / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+FROM pair
+JOIN item ia ON ia.p = pair.part_a
+JOIN item ib ON ib.p = pair.part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 100
+""",
+    tags=("lineitem", "basket"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 pairwise association rules {a} → {b} over order baskets
+    (basket = the distinct parts of one order), ranked by lift, with
+    support, confidence, and the raw counts — the market-basket readout
+    every retail OLAP engine ships (apriori's k=2 stage, which at this
+    basket width captures effectively all the signal).
+
+    Scale shape: the basket relation is one (order, part) distinct
+    (map-side combinable); the pair expansion is an EQUI self-join on
+    the basket key — Σ basket² pairs, never a cartesian — followed by a
+    map-side-combined pair count. Item supports join back on the pair's
+    two part keys (equi hash joins against the item relation); the
+    basket total is a 1-row broadcast. At real scale the apriori prune
+    (drop items below min support BEFORE pairing) bounds the pair
+    alphabet; with minsup = {_MIN_PAIR} every item here survives that
+    prune, so the plans are identical and the prune is left out of the
+    verified contract. All metrics are single IEEE divisions of exact
+    BIGINT products (< 2^53) written token-identically in both engines;
+    (lift, part_a, part_b) is a total order so LIMIT 100 is
+    deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.agg(F.countDistinct("k").cast("long").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _MIN_PAIR)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_orders").cast("double")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )

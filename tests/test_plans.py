@@ -485,6 +485,9 @@ _CARTESIAN_OK = {
     "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
     #                        triangle joins on the calendar-bounded
     #                        (duration, observed) count table
+    "q_assoc_rules",       # 1-row basket-total broadcast onto the
+    #                        pair relation (pair expansion itself is an
+    #                        equi self-join on the basket key)
     "q_decile_lift",       # triangle join + 1-row totals on the 10-row
     #                        decile relation (the fact pass is the ranged
     #                        exchange inside with_global_rank)
