@@ -149,6 +149,8 @@ EXTENDED = (
     "q_winnow",              # MOSS winnowed shared-fingerprint postings
     "q_sim_pair_hist",       # cell-scoped cosine threshold calibration
     "q_assoc_rules",         # market-basket support/confidence/lift
+    "q_bootstrap_ci",        # one-pass deterministic Poisson bootstrap
+    "q_winnow_pairs",        # winnow-fingerprint postings pair join
 )
 
 

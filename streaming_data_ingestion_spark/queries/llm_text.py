@@ -1406,3 +1406,98 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("fp"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q_winnow_pairs — document candidate pairs by shared winnowing
+# fingerprints: the pair-level consumer of q_winnow (as
+# q_dedup_minhash_pairs is of q_dedup_minhash).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_winnow_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_WIN_K + _WIN_W - 1}
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             range(1, len(t) - {_WIN_K - 1} + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])),
+           g -> ('0x' || substring(md5(g), 1, 8))::BIGINT) AS h
+  FROM toks
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(h) - {_WIN_W - 1} + 1),
+           i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fps
+  FROM gh
+),
+post AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT 100
+""",
+    tags=("llm", "dedup"),
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs ranked by shared winnowing fingerprints
+    (>= 2 shared — one shared minimum can be a coincidence of a single
+    popular 5-gram; two shared winnowed regions means two independent
+    >=8-token runs matched). The pair-level consumer of q_winnow, the
+    same role q_dedup_minhash_pairs plays for the MinHash signatures —
+    but winnowing pairs localize WHERE documents overlap, not just that
+    they do.
+
+    The join is an EQUI-join on the fingerprint (postings-list
+    self-join): pair cost is Σ_fp posting², bounded by winnowing's
+    ~2/(w+1) density of the gram postings q_dup_substring would pay.
+    (n_shared, doc_a, doc_b) is a total order, so LIMIT 100 is
+    deterministic cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = _tokens()
+    docs = d.select("doc_id", t.alias("t")).where(
+        F.size("t") >= _WIN_K + _WIN_W - 1
+    )
+    tc = F.col("t")
+    mg = F.size(tc) - (_WIN_K - 1)
+    grams = F.transform(
+        F.arrays_zip(*[F.slice(tc, j + 1, mg) for j in range(_WIN_K)]),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(_WIN_K)]),
+    )
+    gh = docs.select(
+        "doc_id",
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ).alias("h"),
+    )
+    hc = F.col("h")
+    mw = F.size(hc) - (_WIN_W - 1)
+    minima = F.transform(
+        F.arrays_zip(*[F.slice(hc, j + 1, mw) for j in range(_WIN_W)]),
+        lambda s: F.least(*[s[str(j)] for j in range(_WIN_W)]),
+    )
+    post = gh.select(
+        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )

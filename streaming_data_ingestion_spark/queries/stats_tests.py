@@ -912,3 +912,143 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson bootstrap CI for the mean event
+# value: the resampling method that works in ONE pass at any scale (each
+# row draws its replica multiplicities independently — no shuffled resample,
+# no per-replica rescan).
+# --------------------------------------------------------------------------
+
+_BOOT_B = 64
+
+# Poisson(1) CDF thresholds P(X <= k), k = 0..5; identical literals in both
+# engines make the inverse-CDF draw bit-deterministic. Multiplicity capped
+# at 6 (P > 6 ~ 1e-4 truncated onto the last bucket — the standard finite
+# inverse-table trade).
+_POIS = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+
+
+def _sql_pois_w(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH draws AS (
+  SELECT b.b, value,
+         {_sql_pois_w(
+             "(('0x' || substring(md5(concat(event_id, ':', b.b)), 1, 8))::BIGINT"
+             " / 4294967296.0)"
+         )} AS w
+  FROM events, (SELECT CAST(i AS INTEGER) AS b FROM range(0, {_BOOT_B}) t(i)) b
+),
+rep AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n,
+         {sql_dec_to_double("SUM(CAST(CAST(w AS DOUBLE) * value AS DECIMAL(38,10)))")} AS s
+  FROM draws GROUP BY b
+),
+means AS (
+  SELECT b, s / CAST(n AS DOUBLE) AS m FROM rep
+),
+ranked AS (
+  SELECT a.b, a.m, CAST(COUNT(*) AS BIGINT) AS rn
+  FROM means a JOIN means c
+    ON (c.m < a.m) OR (c.m = a.m AND c.b <= a.b)
+  GROUP BY a.b, a.m
+),
+base AS (
+  SELECT {sql_dec_to_double("SUM(CAST(value AS DECIMAL(38,10)))")}
+           / CAST(COUNT(*) AS DOUBLE) AS mean
+  FROM events
+)
+SELECT
+  CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+  base.mean,
+  MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+  MAX(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi
+FROM ranked, base
+GROUP BY base.mean
+""",
+    tags=("events", "stats", "eval"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean event
+    value: every row draws its multiplicity in each of B=64 replicas
+    from Poisson(1) — the bootstrap that works at 100 TB because it is
+    ONE pass with per-row independent draws (no sampled rescan per
+    replica, no shuffled resample; the method production A/B systems
+    use for exactly this reason). Draws are DETERMINISTIC: u =
+    md5(event_id:replica) → inverse-CDF lookup against shared literal
+    thresholds, so both engines materialize the identical resample and
+    the interval hash-matches bit-exactly.
+
+    Scale shape: the replica spine multiplies rows 64× INSIDE the map
+    stage (constant CPU factor), then map-side combine collapses to 64
+    partial rows per partition — the shuffle is 64·partitions rows
+    regardless of data size. The rank-2 / rank-63 percentile cut runs
+    as a broadcast triangle join on the 64-row replica relation (the
+    house bounded-relation idiom; no unpartitioned window). The full
+    mean is one DECIMAL aggregate broadcast back as a 1-row relation.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS) - 1, -1, -1):
+        w = F.when(u < F.lit(float(_POIS[k])), F.lit(k)).otherwise(w)
+    draws = ev.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    ).select("value", F.col("b").cast("int").alias("b"), w.alias("w"))
+    rep = draws.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum((F.col("w").cast("double") * F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("s"),
+    )
+    means = rep.select("b", (F.col("s") / F.col("n").cast("double")).alias("m"))
+    a, c = means.alias("a"), means.alias("c")
+    ranked = (
+        a.join(
+            F.broadcast(c),
+            (F.col("c.m") < F.col("a.m"))
+            | ((F.col("c.m") == F.col("a.m")) & (F.col("c.b") <= F.col("a.b"))),
+        )
+        .groupBy(F.col("a.b").alias("b"), F.col("a.m").alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    )
+    base = ev.agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy("mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+        )
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

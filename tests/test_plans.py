@@ -485,6 +485,9 @@ _CARTESIAN_OK = {
     "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
     #                        triangle joins on the calendar-bounded
     #                        (duration, observed) count table
+    "q_bootstrap_ci",      # rank triangle join on the 64-row replica
+    #                        relation + 1-row full-mean broadcast (the
+    #                        data pass is the map-side replica fan-out)
     "q_assoc_rules",       # 1-row basket-total broadcast onto the
     #                        pair relation (pair expansion itself is an
     #                        equi self-join on the basket key)
