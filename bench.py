@@ -151,6 +151,8 @@ EXTENDED = (
     "q_assoc_rules",         # market-basket support/confidence/lift
     "q_bootstrap_ci",        # one-pass deterministic Poisson bootstrap
     "q_winnow_pairs",        # winnow-fingerprint postings pair join
+    "q_missing_days",        # calendar-gap ingestion-completeness audit
+    "q_type_overlap",        # audience Jaccard matrix via user self-join
 )
 
 

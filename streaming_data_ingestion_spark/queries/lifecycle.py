@@ -375,3 +375,175 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("streak_len")
     )
+
+
+# --------------------------------------------------------------------------
+# q_missing_days — calendar-gap audit: days inside each event type's
+# active span with NO data (the ingestion-completeness alarm).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_missing_days",
+    oracle="""
+WITH seen AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM seen GROUP BY event_type
+),
+expected AS (
+  SELECT event_type, n_seen, d1, d0,
+         CAST(datediff('day', d0, d1) + 1 AS BIGINT) AS n_expected
+  FROM span
+),
+gaps AS (
+  SELECT e.event_type, CAST(u.d AS DATE) AS missing_day
+  FROM expected e, unnest(generate_series(e.d0, e.d1, INTERVAL 1 DAY)) t(u_ts),
+       LATERAL (SELECT CAST(u_ts AS DATE) AS d) u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen s
+    WHERE s.event_type = e.event_type AND s.day = CAST(u.d AS DATE)
+  )
+)
+SELECT e.event_type, e.n_expected, e.n_seen,
+       e.n_expected - e.n_seen AS n_missing,
+       CAST(MIN(g.missing_day) AS TIMESTAMP) AS first_gap
+FROM expected e LEFT JOIN gaps g ON g.event_type = e.event_type
+GROUP BY e.event_type, e.n_expected, e.n_seen
+ORDER BY e.event_type
+""",
+    tags=("events", "dq", "lifecycle"),
+)
+def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-completeness audit: for each event type, how many days
+    inside its own [first, last] active span produced NO events, and
+    the first such gap — the alarm a pipeline owner pages on (a gap
+    inside the span means an upstream outage or a dropped partition,
+    not a product change).
+
+    Scale shape: one (type, day) distinct collapses the fact table;
+    the expected calendar is generated per type from the 5-row span
+    relation (`sequence(d0, d1)` exploded — calendar-bounded), and the
+    gap check is a broadcast anti-join of that calendar against the
+    observed (type, day) relation. Nothing after the first aggregate
+    touches event-sized data.
+    """
+    ev = load(spark, sf_dir, "events")
+    seen = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(F.lit(1))
+    span = seen.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    calendar = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    gaps = calendar.join(
+        seen.select("event_type", "day"), ["event_type", "day"], "left_anti"
+    ).groupBy("event_type").agg(
+        F.min(F.col("day").cast("timestamp")).alias("first_gap")
+    )
+    return (
+        span.select(
+            "event_type",
+            (F.datediff("d1", "d0") + 1).cast("long").alias("n_expected"),
+            "n_seen",
+        )
+        .join(gaps, "event_type", "left")
+        .select(
+            "event_type",
+            "n_expected",
+            "n_seen",
+            (F.col("n_expected") - F.col("n_seen")).alias("n_missing"),
+            "first_gap",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_type_overlap — audience-overlap (Jaccard) matrix between event types:
+# which features share users (the adoption-overlap readout).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_type_overlap",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT
+  i.type_a, i.type_b, i.n_both, sa.n AS n_a, sb.n AS n_b,
+  CAST(i.n_both AS DOUBLE)
+    / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+""",
+    tags=("events", "lifecycle"),
+)
+def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types: |A∩B| and
+    Jaccard |A∩B|/|A∪B| of their user sets — the adoption matrix that
+    says which features share an audience (input to bundling /
+    cannibalization analysis; the user-set analog of q_markov's
+    sequence transitions).
+
+    Scale shape: one (user, type) distinct collapses the fact table to
+    ≤ users×|types| rows; the pair intersection is an EQUI self-join on
+    user_id — each user contributes at most |types|² pairs, so the join
+    output is bounded by users·types², never events². Set sizes join
+    back as broadcast-size hash joins; union size comes from the
+    inclusion-exclusion identity (no second pass); Jaccard is one IEEE
+    division of exact BIGINTs.
+    """
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
