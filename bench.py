@@ -153,6 +153,7 @@ EXTENDED = (
     "q_winnow_pairs",        # winnow-fingerprint postings pair join
     "q_missing_days",        # calendar-gap ingestion-completeness audit
     "q_type_overlap",        # audience Jaccard matrix via user self-join
+    "q_backlog_curve",       # sweep-line open-order interval stabbing
 )
 
 

@@ -124,3 +124,92 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q_backlog_curve — daily open-order backlog via sweep-line deltas (the
+# interval-stabbing pattern: count live intervals per day without a
+# day×order join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_backlog_curve",
+    oracle="""
+WITH closes AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close FROM lineitem
+  GROUP BY l_orderkey
+),
+hz AS (
+  SELECT MAX(close) AS horizon FROM closes
+),
+spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         COALESCE(c.close, hz.horizon) AS close_day
+  FROM orders o LEFT JOIN closes c ON c.l_orderkey = o.o_orderkey
+  CROSS JOIN hz
+),
+deltas AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM (
+    SELECT open_day AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT close_day + 1 AS day, -1 AS d FROM spans
+  ) GROUP BY day
+)
+SELECT
+  CAST(a.day AS TIMESTAMP) AS day,
+  CAST(SUM(b.d) AS BIGINT) AS n_open
+FROM deltas a JOIN deltas b ON b.day <= a.day
+GROUP BY a.day
+ORDER BY a.day
+""",
+    tags=("orders", "lineitem", "timeseries"),
+)
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day: how many orders are placed but not
+    yet fully shipped on each date the backlog changes — the
+    operations curve behind staffing/inventory decisions. An order is
+    open from its order date through its last line shipment (orders
+    with no line items are right-censored at the data horizon).
+
+    This is the SWEEP-LINE form of interval stabbing: each order
+    contributes two DELTA events (+1 at open, −1 the day after close),
+    one day-keyed aggregate nets them, and the backlog is the running
+    sum of net deltas — never a day×order stabbing join (which at 10⁹
+    orders × 3650 days would be the classic accidental-explosion
+    plan). The running sum itself is the house broadcast triangle join
+    on the CALENDAR-bounded delta relation. Fact-sized stages: the
+    per-order close aggregate and the order↔close equi-join — both
+    map-side-combinable / hash joins on the order key.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    closes = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.max(F.to_date("l_shipdate")).alias("close")
+    )
+    hz = closes.agg(F.max("close").alias("horizon"))
+    spans = (
+        orders.select(
+            F.col("o_orderkey").alias("k"), F.to_date("o_orderdate").alias("open_day")
+        )
+        .join(closes, "k", "left")
+        .crossJoin(F.broadcast(hz))
+        .select("open_day", F.coalesce("close", "horizon").alias("close_day"))
+    )
+    deltas = (
+        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(
+                F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").cast("long").alias("d"))
+    )
+    a, b = deltas.alias("a"), deltas.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").cast("timestamp").alias("day"))
+        .agg(F.sum("b.d").cast("long").alias("n_open"))
+        .orderBy("day")
+    )

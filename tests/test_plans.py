@@ -478,6 +478,9 @@ _CARTESIAN_OK = {
     "q_histogram",         # bin spine broadcast
     "q_sim_ivfpq_recall",  # 8-row centroid fan-out + 3-row query truth side
     "q_pca2_project",      # 1-row fitted-model broadcast back over the scan
+    "q_backlog_curve",     # 1-row horizon broadcast + running-sum
+    #                        triangle join on the calendar-bounded
+    #                        sweep-line delta relation
     "q_cum_uniques",       # running total via triangle join on the
     #                        calendar-bounded daily relation (days² pairs)
     "q_acf",               # 1-row mean/denominator broadcasts onto the
