@@ -373,3 +373,94 @@ def maintain_time_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Sweep-line backlog maintenance — the incremental twin of the batch
+# q_backlog_curve (queries/basket.py): the ±1 interval deltas are plain
+# integer sums, hence mergeable per micro-batch with the same
+# replay-idempotent machinery as the daily counts.
+# --------------------------------------------------------------------------
+
+
+def _backlog_deltas(spans: DataFrame) -> DataFrame:
+    """Net sweep-line deltas for ONE batch of order spans
+    (``open_day``/``close_day`` DATE columns): +1 at open, −1 the day
+    after close, summed per day. Addition is associative, so per-batch
+    partials merged in any order equal the one-shot batch aggregate —
+    the same argument as the daily counts, with a month partition key
+    so a merge touches ~2 directories per batch, not the history."""
+    return (
+        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(
+                F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .withColumn("month", F.date_trunc("month", "day").cast("date"))
+    )
+
+
+def merge_backlog_deltas(
+    table_path: str, run_ns: str | Callable[[], str] | None = None
+):
+    """foreachBatch writer: merge this batch's net deltas into the
+    parquet delta table, dynamically overwriting only touched month
+    partitions; idempotent under micro-batch replay."""
+    ns_cache: dict = {}
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _merge_idempotent(
+            _backlog_deltas(batch_df),
+            table_path,
+            # month is functionally dependent on day; listing it as a key
+            # keeps it in the merged schema so it can be the partition col
+            key_cols=["month", "day"],
+            sum_cols=["d"],
+            part_cols=["month"],
+            epoch_id=epoch_id,
+            run_ns=_resolve_ns(ns_cache, run_ns),
+        )
+
+    return write_batch
+
+
+def maintain_backlog(
+    spans_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintain the sweep-line delta table from a stream of
+    order spans. The stored relation is (day, d, month) net deltas —
+    O(calendar) rows regardless of order volume — and any reader gets
+    the live backlog curve from :func:`backlog_from_deltas` without
+    rescanning order history."""
+    spark = spans_stream.sparkSession
+    writer = (
+        spans_stream.writeStream.foreachBatch(
+            merge_backlog_deltas(
+                table_path, run_ns=lambda: _query_ns(spark, checkpoint_dir)
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def backlog_from_deltas(spark: SparkSession, table_path: str) -> DataFrame:
+    """(day, n_open) backlog curve from the maintained delta table — the
+    same calendar-bounded triangle-join running sum as q_backlog_curve,
+    reading O(calendar) stored rows instead of the order fact table."""
+    deltas = spark.read.parquet(table_path).select("day", "d")
+    a, b = deltas.alias("a"), deltas.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").cast("timestamp").alias("day"))
+        .agg(F.sum("b.d").cast("long").alias("n_open"))
+    )

@@ -1442,3 +1442,57 @@ def test_cdc_apply_stream_maintains_table(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert again == want
+
+
+def test_incremental_backlog_deltas(spark, tmp_path):
+    """The incrementally-maintained sweep-line delta table must yield the
+    SAME backlog curve as the batch q_backlog_curve after all orders
+    stream through, and a checkpointed restart must not double-count."""
+    from streaming_data_ingestion_spark.queries.basket import q_backlog_curve
+    from streaming_data_ingestion_spark.streaming.mv import (
+        backlog_from_deltas,
+        maintain_backlog,
+    )
+
+    li = load(spark, SF_DIR, "lineitem")
+    orders = load(spark, SF_DIR, "orders")
+    closes = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.max(F.to_date("l_shipdate")).alias("close")
+    )
+    hz = closes.agg(F.max("close").alias("horizon"))
+    spans = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.to_date("o_orderdate").alias("open_day"),
+        )
+        .join(closes, "k", "left")
+        .crossJoin(F.broadcast(hz))
+        .select("k", "open_day", F.coalesce("close", "horizon").alias("close_day"))
+    )
+
+    src_dir = str(tmp_path / "src")
+    table = str(tmp_path / "backlog_deltas")
+    ckpt = str(tmp_path / "ckpt")
+    # several files -> several micro-batches
+    spans.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = maintain_backlog(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    run_stream()
+    got = backlog_from_deltas(spark, table)
+    want = q_backlog_curve(spark, SF_DIR)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # replay with no new input: merged deltas unchanged
+    run_stream()
+    got2 = backlog_from_deltas(spark, table)
+    assert got2.exceptAll(want).count() == 0
