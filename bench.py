@@ -154,6 +154,8 @@ EXTENDED = (
     "q_missing_days",        # calendar-gap ingestion-completeness audit
     "q_type_overlap",        # audience Jaccard matrix via user self-join
     "q_backlog_curve",       # sweep-line open-order interval stabbing
+    "q_emb_dim_stats",       # per-dimension embedding-health profile
+    "q_dedup_agreement",     # LSH vs winnowing cross-method agreement
 )
 
 

@@ -1210,3 +1210,116 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= 0.7)
     )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_agreement — cross-method candidate agreement: MinHash-LSH
+# collisions vs winnowing shared-fingerprint pairs, two INDEPENDENT
+# near-dup detectors over the same corpus. The self-evaluation a dedup
+# pipeline runs when there is no labeled truth: method disagreement is
+# where the thresholds need attention.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_agreement",
+    oracle=f"""
+WITH lsh AS ({_SQL_PAIRS}),
+toks AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), t -> t != '') AS t
+  FROM documents
+  WHERE len(list_filter(str_split(trim(text), ' '), t -> t != '')) >= 8
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             range(1, len(t) - 4 + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])),
+           g -> ('0x' || substring(md5(g), 1, 8))::BIGINT) AS h
+  FROM toks
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(h) - 3 + 1),
+           i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fps
+  FROM gh
+),
+post AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+win AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+),
+m AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM win) AS n_winnow,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM lsh JOIN win ON lsh.doc_a = win.doc_a AND lsh.doc_b = win.doc_b)
+      AS n_both
+)
+SELECT
+  n_lsh, n_winnow, n_both,
+  CAST(n_both AS DOUBLE) / CAST(n_winnow AS DOUBLE) AS winnow_covered_by_lsh,
+  CAST(n_both AS DOUBLE) / CAST(n_lsh AS DOUBLE) AS lsh_confirmed_by_winnow
+FROM m
+""",
+    tags=("llm", "dedup", "eval"),
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the two independent near-dup candidate
+    generators: MinHash-LSH band collisions (whole-document set
+    similarity) and winnowing pairs with >= 2 shared fingerprints
+    (localized >= 8-token runs). With no labeled duplicates, method
+    cross-coverage IS the quality readout: winnow pairs the LSH misses
+    are sub-document overlaps below the Jaccard bands' sensitivity;
+    LSH pairs winnowing doesn't confirm share vocabulary but no
+    contiguous run.
+
+    Scale shape: both pair sets are the already-bounded candidate
+    machineries (band-hash equi-join; fingerprint postings equi-join —
+    never n²); the intersection is one more equi hash join on the pair
+    key, and the output is a single row of BIGINTs with two final IEEE
+    divisions.
+    """
+    from streaming_data_ingestion_spark.queries.llm_text import (
+        _winnow_postings,
+    )
+
+    lsh = _lsh_candidate_pairs(spark, sf_dir)
+    post = _winnow_postings(spark, sf_dir)
+    a, b = post.alias("a"), post.alias("b")
+    win = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    n_win = win.agg(F.count(F.lit(1)).cast("long").alias("n_winnow"))
+    n_both = lsh.join(win, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    return (
+        n_lsh.crossJoin(F.broadcast(n_win))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_lsh",
+            "n_winnow",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_winnow").cast("double")).alias(
+                "winnow_covered_by_lsh"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_lsh").cast("double")).alias(
+                "lsh_confirmed_by_winnow"
+            ),
+        )
+    )

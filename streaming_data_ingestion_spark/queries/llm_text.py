@@ -1415,6 +1415,38 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnowed fingerprint postings — the shared candidate
+    machinery behind q_winnow_pairs and q_dedup_agreement. All per-doc
+    work is higher-order array code over materialized column refs
+    (O(tokens), zero shuffle); the explode emits the ~2/(w+1)-density
+    fingerprint stream."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens()
+    docs = d.select("doc_id", t.alias("t")).where(
+        F.size("t") >= _WIN_K + _WIN_W - 1
+    )
+    tc = F.col("t")
+    mg = F.size(tc) - (_WIN_K - 1)
+    grams = F.transform(
+        F.arrays_zip(*[F.slice(tc, j + 1, mg) for j in range(_WIN_K)]),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(_WIN_K)]),
+    )
+    gh = docs.select(
+        "doc_id",
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ).alias("h"),
+    )
+    hc = F.col("h")
+    mw = F.size(hc) - (_WIN_W - 1)
+    minima = F.transform(
+        F.arrays_zip(*[F.slice(hc, j + 1, mw) for j in range(_WIN_W)]),
+        lambda s: F.least(*[s[str(j)] for j in range(_WIN_W)]),
+    )
+    return gh.select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
+
+
 @query(
     "q_winnow_pairs",
     oracle=f"""
@@ -1464,32 +1496,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_shared, doc_a, doc_b) is a total order, so LIMIT 100 is
     deterministic cross-engine.
     """
-    d = load(spark, sf_dir, "documents")
-    t = _tokens()
-    docs = d.select("doc_id", t.alias("t")).where(
-        F.size("t") >= _WIN_K + _WIN_W - 1
-    )
-    tc = F.col("t")
-    mg = F.size(tc) - (_WIN_K - 1)
-    grams = F.transform(
-        F.arrays_zip(*[F.slice(tc, j + 1, mg) for j in range(_WIN_K)]),
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(_WIN_K)]),
-    )
-    gh = docs.select(
-        "doc_id",
-        F.transform(
-            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        ).alias("h"),
-    )
-    hc = F.col("h")
-    mw = F.size(hc) - (_WIN_W - 1)
-    minima = F.transform(
-        F.arrays_zip(*[F.slice(hc, j + 1, mw) for j in range(_WIN_W)]),
-        lambda s: F.least(*[s[str(j)] for j in range(_WIN_W)]),
-    )
-    post = gh.select(
-        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
-    )
+    post = _winnow_postings(spark, sf_dir)
     a, b = post.alias("a"), post.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))

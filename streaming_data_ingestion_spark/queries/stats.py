@@ -784,3 +784,74 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_emb_dim_stats — per-dimension distribution profile of the embedding
+# corpus: the "is this embedding space healthy" diagnostic (collapsed or
+# exploded dimensions ruin every downstream ANN/dedup operator).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_emb_dim_stats",
+    oracle=f"""
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT
+  CAST(dim AS INTEGER) AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {sql_dec_to_double("SUM(CAST(x AS DECIMAL(38,10)))")}
+    / CAST(COUNT(*) AS DOUBLE) AS mean,
+  ROUND(({_sql_m("x * x")} - ({_sql_m("x")} * {_sql_m("x")})
+          / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 9) AS variance,
+  MIN(x) AS lo,
+  MAX(x) AS hi
+FROM dims
+GROUP BY dim
+ORDER BY dim
+""",
+    tags=("embeddings", "stats"),
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / population variance / range of the embedding
+    corpus — the space-health profile read before trusting any
+    similarity operator (a near-zero-variance dimension is dead weight
+    in every distance; an exploded one dominates them all). The
+    dimension-wise marginal of q_emb_covariance's full matrix at 1/d
+    the cost.
+
+    Scale shape: ONE posexplode (n×64 rows) → one 64-group map-side-
+    combined aggregate; output is dimension-bounded. Moments go through
+    DECIMAL(38,10) (order-independent), the variance closed form is the
+    same textual expression in both engines, and round(9) absorbs the
+    final compound-expression ULP.
+    """
+    emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        # posexplode is 0-based; the oracle's generate_subscripts is
+        # 1-based — align so `dim` means the same coordinate in both
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    n = F.count(F.lit(1))
+    sx = _m(F.col("x"))
+    sxx = _m(F.col("x") * F.col("x"))
+    return (
+        dims.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            n.cast("long").alias("n"),
+            (sx / n.cast("double")).alias("mean"),
+            F.round(
+                (sxx - (sx * sx) / n.cast("double")) / n.cast("double"), 9
+            ).alias("variance"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .orderBy("dim")
+    )
