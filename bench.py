@@ -156,6 +156,8 @@ EXTENDED = (
     "q_backlog_curve",       # sweep-line open-order interval stabbing
     "q_emb_dim_stats",       # per-dimension embedding-health profile
     "q_dedup_agreement",     # LSH vs winnowing cross-method agreement
+    "q_cohort_ltv",          # cohort-age cumulative LTV curve
+    "q_readability",         # Flesch reading ease per source
 )
 
 

@@ -547,3 +547,108 @@ def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q_cohort_ltv — cumulative value per user by signup cohort and age: the
+# LTV curve (revenue companion to q_cohort_matrix's retention counts).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle=f"""
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort FROM events
+  GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM f
+  GROUP BY cohort
+),
+av AS (
+  SELECT
+    f.cohort,
+    CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INTEGER)
+      AS age_weeks,
+    SUM(CAST(e.value AS DECIMAL(38,10))) AS v
+  FROM events e JOIN f ON f.user_id = e.user_id
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(a.cohort AS TIMESTAMP) AS cohort,
+  a.age_weeks AS age_weeks,
+  s.cohort_users,
+  {sql_dec_to_double("SUM(b.v)")} / CAST(s.cohort_users AS DOUBLE)
+    AS cum_value_per_user
+FROM av a
+JOIN av b ON b.cohort = a.cohort AND b.age_weeks <= a.age_weeks
+JOIN sizes s ON s.cohort = a.cohort
+GROUP BY a.cohort, a.age_weeks, s.cohort_users
+ORDER BY a.cohort, a.age_weeks
+""",
+    tags=("events", "lifecycle"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative value per user by signup cohort (first-seen week) and
+    cohort age — the LTV curve product/finance reads next to
+    q_cohort_matrix's retention counts: retention says who comes back,
+    this says what they are worth by age.
+
+    Scale shape: one user-keyed first-seen aggregate + one
+    (user-join → cohort, age) DECIMAL rollup are the only fact-sized
+    stages (the join back is user-keyed equi — at 10⁹ users it is the
+    same shuffle q_cohort_matrix already pays); the cumulative-by-age
+    structure is the house broadcast triangle join on the
+    cohorts×ages-bounded relation, and cohort sizes join back
+    broadcast. DECIMAL value sums are order-independent; the single
+    final division is exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    sizes = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    av = (
+        ev.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    )
+    a, b = av.alias("a"), av.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.cohort") == F.col("a.cohort"))
+            & (F.col("b.age_weeks") <= F.col("a.age_weeks")),
+        )
+        .groupBy(
+            F.col("a.cohort").cast("timestamp").alias("cohort"),
+            F.col("a.age_weeks").alias("age_weeks"),
+        )
+        .agg(F.sum("b.v").cast("double").alias("cum_v"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("cohort").cast("timestamp").alias("cohort"),
+                    "cohort_users",
+                )
+            ),
+            "cohort",
+        )
+        .select(
+            "cohort",
+            "age_weeks",
+            "cohort_users",
+            (F.col("cum_v") / F.col("cohort_users").cast("double")).alias(
+                "cum_value_per_user"
+            ),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

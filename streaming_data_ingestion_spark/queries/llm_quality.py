@@ -619,3 +619,91 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless, ``score_quality`` runs the identical gate on a stream.
     """
     return score_quality(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q_readability — Flesch-style reading-ease per source (deterministic
+# vowel-group syllable approximation): the named readability gate next to
+# the Gopher rule battery.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_readability",
+    oracle="""
+WITH d AS (
+  SELECT
+    source,
+    CAST(len(list_filter(str_split(trim(text), ' '), t -> t != ''))
+         AS BIGINT) AS words,
+    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+         AS BIGINT) AS sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(words) AS BIGINT) AS words,
+  CAST(SUM(sentences) AS BIGINT) AS sentences,
+  CAST(SUM(syllables) AS BIGINT) AS syllables,
+  206.835
+    - 1.015 * (CAST(SUM(words) AS DOUBLE) / CAST(SUM(sentences) AS DOUBLE))
+    - 84.6 * (CAST(SUM(syllables) AS DOUBLE) / CAST(SUM(words) AS DOUBLE))
+    AS flesch
+FROM d
+GROUP BY source
+ORDER BY source
+""",
+    tags=("llm", "quality"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source, with the deterministic
+    vowel-group syllable approximation (each maximal ``[aeiouy]+`` run
+    counts one syllable — the standard dictionary-free estimator) and
+    ``[.!?]+`` runs as sentence boundaries (min one per doc). The named
+    readability score quality pipelines quote next to the rule-based
+    gates (Gopher battery, classifier score): corpus-level
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+
+    Scale shape: all three counts are row-local regex/array expressions
+    inside whole-stage codegen — ONE scan, one source-keyed map-combined
+    aggregate of exact BIGINTs. The score is two single IEEE divisions
+    of identical integers plus fixed-literal arithmetic written
+    token-identically in both engines — bit-exact without rounding.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != "")).cast(
+        "long"
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    per = d.select(
+        "source",
+        words.alias("w"),
+        sentences.alias("s"),
+        syllables.alias("y"),
+    )
+    sw = F.sum("w").cast("long")
+    ss = F.sum("s").cast("long")
+    sy = F.sum("y").cast("long")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            sw.alias("words"),
+            ss.alias("sentences"),
+            sy.alias("syllables"),
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (sw.cast("double") / ss.cast("double"))
+                - F.lit(84.6) * (sy.cast("double") / sw.cast("double"))
+            ).alias("flesch"),
+        )
+        .orderBy("source")
+    )
