@@ -158,6 +158,7 @@ EXTENDED = (
     "q_dedup_agreement",     # LSH vs winnowing cross-method agreement
     "q_cohort_ltv",          # cohort-age cumulative LTV curve
     "q_readability",         # Flesch reading ease per source
+    "q_jaccard_hist",        # LSH-scoped exact-Jaccard calibration
 )
 
 

@@ -1323,3 +1323,72 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_jaccard_hist — exact-Jaccard histogram over the LSH candidate pairs:
+# the text-side threshold-calibration readout (q_sim_pair_hist's twin for
+# the token domain — is 0.5 the right verify cut?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_jaccard_hist",
+    oracle=f"""
+WITH pairs AS ({_SQL_PAIRS}),
+toks AS (
+  SELECT doc_id, list_distinct({_SQL_TOKENS}) AS ts FROM documents
+),
+j AS (
+  SELECT
+    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ts, b.ts))) AS jac
+  FROM pairs p
+  JOIN toks a ON p.doc_a = a.doc_id
+  JOIN toks b ON p.doc_b = b.doc_id
+)
+SELECT
+  CAST(LEAST(FLOOR(jac * 20.0), 19.0) AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("llm", "dedup", "eval"),
+)
+def q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (20 bins of width 0.05) of the exact distinct-token
+    Jaccard over the LSH collision pairs — the calibration behind
+    q_dedup_ngram_jaccard's 0.5 verify cut, exactly as q_sim_pair_hist
+    calibrates the embedding near-dup threshold: a healthy LSH band
+    config shows a valley between the collision noise floor and the
+    true near-dup mass.
+
+    Scale shape: identical to the verify stage it calibrates — the
+    candidate scope is the band-collision set (never n²), token sets
+    join back with two doc_id equi hash joins, and the output is a
+    constant 20 rows. The Jaccard is one division of exact set sizes
+    (array_intersect/union are order-insensitive), and the bin edges
+    are one multiply + floor of that identical double in both engines.
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("ts")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    jac = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("ts_a"), F.col("ts_b")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least(F.floor(jac * F.lit(20.0)), F.lit(19.0))
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bin")
+    )

@@ -58,3 +58,9 @@ def test_bench_headline_is_registered():
     missing_tpch = [n for n in bench.TPCH if n not in registered]
     assert not missing_tpch, f"bench TPCH not in registry: {missing_tpch}"
     assert len(bench.TPCH) == 22
+    missing_ext = [n for n in bench.EXTENDED if n not in registered]
+    assert not missing_ext, f"bench EXTENDED not in registry: {missing_ext}"
+    # no duplicates within or across groups (a dup double-counts a total)
+    all_names = list(bench.HEADLINE) + list(bench.TPCH) + list(bench.EXTENDED)
+    dupes = [n for n in set(all_names) if all_names.count(n) > 1]
+    assert not dupes, f"bench groups overlap: {dupes}"
