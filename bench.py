@@ -159,6 +159,7 @@ EXTENDED = (
     "q_cohort_ltv",          # cohort-age cumulative LTV curve
     "q_readability",         # Flesch reading ease per source
     "q_jaccard_hist",        # LSH-scoped exact-Jaccard calibration
+    "q_revenue_pareto",      # customer-spend Pareto concentration
 )
 
 

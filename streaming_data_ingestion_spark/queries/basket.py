@@ -213,3 +213,109 @@ def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("b.d").cast("long").alias("n_open"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q_revenue_pareto — customer revenue concentration by decile (the 80/20
+# readout: what share of revenue do the top spenders carry).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_revenue_pareto",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT spend,
+         CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS INTEGER)
+           AS decile
+  FROM cust
+),
+g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(spend) AS rev
+  FROM dec GROUP BY decile
+),
+tot AS (SELECT SUM(rev) AS total FROM g)
+SELECT
+  g.decile,
+  g.n_customers,
+  CAST(CAST(g.rev AS DECIMAL(38,10)) AS VARCHAR)::DOUBLE AS revenue,
+  CAST(CAST(g.rev AS DECIMAL(38,10)) AS VARCHAR)::DOUBLE
+    / CAST(CAST(tot.total AS DECIMAL(38,10)) AS VARCHAR)::DOUBLE AS rev_share,
+  CAST(CAST(SUM(b.rev) AS DECIMAL(38,10)) AS VARCHAR)::DOUBLE
+    / CAST(CAST(tot.total AS DECIMAL(38,10)) AS VARCHAR)::DOUBLE
+    AS cum_rev_share
+FROM g
+JOIN g b ON b.decile <= g.decile
+CROSS JOIN tot
+GROUP BY g.decile, g.n_customers, g.rev, tot.total
+ORDER BY g.decile
+""",
+    tags=("orders", "basket"),
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ranked by lifetime spend, cut
+    into spend deciles (decile 1 = top spenders), with each decile's
+    revenue share and the cumulative share — the Pareto/80-20 readout
+    behind every account-tiering decision (the customer-revenue sibling
+    of q_gini_token's vocabulary concentration).
+
+    Scale shape: one customer-keyed DECIMAL rollup collapses the order
+    fact table; the decile cut uses the distributed ranking module
+    (range exchange + closed-form NTILE — never a single-partition
+    window over customers); shares and the cumulative structure run on
+    the 10-row decile relation via the house triangle join. Spend sums
+    stay DECIMAL through every aggregation (order-independent), crossing
+    to double only through the VARCHAR hop at the final share division.
+    """
+    from streaming_data_ingestion_spark.compat import DEC
+    from streaming_data_ingestion_spark.ranking import (
+        ntile_of_rank,
+        with_global_rank,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend")
+    )
+    ranked, n_total = with_global_rank(
+        cust.select("o_custkey", "spend", (-F.col("spend")).alias("neg")),
+        ["neg", "o_custkey"],
+        rank_col="r",
+        cache=("q_revenue_pareto.ranked", sf_dir),
+    )
+    g = (
+        ranked.select(ntile_of_rank(F.col("r"), n_total, 10).alias("decile"), "spend")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").alias("rev"),
+        )
+    )
+    tot = g.agg(F.sum("rev").alias("total"))
+    b = g.select(F.col("decile").alias("bd"), F.col("rev").alias("brev"))
+    dec_to_dbl = lambda c: c.cast(DEC).cast("string").cast("double")  # noqa: E731
+    return (
+        g.join(F.broadcast(b), F.col("bd") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "rev")
+        .agg(F.sum("brev").alias("cum_rev"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            dec_to_dbl(F.col("rev")).alias("revenue"),
+            (dec_to_dbl(F.col("rev")) / dec_to_dbl(F.col("total"))).alias(
+                "rev_share"
+            ),
+            (dec_to_dbl(F.col("cum_rev")) / dec_to_dbl(F.col("total"))).alias(
+                "cum_rev_share"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -496,6 +496,9 @@ _CARTESIAN_OK = {
     "q_assoc_rules",       # 1-row basket-total broadcast onto the
     #                        pair relation (pair expansion itself is an
     #                        equi self-join on the basket key)
+    "q_revenue_pareto",    # triangle join + 1-row total on the 10-row
+    #                        spend-decile relation (fact pass = ranked
+    #                        exchange inside with_global_rank)
     "q_decile_lift",       # triangle join + 1-row totals on the 10-row
     #                        decile relation (the fact pass is the ranged
     #                        exchange inside with_global_rank)
