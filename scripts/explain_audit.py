@@ -327,6 +327,51 @@ AUDITED = (
         "work is two doc_id BroadcastHashJoins and row-local set "
         "arithmetic — no new shuffle of the corpus.",
     ),
+    (
+        "q_survival_km",
+        "Kaplan-Meier with right-censoring. Read: ONE user-keyed "
+        "aggregate is the only fact-sized exchange; everything above it "
+        "(at-risk sets, hazard factors, the exp-sum-ln cumulative "
+        "product) runs as BroadcastNestedLoopJoins over the "
+        "calendar-bounded (duration, observed) count relation.",
+    ),
+    (
+        "q_kmeans_assign",
+        "Lloyd assignment step. Read: posexplode feeds a BroadcastHashJoin "
+        "on the dimension index against the 8x64 centroid side; the "
+        "(vec, cid) distance aggregate partial-combines map-side; the "
+        "argmin Window is PARTITIONED by vec_id.",
+    ),
+    (
+        "q_bootstrap_ci",
+        "Poisson bootstrap. Read: the 64x replica Generate sits INSIDE "
+        "the map stage — the exchange above it carries 64 partial rows "
+        "per partition, not the fanned-out stream; the percentile cut "
+        "is a BroadcastNestedLoopJoin over the 64-row replica relation.",
+    ),
+    (
+        "q_assoc_rules",
+        "Market-basket rules. Read: the pair expansion is a "
+        "SortMergeJoin/ShuffledHashJoin EQUI join on the basket key "
+        "(never a cartesian); item supports come back as "
+        "BroadcastHashJoins; the basket total is a 1-row "
+        "BroadcastNestedLoopJoin.",
+    ),
+    (
+        "q_backlog_curve",
+        "Sweep-line interval stabbing. Read: per-order close aggregate + "
+        "one order-keyed join build the spans; the +-1 deltas net in a "
+        "day-keyed aggregate and the running sum is a "
+        "BroadcastNestedLoopJoin over the calendar-bounded delta "
+        "relation — no day x order join anywhere.",
+    ),
+    (
+        "q_winnow",
+        "MOSS winnowing. Read: grams, hashes, and window minima are all "
+        "higher-order array expressions inside the scan's projection "
+        "(zero shuffle); the ONLY exchange is the map-side-combined "
+        "count over the winnowed fingerprint vocabulary.",
+    ),
 )
 
 
