@@ -1581,12 +1581,13 @@ _PH_BINS = 32  # over [-1, 1): width 1/16, exact power-of-two edges
 @query(
     "q_sim_pair_hist",
     oracle=f"""
+WITH u AS ({_sql_unit()})
 SELECT
-  CAST(LEAST(FLOOR(({_sql_cos("a.embedding", "b.embedding")} + 1.0) * 16.0),
+  CAST(LEAST(FLOOR(({_sql_uv_dot()} + 1.0) * 16.0),
              31.0) AS INTEGER) AS bin,
   CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM u a
+JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
 GROUP BY bin
 ORDER BY bin
 """,
@@ -1600,18 +1601,22 @@ def q_sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb_neardup: the label equi-join keeps pair count Σ_cell n_cell²,
     never n².
 
-    Bin edges are exact power-of-two arithmetic ((c+1)·16, both factors
-    exact), and the cosine itself is the house ordered fold — bit-
-    identical across engines — so bin membership cannot straddle a ULP.
-    The histogram output is constant-sized (32 rows) at any corpus
-    scale; the only data-sized stage is the cell-bounded pair join both
-    engines share.
+    Vectors are unit-normalized ONCE per row before the pair join
+    (the _unit_vectors idiom q_sim_knn_graph/q_semdedup share), so each
+    pair pays a single dot-product fold instead of dot + two norms — 3×
+    less per-pair work in the only quadratic stage, with the oracle
+    normalizing element-for-element identically. Bin edges are exact
+    power-of-two arithmetic ((c+1)·16), and the dot fold is the house
+    ordered reduction — bit-identical across engines — so bin
+    membership cannot straddle a ULP. The histogram output is
+    constant-sized (32 rows) at any corpus scale.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
+    e = _unit_vectors(spread_for_cpu(load(spark, sf_dir, "embeddings")))
     a, b = e.alias("a"), e.alias("b")
-    cos = (
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding")))
+    cos = _fold_sum(
+        F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y)
     )
     return (
         a.join(

@@ -1374,32 +1374,8 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized, ~2/(w+1) of the gram vocabulary. (freq, fp) is a
     total order, so LIMIT 100 is deterministic cross-engine.
     """
-    d = load(spark, sf_dir, "documents")
-    t = _tokens()
-    docs = d.select("doc_id", t.alias("t")).where(
-        F.size("t") >= _WIN_K + _WIN_W - 1
-    )
-    tc = F.col("t")
-    mg = F.size(tc) - (_WIN_K - 1)
-    grams = F.transform(
-        F.arrays_zip(*[F.slice(tc, j + 1, mg) for j in range(_WIN_K)]),
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(_WIN_K)]),
-    )
-    gh = docs.select(
-        "doc_id",
-        F.transform(
-            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        ).alias("h"),
-    )
-    hc = F.col("h")
-    mw = F.size(hc) - (_WIN_W - 1)
-    minima = F.transform(
-        F.arrays_zip(*[F.slice(hc, j + 1, mw) for j in range(_WIN_W)]),
-        lambda s: F.least(*[s[str(j)] for j in range(_WIN_W)]),
-    )
-    sel = gh.select("doc_id", F.array_distinct(minima).alias("fps"))
     return (
-        sel.select("doc_id", F.explode("fps").alias("fp"))
+        _winnow_postings(spark, sf_dir)
         .groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
@@ -1420,8 +1396,11 @@ def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery behind q_winnow_pairs and q_dedup_agreement. All per-doc
     work is higher-order array code over materialized column refs
     (O(tokens), zero shuffle); the explode emits the ~2/(w+1)-density
-    fingerprint stream."""
-    d = load(spark, sf_dir, "documents")
+    fingerprint stream. The single-file fixture scan is spread across
+    cores — per-doc gram hashing is the hot stage."""
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
+    d = spread_for_cpu(load(spark, sf_dir, "documents"))
     t = _tokens()
     docs = d.select("doc_id", t.alias("t")).where(
         F.size("t") >= _WIN_K + _WIN_W - 1

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
 from streaming_data_ingestion_spark.ranking import with_global_rank
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 
 # --------------------------------------------------------------------------
 # q_roc_auc — binned ROC-AUC of a text-quality score against a language
@@ -932,6 +932,23 @@ _POIS = (
     "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
 )
 
+# Uniform draw: two MINSTD (Lehmer) steps seeded by (event_id·B + replica),
+# all in BIGINT modular arithmetic — every intermediate < 48271·2³¹ < 2⁴⁷,
+# so neither engine can overflow, and the arithmetic (unlike a hash
+# function) is trivially identical across engines. Two multiplicative
+# steps decorrelate the consecutive seeds that (id·B + b) produces; MINSTD
+# is statistically plenty for bootstrap multiplicities (the first, md5-
+# based version of this draw was bit-exact too but spent the whole query
+# runtime on per-row string hashing — 16.6 s → ~2 s at sf0.1).
+_MINSTD_M = 2147483647  # 2^31 - 1 (prime)
+_MINSTD_A = 48271
+
+
+def _sql_u(seed: str) -> str:
+    s1 = f"(({_MINSTD_A} * (({seed}) % {_MINSTD_M})) % {_MINSTD_M})"
+    s2 = f"(({_MINSTD_A} * {s1}) % {_MINSTD_M})"
+    return f"(CAST({s2} AS DOUBLE) / {_MINSTD_M}.0)"
+
 
 def _sql_pois_w(u: str) -> str:
     cases = " ".join(
@@ -945,10 +962,7 @@ def _sql_pois_w(u: str) -> str:
     oracle=f"""
 WITH draws AS (
   SELECT b.b, value,
-         {_sql_pois_w(
-             "(('0x' || substring(md5(concat(event_id, ':', b.b)), 1, 8))::BIGINT"
-             " / 4294967296.0)"
-         )} AS w
+         {_sql_pois_w(_sql_u(f"event_id * {_BOOT_B} + b.b"))} AS w
   FROM events, (SELECT CAST(i AS INTEGER) AS b FROM range(0, {_BOOT_B}) t(i)) b
 ),
 rep AS (
@@ -986,10 +1000,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from Poisson(1) — the bootstrap that works at 100 TB because it is
     ONE pass with per-row independent draws (no sampled rescan per
     replica, no shuffled resample; the method production A/B systems
-    use for exactly this reason). Draws are DETERMINISTIC: u =
-    md5(event_id:replica) → inverse-CDF lookup against shared literal
-    thresholds, so both engines materialize the identical resample and
-    the interval hash-matches bit-exactly.
+    use for exactly this reason). Draws are DETERMINISTIC: u = two
+    MINSTD (Lehmer) steps seeded by (event_id·B + replica) — pure
+    BIGINT modular arithmetic, every intermediate < 2⁴⁷ so neither
+    engine can overflow — then an inverse-CDF lookup against shared
+    literal thresholds, so both engines materialize the identical
+    resample and the interval hash-matches bit-exactly (statistically
+    ample for multiplicities; an md5-based draw was bit-exact too but
+    spent the entire runtime on per-row string hashing).
 
     Scale shape: the replica spine multiplies rows 64× INSIDE the map
     stage (constant CPU factor), then map-side combine collapses to 64
@@ -999,17 +1017,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     house bounded-relation idiom; no unpartitioned window). The full
     mean is one DECIMAL aggregate broadcast back as a 1-row relation.
     """
-    ev = load(spark, sf_dir, "events")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
+    # the 64x fan-out is the hot stage: spread the single-file scan so it
+    # runs on every core, not one task (fixture files are one row group)
+    ev = spread_for_cpu(load(spark, sf_dir, "events"))
+    seed = (F.col("event_id") * _BOOT_B + F.col("b")) % _MINSTD_M
+    s1 = (F.lit(_MINSTD_A) * seed) % _MINSTD_M
+    s2 = (F.lit(_MINSTD_A) * s1) % _MINSTD_M
+    u = s2.cast("double") / F.lit(float(_MINSTD_M))
     w = F.lit(6)
     for k in range(len(_POIS) - 1, -1, -1):
         w = F.when(u < F.lit(float(_POIS[k])), F.lit(k)).otherwise(w)
