@@ -800,17 +800,24 @@ WITH dims AS (
   SELECT generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
+),
+q AS (
+  SELECT dim, x,
+         CAST(FLOOR(x * 10000000000.0 + 0.5) AS HUGEINT) AS qx
+  FROM dims
 )
 SELECT
   CAST(dim AS INTEGER) AS dim,
   CAST(COUNT(*) AS BIGINT) AS n,
-  {sql_dec_to_double("SUM(CAST(x AS DECIMAL(38,10)))")}
-    / CAST(COUNT(*) AS DOUBLE) AS mean,
-  ROUND(({_sql_m("x * x")} - ({_sql_m("x")} * {_sql_m("x")})
-          / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE), 9) AS variance,
+  ({sql_dec_to_double("SUM(qx)")} / CAST(COUNT(*) AS DOUBLE))
+    / 10000000000.0 AS mean,
+  ROUND((({sql_dec_to_double("SUM(qx * qx)")}
+          - ({sql_dec_to_double("SUM(qx)")} * {sql_dec_to_double("SUM(qx)")})
+            / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE))
+        / 1e20, 9) AS variance,
   MIN(x) AS lo,
   MAX(x) AS hi
-FROM dims
+FROM q
 GROUP BY dim
 ORDER BY dim
 """,
@@ -824,11 +831,17 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-wise marginal of q_emb_covariance's full matrix at 1/d
     the cost.
 
+    Moments use q_emb_covariance's INTEGER-QUANTIZATION rule
+    (q = FLOOR(x·1e10 + 0.5), exact decimal sums): casting a raw double
+    straight to DECIMAL hits rounding TIES where Spark (HALF_UP) and
+    DuckDB disagree — a first draft of this query did exactly that and
+    one tied element at sf0.01 shifted the dimension sum by 1e-10.
+    FLOOR of an identical double is tie-proof. Means/variances then
+    descale by 1e10/1e20 in the same textual order in both engines;
+    round(9) absorbs the compound-expression ULP.
+
     Scale shape: ONE posexplode (n×64 rows) → one 64-group map-side-
-    combined aggregate; output is dimension-bounded. Moments go through
-    DECIMAL(38,10) (order-independent), the variance closed form is the
-    same textual expression in both engines, and round(9) absorbs the
-    final compound-expression ULP.
+    combined aggregate; output is dimension-bounded.
     """
     emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
     dims = emb.select(
@@ -838,17 +851,25 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-based — align so `dim` means the same coordinate in both
         (F.col("dim0") + 1).alias("dim"),
         F.col("xf").cast("double").alias("x"),
+    ).select(
+        "dim",
+        "x",
+        F.floor(F.col("x") * F.lit(1e10) + F.lit(0.5))
+        .cast("decimal(18,0)")
+        .alias("qx"),
     )
     n = F.count(F.lit(1))
-    sx = _m(F.col("x"))
-    sxx = _m(F.col("x") * F.col("x"))
+    sq = F.sum("qx").cast("double")
+    sqq = F.sum(F.col("qx") * F.col("qx")).cast("double")
     return (
         dims.groupBy(F.col("dim").cast("int").alias("dim"))
         .agg(
             n.cast("long").alias("n"),
-            (sx / n.cast("double")).alias("mean"),
+            ((sq / n.cast("double")) / F.lit(1e10)).alias("mean"),
             F.round(
-                (sxx - (sx * sx) / n.cast("double")) / n.cast("double"), 9
+                ((sqq - (sq * sq) / n.cast("double")) / n.cast("double"))
+                / F.lit(1e20),
+                9,
             ).alias("variance"),
             F.min("x").alias("lo"),
             F.max("x").alias("hi"),
