@@ -934,3 +934,18 @@ def test_gini_token_no_unpartitioned_window(spark):
     plan = plan_of(spark, "q_gini_token")
     assert "rangepartitioning" in plan or "RangePartitioning" in plan
     assert "Window" not in plan
+
+
+def test_fanout_heavy_scans_are_spread(spark):
+    """Operators whose hot stage is per-row compute ABOVE the scan
+    (replica fan-out, per-doc gram hashing) must spread the single-file
+    fixture scan across cores — q_bootstrap_ci ran its entire 64x
+    fan-out in ONE task before round 5's fix (16.6 s -> 1.8 s at
+    sf0.1). The spread shows as a round-robin exchange below the
+    fan-out."""
+    for key in ("q_bootstrap_ci", "q_winnow", "q_sim_pair_hist"):
+        plan = plan_of(spark, key)
+        assert "roundrobin" in plan.lower(), (
+            f"{key}: no round-robin spread below the fan-out — the hot "
+            "per-row stage would run in one task on single-file input"
+        )
