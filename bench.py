@@ -160,6 +160,7 @@ EXTENDED = (
     "q_readability",         # Flesch reading ease per source
     "q_jaccard_hist",        # LSH-scoped exact-Jaccard calibration
     "q_revenue_pareto",      # customer-spend Pareto concentration
+    "q_anova",               # k-group exact-moment ANOVA F
 )
 
 

@@ -1066,3 +1066,108 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_anova — one-way ANOVA F statistic of event value across event types:
+# the k-group generalization of q_ttest (does ANY type differ in mean?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_anova",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dec_to_double("SUM(CAST(value AS DECIMAL(38,10)))")} AS s,
+         {sql_dec_to_double("SUM(CAST(value * value AS DECIMAL(38,10)))")} AS ss
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         {sql_dec_to_double("SUM(CAST(s AS DECIMAL(38,10)))")} AS s_tot
+  FROM g
+),
+parts AS (
+  SELECT
+    tot.n_tot, tot.k,
+    {sql_dec_to_double(
+        "SUM(CAST((g.s * g.s) / CAST(g.n AS DOUBLE) AS DECIMAL(38,10)))")}
+      - (tot.s_tot * tot.s_tot) / CAST(tot.n_tot AS DOUBLE) AS ssb,
+    {sql_dec_to_double("SUM(CAST(g.ss AS DECIMAL(38,10)))")}
+      - {sql_dec_to_double(
+          "SUM(CAST((g.s * g.s) / CAST(g.n AS DOUBLE) AS DECIMAL(38,10)))")}
+      AS ssw
+  FROM g CROSS JOIN tot
+  GROUP BY tot.n_tot, tot.k, tot.s_tot
+)
+SELECT
+  k AS n_groups,
+  n_tot,
+  ROUND(ssb, 6) AS ss_between,
+  ROUND(ssw, 6) AS ss_within,
+  ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+        / (ssw / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM parts
+""",
+    tags=("events", "stats", "eval"),
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA over event value by event type: F = (SSB/(k−1)) /
+    (SSW/(n−k)) — the k-group generalization of q_ttest's two-sample
+    comparison, computed entirely from per-group exact moments
+    (n, Σx, Σx²) like the rest of the :mod:`stats` family.
+
+    Cross-engine exactness: group moments are DECIMAL sums; the
+    between/within decomposition reuses the identity SSB = Σ sᵢ²/nᵢ −
+    s²/n with each sᵢ²/nᵢ term a fixed IEEE sequence DECIMAL-summed
+    across groups, written token-identically in both engines; round(6)
+    absorbs the compound-expression ULP.
+
+    Scale shape: ONE map-side-combined group aggregate is the only
+    fact-sized stage; the decomposition runs on the |types|-row group
+    relation with a 1-row totals broadcast. Output is a single row.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s").cast(DEC)).cast("double").alias("s_tot"),
+    )
+    sn = F.sum(((F.col("s") * F.col("s")) / F.col("n").cast("double")).cast(DEC)).cast(
+        "double"
+    )
+    sss = F.sum(F.col("ss").cast(DEC)).cast("double")
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_tot", "k", "s_tot")
+        .agg(sn.alias("sn"), sss.alias("sss"))
+        .select(
+            "n_tot",
+            "k",
+            (F.col("sn") - (F.col("s_tot") * F.col("s_tot")) / F.col("n_tot").cast("double")).alias(
+                "ssb"
+            ),
+            (F.col("sss") - F.col("sn")).alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        "n_tot",
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k").cast("double") - F.lit(1.0)))
+            / (F.col("ssw") / (F.col("n_tot").cast("double") - F.col("k").cast("double"))),
+            6,
+        ).alias("f_stat"),
+    )

@@ -488,6 +488,8 @@ _CARTESIAN_OK = {
     "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
     #                        triangle joins on the calendar-bounded
     #                        (duration, observed) count table
+    "q_anova",             # 1-row totals broadcast onto the |types|-row
+    #                        group-moment relation
     "q_dedup_agreement",   # three 1-row count aggregates cross-joined
     #                        into the single summary row
     "q_bootstrap_ci",      # rank triangle join on the 64-row replica
