@@ -161,6 +161,7 @@ EXTENDED = (
     "q_jaccard_hist",        # LSH-scoped exact-Jaccard calibration
     "q_revenue_pareto",      # customer-spend Pareto concentration
     "q_anova",               # k-group exact-moment ANOVA F
+    "q_xcorr",               # lag-spine cross-correlation lead/lag
 )
 
 

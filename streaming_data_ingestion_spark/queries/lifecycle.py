@@ -652,3 +652,116 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+# --------------------------------------------------------------------------
+# q_xcorr — lagged cross-correlation between two event types' daily
+# volume series (lead/lag discovery: does 'click' lead 'purchase'?).
+# --------------------------------------------------------------------------
+
+_XC_MAX_LAG = 7
+
+
+@query(
+    "q_xcorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+mu AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my
+  FROM daily
+),
+cent AS (
+  SELECT day, CAST(x AS DOUBLE) - mu.mx AS dx, CAST(y AS DOUBLE) - mu.my AS dy
+  FROM daily, mu
+),
+den AS (
+  SELECT sqrt({sql_dec_to_double("SUM(CAST(dx * dx AS DECIMAL(38,10)))")})
+       * sqrt({sql_dec_to_double("SUM(CAST(dy * dy AS DECIMAL(38,10)))")}) AS denom
+  FROM cent
+),
+lags AS (
+  SELECT CAST(i AS BIGINT) AS lag
+  FROM range(-{_XC_MAX_LAG}, {_XC_MAX_LAG + 1}) t(i)
+),
+pairs AS (
+  SELECT l.lag, a.dx, b.dy
+  FROM cent a
+  JOIN lags l ON TRUE
+  JOIN cent b ON b.day = a.day + CAST(l.lag AS INTEGER)
+)
+SELECT
+  lag,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND({sql_dec_to_double("SUM(CAST(dx * dy AS DECIMAL(38,10)))")}
+        / (SELECT denom FROM den), 6) AS xcorr
+FROM pairs
+GROUP BY lag
+ORDER BY lag
+""",
+    tags=("events", "timeseries", "stats"),
+)
+def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the daily 'click' and 'purchase' volume
+    series at lags −7..+7 — the lead/lag discovery readout (a positive
+    peak at lag k > 0 means clicks today correlate with purchases k days
+    LATER; the cross sibling of q_acf's serial dependence).
+    r_k = Σ (x_t − μx)(y_{t+k} − μy) / (√Σdx² · √Σdy²).
+
+    Scale shape: ONE day-keyed conditional-count aggregate collapses the
+    fact table to the calendar-bounded two-series relation. Lagged
+    pairing is an EQUI-join against the constant 15-row lag spine (the
+    q_acf pattern, both directions); means and the denominator are 1-row
+    broadcasts; products row-local, sums DECIMAL, round(6) absorbs the
+    sqrt/compound ULP.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    mu = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    cent = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        (F.col("x").cast("double") - F.col("mx")).alias("dx"),
+        (F.col("y").cast("double") - F.col("my")).alias("dy"),
+    )
+    den = cent.agg(
+        (
+            F.sqrt(F.sum((F.col("dx") * F.col("dx")).cast(DEC)).cast("double"))
+            * F.sqrt(F.sum((F.col("dy") * F.col("dy")).cast(DEC)).cast("double"))
+        ).alias("denom")
+    )
+    a = cent.select(
+        "day",
+        F.col("dx").alias("adx"),
+        F.explode(F.sequence(F.lit(-_XC_MAX_LAG), F.lit(_XC_MAX_LAG))).alias("lag"),
+    ).withColumn("tgt_day", F.date_add("day", F.col("lag")))
+    b = cent.select(F.col("day").alias("bday"), F.col("dy").alias("bdy"))
+    return (
+        a.join(b, a.tgt_day == b.bday)
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("adx") * F.col("bdy")).cast(DEC)).cast("double").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("denom"), 6).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

@@ -483,6 +483,8 @@ _CARTESIAN_OK = {
     #                        sweep-line delta relation
     "q_cum_uniques",       # running total via triangle join on the
     #                        calendar-bounded daily relation (days² pairs)
+    "q_xcorr",             # 1-row mean/denominator broadcasts onto the
+    #                        calendar-bounded two-series relation
     "q_acf",               # 1-row mean/denominator broadcasts onto the
     #                        calendar-bounded daily relation
     "q_survival_km",       # 1-row horizon broadcast + at-risk/cumulative
