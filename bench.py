@@ -162,6 +162,7 @@ EXTENDED = (
     "q_revenue_pareto",      # customer-spend Pareto concentration
     "q_anova",               # k-group exact-moment ANOVA F
     "q_xcorr",               # lag-spine cross-correlation lead/lag
+    "q_interorder_gap",      # purchase-frequency gap distribution
 )
 
 

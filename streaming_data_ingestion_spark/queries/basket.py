@@ -319,3 +319,77 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q_interorder_gap — days between a customer's successive orders, as a
+# week-binned distribution (the purchase-frequency readout behind
+# replenishment and churn-window choices).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_interorder_gap",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders
+),
+gaps AS (
+  SELECT CAST(datediff('day', pd, d) AS BIGINT) AS gap_days
+  FROM o WHERE pd IS NOT NULL
+)
+SELECT
+  CAST(FLOOR(CAST(gap_days AS DOUBLE) / 7.0) AS INTEGER) AS gap_weeks,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  MIN(gap_days) AS min_days,
+  MAX(gap_days) AS max_days
+FROM gaps
+GROUP BY gap_weeks
+ORDER BY gap_weeks
+""",
+    tags=("orders", "basket", "lifecycle"),
+)
+def q_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's successive orders,
+    binned by week — the purchase-frequency curve that sets
+    replenishment windows and the churn-definition cutoff (a customer
+    is "lost" once their gap exceeds the distribution's tail). The
+    orders-domain sibling of q_burstiness's event-gap regularity.
+
+    Scale shape: successive-order pairing is a LAG over a
+    customer-PARTITIONED window (one customer-keyed exchange + sort —
+    the repo-wide rule: never a global window; and no self-join — the
+    previous date rides the same sorted pass); the week binning then
+    collapses everything to a calendar-bounded histogram in one
+    map-combined aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.lag(F.to_date("o_orderdate")).over(w).alias("pd"),
+        )
+        .where(F.col("pd").isNotNull())
+        .select(F.datediff("d", "pd").cast("long").alias("gap_days"))
+    )
+    return (
+        gaps.groupBy(
+            F.floor(F.col("gap_days").cast("double") / F.lit(7.0))
+            .cast("int")
+            .alias("gap_weeks")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("gap_weeks")
+    )
