@@ -1496,3 +1496,68 @@ def test_incremental_backlog_deltas(spark, tmp_path):
     run_stream()
     got2 = backlog_from_deltas(spark, table)
     assert got2.exceptAll(want).count() == 0
+
+
+def test_incremental_first_seen_growth(spark, tmp_path):
+    """The incrementally-maintained first-seen index + daily new-user
+    table must reproduce q_cum_uniques exactly when micro-batches arrive
+    in event-time order (each source file is a time slice, as a real
+    ingest produces), and a checkpointed replay must not double-count."""
+    from streaming_data_ingestion_spark.queries.lifecycle import q_cum_uniques
+    from streaming_data_ingestion_spark.streaming.growth import (
+        cum_uniques_from_daily,
+        maintain_first_seen,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    index = str(tmp_path / "first_seen")
+    daily = str(tmp_path / "daily_new")
+    ckpt = str(tmp_path / "ckpt")
+
+    # four time-sliced files -> four IN-ORDER micro-batches: the module's
+    # documented contract is event-time-ordered arrival (a real ingest's
+    # shape); FileStreamSource orders files by modification time, so each
+    # slice gets a strictly later mtime
+    import os
+    import time as _time
+
+    n = ev.count()
+    ts_sorted = ev.orderBy("ts", "event_id").collect()
+    base = _time.time()
+    for i in range(4):
+        chunk = ts_sorted[i * n // 4 : (i + 1) * n // 4]
+        d = src_dir / f"slice={i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for p in d.rglob("*.parquet"):
+            os.utime(p, (base + 10 * i, base + 10 * i))
+    schema = ev.schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        q = maintain_first_seen(stream, index, daily, ckpt)
+        q.awaitTermination(120)
+
+    run_stream()
+    got = cum_uniques_from_daily(spark, daily)
+    want = q_cum_uniques(spark, SF_DIR)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # index covers every user exactly once
+    idx = spark.read.parquet(index)
+    assert idx.count() == ev.select("user_id").distinct().count()
+    assert idx.groupBy("user_id").count().where("count > 1").count() == 0
+
+    # replay with no new input: nothing double-counts
+    run_stream()
+    got2 = cum_uniques_from_daily(spark, daily)
+    assert got2.exceptAll(want).count() == 0
