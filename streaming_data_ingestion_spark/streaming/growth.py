@@ -41,9 +41,70 @@ def _prior_index(spark: SparkSession, index_path: str, epoch_id: int):
     see its own failed attempt's partial append)."""
     try:
         idx = spark.read.parquet(index_path)
-    except AnalysisException:
+    except AnalysisException as e:
+        # ONLY the genuinely-missing-index case may be treated as "no
+        # prior users" — swallowing a transient read error here would
+        # silently re-count the whole user base as new (the
+        # bare-except-overwrites-history bug class; see
+        # streaming/dedup_index.py for the motivating incident)
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         return None
     return idx.where(F.col("epoch") < F.lit(epoch_id))
+
+
+def first_seen_batch_writer(
+    index_path: str,
+    daily_path: str,
+    run_ns=None,
+):
+    """foreachBatch writer for the first-seen index + daily growth table
+    (exposed separately, ``mv.merge_daily_counts``-style, so tests can
+    drive epoch replay directly)."""
+    ns_cache: dict = {}
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # batch-local first-seen candidates: one user-keyed MIN aggregate
+        cand = batch_df.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first_day")
+        )
+        prior = _prior_index(spark, index_path, epoch_id)
+        if prior is not None:
+            cand = cand.join(
+                prior.select("user_id"), "user_id", "left_anti"
+            )
+        cand = cand.withColumn("epoch", F.lit(epoch_id)).persist()
+        try:
+            # index append: replayed epochs overwrite their own partition.
+            # NB: the dynamic mode MUST be a per-write .option — setting
+            # it on `spark.conf` inside foreachBatch mutates the OUTER
+            # session while batch_df executes on a cloned session whose
+            # conf stays STATIC, so the write would truncate the whole
+            # index every epoch (round-5 incident; see
+            # tests/test_plans.py guard).
+            (
+                cand.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(index_path)
+            )
+            # daily growth counts: replay-skip merge keyed on (day)
+            _merge_idempotent(
+                cand.groupBy(F.col("first_day").alias("day")).agg(
+                    F.count(F.lit(1)).cast("long").alias("new_users")
+                ),
+                daily_path,
+                key_cols=["day"],
+                sum_cols=["new_users"],
+                part_cols=["day"],
+                epoch_id=epoch_id,
+                run_ns=_resolve_ns(ns_cache, run_ns),
+            )
+        finally:
+            cand.unpersist()
+
+    return write_batch
 
 
 def maintain_first_seen(
@@ -61,43 +122,11 @@ def maintain_first_seen(
     no event-history rescan ever.
     """
     spark = events_stream.sparkSession
-    ns_cache: dict = {}
-
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # batch-local first-seen candidates: one user-keyed MIN aggregate
-        cand = batch_df.groupBy("user_id").agg(
-            F.min(F.to_date("ts")).alias("first_day")
-        )
-        prior = _prior_index(spark, index_path, epoch_id)
-        if prior is not None:
-            cand = cand.join(
-                prior.select("user_id"), "user_id", "left_anti"
-            )
-        cand = cand.withColumn("epoch", F.lit(epoch_id)).persist()
-        try:
-            # index append: replayed epochs overwrite their own partition
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            cand.write.mode("overwrite").partitionBy("epoch").parquet(
-                index_path
-            )
-            # daily growth counts: replay-skip merge keyed on (day)
-            _merge_idempotent(
-                cand.groupBy(F.col("first_day").alias("day")).agg(
-                    F.count(F.lit(1)).cast("long").alias("new_users")
-                ),
-                daily_path,
-                key_cols=["day"],
-                sum_cols=["new_users"],
-                part_cols=["day"],
-                epoch_id=epoch_id,
-                run_ns=_resolve_ns(
-                    ns_cache, lambda: _query_ns(spark, checkpoint_dir)
-                ),
-            )
-        finally:
-            cand.unpersist()
+    write_batch = first_seen_batch_writer(
+        index_path,
+        daily_path,
+        run_ns=lambda: _query_ns(spark, checkpoint_dir),
+    )
 
     writer = (
         events_stream.writeStream.foreachBatch(write_batch)

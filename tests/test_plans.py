@@ -953,3 +953,37 @@ def test_fanout_heavy_scans_are_spread(spark):
             f"{key}: no round-robin spread below the fan-out — the hot "
             "per-row stage would run in one task on single-file input"
         )
+
+
+def test_no_session_conf_overwrite_mode_in_streaming_modules():
+    """Inside foreachBatch the batch DataFrame executes on a CLONED
+    SparkSession whose conf is frozen at query start — a
+    ``spark.conf.set("spark.sql.sources.partitionOverwriteMode", ...)``
+    there mutates the OUTER session and leaves the actual write in
+    STATIC mode, truncating the whole table every epoch
+    (streaming/growth.py, round-5 incident: the first-seen index was
+    wiped to _SUCCESS-only by any zero-new-user batch). House pattern is
+    the per-write ``.option("partitionOverwriteMode", "dynamic")``
+    (streaming/dedup_index.py, streaming/mv.py) — ban the session-conf
+    form from the streaming package outright."""
+    import pathlib
+
+    import streaming_data_ingestion_spark.streaming as pkg
+
+    pkg_dir = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for src in sorted(pkg_dir.glob("*.py")):
+        text = src.read_text()
+        if (
+            "conf.set(" in text
+            and "partitionOverwriteMode" in text
+            and any(
+                "partitionOverwriteMode" in ln and "conf.set" in ln
+                for ln in text.splitlines()
+            )
+        ):
+            offenders.append(src.name)
+    assert offenders == [], (
+        f"session-conf partitionOverwriteMode in streaming modules "
+        f"{offenders}: use the per-write .option(...) form instead"
+    )

@@ -1561,3 +1561,59 @@ def test_incremental_first_seen_growth(spark, tmp_path):
     run_stream()
     got2 = cum_uniques_from_daily(spark, daily)
     assert got2.exceptAll(want).count() == 0
+
+
+def test_first_seen_growth_epoch_replay_idempotent(spark, tmp_path):
+    """Epoch replay is the growth module's exactly-once mechanism: the
+    index write overwrites the replayed epoch's OWN partition and the
+    daily merge skips stamped partitions. Driving the batch writer
+    directly (the mv legacy-marker pattern), a replayed epoch — both a
+    novel-users epoch and a zero-new-users epoch, the case that used to
+    truncate the index under the session-conf bug — must leave the index
+    and daily tables byte-identical."""
+    from streaming_data_ingestion_spark.streaming.growth import (
+        first_seen_batch_writer,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts")
+    n = ev.count()
+    first = ev.orderBy("ts", "user_id").limit(n // 2)
+    # second slice: same users AND new users
+    second = ev.orderBy(F.col("ts").desc(), "user_id").limit(n // 2)
+
+    index = str(tmp_path / "first_seen")
+    daily = str(tmp_path / "daily_new")
+    wb = first_seen_batch_writer(index, daily, run_ns="run-a")
+
+    wb(first, 0)
+    wb(second, 1)
+
+    def snapshot():
+        idx = {
+            (r["user_id"], str(r["first_day"]), r["epoch"])
+            for r in spark.read.parquet(index).collect()
+        }
+        d = {
+            (str(r["day"]), r["new_users"])
+            for r in spark.read.parquet(daily).collect()
+        }
+        return idx, d
+
+    before = snapshot()
+    # index covers every user exactly once even before replay
+    assert len({u for (u, _, _) in before[0]}) == len(before[0])
+
+    # replay epoch 1 (crash-recovery: same run, same epoch id)
+    wb(second, 1)
+    assert snapshot() == before
+
+    # replay an epoch whose anti-join yields ZERO new users: epoch 2
+    # with only already-seen users must not disturb anything, twice
+    wb(first, 2)
+    after_e2 = snapshot()
+    assert {(d, c) for (d, c) in after_e2[1]} == before[1]
+    assert {(u, f) for (u, f, _) in after_e2[0]} == {
+        (u, f) for (u, f, _) in before[0]
+    }
+    wb(first, 2)
+    assert snapshot() == after_e2
