@@ -74,27 +74,19 @@ def _satisfied(row: dict) -> bool:
     )
 
 
-# Keys that existed in the registry when CORRECTNESS_r04 was recorded but
-# had no driver row in any of r01-r04 (VERDICT r4 "What's missing" item 1:
-# the 36-key backlog). They must win window slots over operators added in
-# round 5 — otherwise alphabetically-early new keys displace keys that
-# have already waited a full round, and the backlog never drains. Keys
-# listed here that have since gained a green row sort into bucket 2
-# normally; the set only breaks ties INSIDE the never-checked bucket.
-_WAITING_SINCE_R4 = frozenset({
-    "q_anomaly_mad", "q_approx_error", "q_approx_quantile",
-    "q_attribution", "q_cross_dedup", "q_dataset_card",
-    "q_emb_covariance", "q_entropy", "q_ewma", "q_fingerprint",
-    "q_fingerprint_rolling", "q_heavy_hitters_cms", "q_hll_rollup_union",
-    "q_lang_id", "q_markov_transitions", "q_multimodal_features",
-    "q_path_3gram", "q_quality_score", "q_sample_stratified",
-    "q_sample_topk_hash", "q_scd2_intervals", "q_seq_pack",
-    "q_sim_ivfpq_index", "q_sim_range", "q_skew_profile",
-    "q_stream_session", "q_stream_sliding", "q_stream_tumbling",
-    "q_text_stats", "q_time_rollup", "q_time_weighted_avg",
-    "q_token_count", "q_tpcds_cumulative_lead", "q_tpcds_moving_dev",
-    "q_tpcds_rollup_rank", "q_ttest",
-})
+# Registration ledger: key -> round the key first appeared in the
+# registry (scripts/update_ledger.py stamps new keys; the rotation test
+# fails if the ledger falls behind). Inside the never-driver-checked
+# bucket, LONGEST-WAITING (smallest round) keys win window slots over
+# operators registered later — the dynamic replacement for round 5's
+# frozen _WAITING_SINCE_R4 literal, which went inert the moment its 36
+# keys turned green and would have let each round's alphabetically-early
+# new keys displace the previous round's still-waiting ones forever.
+def _waiting_rounds() -> dict[str, int]:
+    try:
+        return json.load(open(os.path.join(_HERE, "registry_ledger.json")))
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def _rotation(names: list[str]) -> list[str]:
@@ -116,13 +108,16 @@ def _rotation(names: list[str]) -> list[str]:
             if _satisfied(row):
                 last_ok[k] = max(last_ok.get(k, 0), rno)
 
+    waiting = _waiting_rounds()
+
     def bucket(k: str) -> tuple:
         seen, ok = last_seen.get(k), last_ok.get(k)
         if seen is not None and (ok is None or ok < seen):
-            return (0, k)  # latest row failed — re-verify first
+            return (0, 0, k)  # latest row failed — re-verify first
         if seen is None:
-            # never driver-checked: longest-waiting (pre-r5 backlog) first
-            return (1, 0 if k in _WAITING_SINCE_R4 else 1, k)
+            # never driver-checked: longest-waiting (earliest-registered
+            # per the ledger) first; unstamped keys are newest-possible
+            return (1, waiting.get(k, 10**9), k)
         return (2, ok, k)  # green — stalest round first
 
     return sorted(names, key=bucket)

@@ -64,8 +64,13 @@ def init_item_factors(items: list[int], rank: int) -> np.ndarray:
     No RNG, so two clusters (or an offline numpy replica) start
     identically."""
     items_arr = np.asarray(sorted(items), dtype=np.int64)
+    # reduce mod a small prime BEFORE the Knuth multiply so every
+    # intermediate stays far below 2^63: item ids above ~6e7 would
+    # otherwise overflow — silently wrapping here (and in Spark's
+    # non-ANSI bigint) while an ANSI engine (the DuckDB oracle of
+    # q_als_user_step, which mirrors this init) raises out-of-range
     grid = (
-        (items_arr[:, None] * 31 + np.arange(rank)[None, :] + 1)
+        ((items_arr[:, None] % 1000003) * 31 + np.arange(rank)[None, :] + 1)
         * 2654435761
     ) % 1000
     return grid.astype(np.float64) / 1000.0 - 0.5

@@ -710,15 +710,16 @@ _ALS_LAMBDA = 0.1
     oracle=f"""
 WITH inter AS (
   SELECT user_id,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
   GROUP BY user_id, item
 ),
 v AS (
   SELECT user_id, n,
-         CAST(((CAST(item AS BIGINT) * 31 + 1) * 2654435761) % 1000 AS DOUBLE)
+         CAST((((CAST(item AS BIGINT) % 1000003) * 31 + 1) * 2654435761)
+              % 1000 AS DOUBLE)
            / 1000.0 - 0.5 AS vi
   FROM inter
 )
@@ -736,7 +737,8 @@ ORDER BY user_id
 def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One rank-1 ALS user half-step over the implicit-count interaction
     matrix: with the item factor fixed at ml/als.py's deterministic hash
-    init v(item) = ((item·31+1)·2654435761 mod 1000)/1000 − ½, the ridge
+    init v(item) = (((item mod 1000003)·31+1)·2654435761 mod 1000)/1000 − ½,
+    the ridge
     normal equations collapse to the closed form
 
         u_u = Σ_i n_ui·v_i / (Σ_i v_i² + λ),   λ = 0.1
@@ -770,8 +772,14 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "item")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # item reduced mod a small prime BEFORE the Knuth multiply: keeps
+    # every intermediate far below 2^63 (non-ANSI Spark would silently
+    # wrap on item ids above ~6e7 while ANSI DuckDB raises — a
+    # crash-vs-wrong-value divergence); mirrors ml/als.py
+    # init_item_factors at rank 1
     vi = (
-        ((F.col("item").cast("long") * 31 + 1) * F.lit(2654435761)) % 1000
+        (((F.col("item").cast("long") % 1000003) * 31 + 1)
+         * F.lit(2654435761)) % 1000
     ).cast("double") / F.lit(1000.0) - F.lit(0.5)
     v = inter.select("user_id", "n", vi.alias("vi"))
     num = F.sum((F.col("n").cast("double") * F.col("vi")).cast(DEC)).cast("double")

@@ -751,9 +751,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("bin"),
+            # fractional epoch seconds (us/1e6, one IEEE division) —
+            # unix_timestamp() truncates to whole seconds while DuckDB's
+            # epoch() keeps the microsecond fraction, so events within
+            # ~1 s of the midpoint would classify into different halves
             F.when(
-                F.unix_timestamp("ts") * 2
-                < F.unix_timestamp("t0") + F.unix_timestamp("t1"),
+                F.col("ts").cast("double") * 2
+                < F.col("t0").cast("double") + F.col("t1").cast("double"),
                 1,
             )
             .otherwise(0)

@@ -84,19 +84,39 @@ def test_first_window_prefers_never_checked_keys():
 
 
 def test_backlog_keys_outrank_new_keys_in_the_window():
-    """Never-checked keys that were already waiting when the last round's
-    artifacts were recorded (the VERDICT-r4 36-key backlog) must occupy
-    window slots before operators registered since — otherwise the
-    backlog never drains while new keys keep arriving."""
+    """Never-checked keys registered in an EARLIER round (per the
+    ledger) must occupy window slots before keys registered later —
+    otherwise each round's alphabetically-early new keys displace the
+    previous round's still-waiting ones and the backlog never drains."""
     mod = _entry()
     checked = _driver_checked()
     keys = list(mod.queries())
+    ledger = mod._waiting_rounds()
     window = set(keys[:50])
-    waiting = [k for k in mod._WAITING_SINCE_R4 if k in keys and k not in checked]
-    outside = sorted(set(waiting) - window)
-    assert not outside or len(waiting) + 2 > 50, (
-        f"backlog keys displaced from the driver window by newer keys: {outside}"
+    unchecked = [k for k in keys if k not in checked]
+    inside = [k for k in unchecked if k in window]
+    outside = [k for k in unchecked if k not in window]
+    if not outside:
+        return  # everything unchecked fits — nothing to displace
+    worst_inside = max(ledger.get(k, 10**9) for k in inside)
+    best_outside = min(ledger.get(k, 10**9) for k in outside)
+    assert best_outside >= worst_inside, (
+        "an earlier-registered unchecked key waits OUTSIDE the window "
+        "while a later-registered one sits inside: "
+        f"outside round {best_outside} vs inside round {worst_inside}"
     )
+
+
+def test_ledger_covers_the_registry():
+    """Every registered key must carry a registration-round stamp —
+    run scripts/update_ledger.py after registering new queries."""
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    ledger = _entry()._waiting_rounds()
+    missing = sorted(set(all_queries()) - set(ledger))
+    stale = sorted(set(ledger) - set(all_queries()))
+    assert not missing, f"unstamped keys {missing}: run scripts/update_ledger.py"
+    assert not stale, f"ledger keys no longer registered {stale}: run scripts/update_ledger.py"
 
 
 def test_every_oracle_belongs_to_a_registered_query():
