@@ -166,6 +166,52 @@ EXTENDED = (
 )
 
 
+def emit_lines(
+    timings: dict[str, float],
+    tpch_timings: dict[str, float],
+    ext_timings: dict[str, float],
+    sf: float,
+) -> list[str]:
+    """Output lines, full detail FIRST and a compact line LAST: the
+    driver records only the final ~2000 chars of output and parses the
+    last line — r4's single long line lost its leading keys (headline
+    total included) to that window, so the parseable record leads with
+    the totals and carries only the headline per-query map, truncated
+    to the top-20 slowest if even that overflows. tests/test_bench.py
+    pins the contract so a print reorder can't regress it."""
+    total = round(sum(timings.values()), 3)
+    detail = json.dumps(
+        {
+            "metric": "headline_query_total_runtime_detail",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "tpch": tpch_timings,
+            "extended": ext_timings,
+            "sf": sf,
+        }
+    )
+    compact = {
+        "metric": "headline_query_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "tpch_total": round(sum(tpch_timings.values()), 3),
+        "n_tpch": len(tpch_timings),
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "n_extended": len(ext_timings),
+        "queries": timings,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        )
+        compact["queries_note"] = "top-20 slowest; full map on detail line"
+        line = json.dumps(compact, separators=(",", ":"))
+    return [detail, line]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -239,44 +285,8 @@ def main() -> int:
         for name, ts in ext_samples.items()
     }
 
-    total = round(sum(timings.values()), 3)
-    # Full detail first (humans / logs), then a COMPACT line LAST: the
-    # driver records only the final ~2000 chars of output and parses the
-    # last line — r4's single long line lost its leading keys (headline
-    # total included) to that window, so the parseable record now leads
-    # with the totals and carries only the headline per-query map.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_runtime_detail",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tpch": tpch_timings,
-                "extended": ext_timings,
-                "sf": sf,
-            }
-        )
-    )
-    compact = {
-        "metric": "headline_query_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "tpch_total": round(sum(tpch_timings.values()), 3),
-        "n_tpch": len(tpch_timings),
-        "extended_total": round(sum(ext_timings.values()), 3),
-        "n_extended": len(ext_timings),
-        "queries": timings,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's tail window
-        compact["queries"] = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-        )
-        compact["queries_note"] = "top-20 slowest; full map on detail line"
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    for line in emit_lines(timings, tpch_timings, ext_timings, sf):
+        print(line)
     spark.stop()
     return 0
 

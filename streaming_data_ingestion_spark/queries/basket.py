@@ -76,11 +76,14 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basket key — Σ basket² pairs, never a cartesian — followed by a
     map-side-combined pair count. Item supports join back on the pair's
     two part keys (equi hash joins against the item relation); the
-    basket total is a 1-row broadcast. At real scale the apriori prune
-    (drop items below min support BEFORE pairing) bounds the pair
-    alphabet; with minsup = {_MIN_PAIR} every item here survives that
-    prune, so the plans are identical and the prune is left out of the
-    verified contract. All metrics are single IEEE divisions of exact
+    basket total is a 1-row broadcast. The apriori prune runs BEFORE the
+    pair self-join: items in fewer than {_MIN_PAIR} baskets cannot be in
+    any pair with n_ab ≥ {_MIN_PAIR}, so dropping them is exactly
+    result-preserving (the apriori property is a theorem, not a
+    heuristic — the oracle needs no prune) while bounding the Σ basket²
+    pair stage against hot baskets at 100×: a mega-basket contributes
+    only its FREQUENT items to the quadratic stage.
+    All metrics are single IEEE divisions of exact
     BIGINT products (< 2^53) written token-identically in both engines;
     (lift, part_a, part_b) is a total order so LIMIT 100 is
     deterministic.
@@ -91,7 +94,13 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n = b.agg(F.countDistinct("k").cast("long").alias("n_orders"))
     item = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
-    a, c = b.alias("a"), b.alias("c")
+    # apriori prune: only items frequent enough to possibly reach the
+    # pair-support floor enter the quadratic pair stage (exactly
+    # result-preserving; see docstring)
+    bf = b.join(
+        item.where(F.col("n_i") >= _MIN_PAIR).select("p"), "p"
+    ).select("k", "p")
+    a, c = bf.alias("a"), bf.alias("c")
     pair = (
         a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
         .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))

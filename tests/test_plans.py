@@ -987,3 +987,55 @@ def test_no_session_conf_overwrite_mode_in_streaming_modules():
         f"session-conf partitionOverwriteMode in streaming modules "
         f"{offenders}: use the per-write .option(...) form instead"
     )
+
+
+def test_assoc_rules_apriori_prune_is_exact_and_in_plan(spark):
+    """q_assoc_rules must filter infrequent items BEFORE the quadratic
+    pair self-join (the apriori prune that bounds Σ basket² against hot
+    baskets at scale) — and the prune must be exactly result-preserving:
+    a pair co-occurring in ≥ minsup baskets needs both items in ≥ minsup
+    baskets, so the unpruned plan yields the identical rule set."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_ingestion_spark.queries.basket import (
+        _MIN_PAIR,
+        q_assoc_rules,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    got = q_assoc_rules(spark, SF_DIR)
+    # the executed plan carries the pre-join support filter
+    assert f">= {_MIN_PAIR}" in plan_of(spark, "q_assoc_rules")
+
+    # unpruned twin, same shape minus the item filter
+    li = load(spark, SF_DIR, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.agg(F.countDistinct("k").cast("long").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _MIN_PAIR)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("n_i").alias("n_b"))
+    want = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_orders").cast("double")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias("confidence"),
+            ((F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
