@@ -163,6 +163,9 @@ EXTENDED = (
     "q_anova",               # k-group exact-moment ANOVA F
     "q_xcorr",               # lag-spine cross-correlation lead/lag
     "q_interorder_gap",      # purchase-frequency gap distribution
+    "q_join_asof_tol",       # tolerance-bounded asof (exact-µs staleness gate)
+    "q_hist_serving",        # stored mergeable-histogram serving read
+    "q_zorder_optimize_scan",  # OPTIMIZE-rewritten debris scan (compaction+Z)
 )
 
 

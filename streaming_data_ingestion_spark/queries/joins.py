@@ -673,3 +673,108 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_join_asof_tol — as-of join with a staleness TOLERANCE: the backward
+# match only counts if the purchase is within 7 days of the click.
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_DAYS = 7
+_ASOF_TOL_US = _ASOF_TOL_DAYS * 86_400 * 1_000_000
+
+
+@query(
+    "q_join_asof_tol",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT c.event_id, c.ts, c.user_id,
+         p.purchase_event_id AS m_id, p.purchase_ts AS m_ts
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+)
+SELECT event_id, ts, user_id,
+  CASE WHEN m_ts IS NOT NULL
+        AND date_diff('microsecond', m_ts, ts) <= {_ASOF_TOL_US}
+       THEN m_id END AS purchase_event_id,
+  CASE WHEN m_ts IS NOT NULL
+        AND date_diff('microsecond', m_ts, ts) <= {_ASOF_TOL_US}
+       THEN m_ts END AS purchase_ts
+FROM m
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join — each click matched to the same
+    user's most recent purchase at-or-before it, but ONLY if that
+    purchase is within {_ASOF_TOL_DAYS} days; staler matches are NULLed
+    (pandas ``merge_asof(tolerance=...)`` semantics; completes the
+    backward / forward / nearest family). For BACKWARD as-of, the
+    tolerance is exactly a post-filter on the unbounded match: the most
+    recent purchase is the only candidate inside any window ending at
+    the click, so if IT is out of tolerance, every earlier one is too.
+
+    Same scale shape as q_join_asof: union tagged roles, ONE window pass
+    per user carrying the latest purchase forward — one shuffle on
+    user_id, never an O(clicks × purchases) range join. The staleness
+    test compares exact integer microseconds in both engines
+    (unix_micros / date_diff('microsecond')), so the boundary is
+    bit-deterministic, no IEEE rounding anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "ts",
+            "user_id",
+            "purchase_event_id",
+            F.col("ts").alias("p_ts"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_purchase").desc(),
+            F.col("purchase_event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "is_purchase",
+        F.last("purchase_event_id", ignorenulls=True).over(w).alias("m_id"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("m_ts"),
+    )
+    in_tol = F.col("m_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("m_ts") <= F.lit(_ASOF_TOL_US)
+    )
+    return merged.filter(F.col("is_purchase") == 0).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(in_tol, F.col("m_id")).alias("purchase_event_id"),
+        F.when(in_tol, F.col("m_ts")).alias("purchase_ts"),
+    )

@@ -1,0 +1,227 @@
+"""Serving-path queries: operators whose value is a STORED artifact a
+maintenance process built — read back on a registered, oracle-checked
+path, the way q_zorder_scan (layout_q.py) proves the Z-order layout and
+q_sim_ivfpq_index proves the partition-pruned ANN index.
+
+Two stories land here:
+
+* q_hist_serving — the batch serving read of the mergeable-histogram
+  table streaming/hist_stream.py maintains. The builder drives the very
+  merge writer the stream uses (four deterministic epoch slices PLUS a
+  replayed epoch), so the driver's hash check covers the full
+  maintain→store→serve loop: if merge idempotence ever broke, the
+  served counts would double and the oracle (a one-shot histogram over
+  the raw table in DuckDB) would mismatch.
+
+* q_zorder_optimize_scan — a scan through a table that started life as
+  streaming-sink debris (many small unclustered files) and was rewritten
+  by layout.optimize_zordered (the OPTIMIZE ... ZORDER BY maintenance
+  shape): compaction + multi-dimensional clustering in one pass. The
+  result is layout-independent, so it hash-checks against DuckDB over
+  the raw table; tests/test_layout.py asserts the physical story
+  (fewer files, footer-stats skipping).
+
+Reference parity note: the reference (292-LoC ingest pipeline,
+/root/reference/spark-streaming.py) has no serving or maintenance layer
+at all; this is §2B/north-star analytical surface.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_ingestion_spark.compat import dsum, sql_dsum
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_hist_serving — read the stored mergeable histogram.
+# --------------------------------------------------------------------------
+
+# Fixed grid (mergeability demands boundaries chosen up front; at 100 TB
+# the metric's domain is known): [0, 512) in 256 bins of width exactly
+# 2.0 — a power-of-two width, so the bin of every value is one IEEE
+# subtract + divide + floor, bit-identical across engines. The fixture's
+# value column tops out near 560 at sf0.1, so the overflow bin is
+# genuinely exercised.
+_H_LO, _H_HI, _H_BINS = 0.0, 512.0, 256
+
+_HIST_MEMO: dict[str, str] = {}
+
+
+def stored_hist_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the merged histogram table for
+    ``sf_dir`` by driving streaming/hist_stream.py's merge writer over
+    four deterministic epoch slices of the events table — then REPLAY
+    one epoch, so the serving read exercises the idempotence protocol
+    end-to-end (a broken replay skip would double bins and fail the
+    driver's hash check)."""
+    if sf_dir not in _HIST_MEMO:
+        from streaming_data_ingestion_spark.streaming.hist_stream import (
+            merge_value_hist,
+        )
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"spark-warehouse/events_hist_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load(spark, sf_dir, "events")
+        wb = merge_value_hist(
+            path, "value", _H_LO, _H_HI, _H_BINS, run_ns="hist-serve"
+        )
+        for e in range(4):
+            wb(ev.where(F.col("event_id") % 4 == e), e)
+        # injected replay of the FINAL epoch (the crash-recovery shape:
+        # foreachBatch only ever re-delivers the last uncommitted
+        # epoch): must be a no-op on the stored table
+        wb(ev.where(F.col("event_id") % 4 == 3), 3)
+        _HIST_MEMO[sf_dir] = path
+    return _HIST_MEMO[sf_dir]
+
+
+@query(
+    "q_hist_serving",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN CAST(value AS DOUBLE) < {_H_LO} THEN -1
+              WHEN CAST(value AS DOUBLE) >= {_H_HI} THEN {_H_BINS}
+              ELSE CAST(FLOOR((CAST(value AS DOUBLE) - {_H_LO}) / 2.0)
+                        AS INTEGER) END AS bin
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT
+  CAST(bin AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(COUNT(*)) OVER (ORDER BY bin
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM b
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("serving", "sketch", "events"),
+)
+def q_hist_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution readout from the STORED mergeable histogram — the
+    serving half of the streaming sketch trio (CMS = frequency, HLL =
+    cardinality, histogram = distribution): per-bin count plus the
+    cumulative count a dashboard turns into any quantile with one
+    interpolation, over ≤ bins+2 stored rows, never a history rescan.
+
+    The builder materializes the table through the SAME idempotent merge
+    the stream uses (with a replayed epoch injected), so the oracle —
+    a one-shot DuckDB histogram over the raw events table — verifies
+    maintain + store + serve in one hash: exact integer counts, binning
+    written token-identically in both engines (one IEEE subtract/divide
+    + floor on a power-of-two grid).
+
+    Scale shape: the stored relation is sketch-sized (≤ 258 rows) by
+    construction, so the cumulative window runs over a bounded
+    relation — the fact-sized work happened incrementally, one map-side
+    combined bin count per micro-batch.
+    """
+    path = stored_hist_path(spark, sf_dir)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_zorder_optimize_scan — scan through the OPTIMIZE-rewritten layout.
+# --------------------------------------------------------------------------
+
+# 2-D predicate rectangle on the clustered pair (l_partkey, l_suppkey):
+# non-empty at every fixture scale (484 / 51 / 4 rows at sf0.001/.01/.1).
+_OPT_PART_LO, _OPT_PART_HI = 10, 49
+_OPT_SUPP_LO, _OPT_SUPP_HI = 0, 3
+_OPT_DEBRIS_FILES = 48
+
+_OPT_MEMO: dict[str, str] = {}
+
+
+def optimized_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the maintenance-story table: land
+    lineitem as ``_OPT_DEBRIS_FILES`` small round-robin files — the
+    debris shape a streaming sink leaves, unclustered so footer stats
+    span the whole key domain and skip nothing — then run
+    layout.optimize_zordered to rewrite it right-sized AND Z-clustered
+    on (l_partkey, l_suppkey) in one pass."""
+    if sf_dir not in _OPT_MEMO:
+        from streaming_data_ingestion_spark.layout import optimize_zordered
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"spark-warehouse/lineitem_optimized_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        li = load(spark, sf_dir, "lineitem")
+        li.repartition(_OPT_DEBRIS_FILES).write.mode("overwrite").parquet(path)
+        n = li.count()
+        optimize_zordered(
+            spark,
+            path,
+            ["l_partkey", "l_suppkey"],
+            target_rows_per_file=max(1, n // 6),
+        )
+        _OPT_MEMO[sf_dir] = path
+    return _OPT_MEMO[sf_dir]
+
+
+@query(
+    "q_zorder_optimize_scan",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sql_dsum("l_quantity", "sum_qty")},
+  {sql_dsum("l_extendedprice", "sum_price")},
+  CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+  CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+FROM lineitem
+WHERE l_partkey BETWEEN {_OPT_PART_LO} AND {_OPT_PART_HI}
+  AND l_suppkey BETWEEN {_OPT_SUPP_LO} AND {_OPT_SUPP_HI}
+GROUP BY l_returnflag
+""",
+    tags=("layout", "scan", "maintenance"),
+)
+def q_zorder_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional range scan THROUGH the OPTIMIZE-rewritten
+    lineitem: filter on (l_partkey × l_suppkey), aggregate per return
+    flag — q_zorder_scan's companion for the table-MAINTENANCE story.
+    q_zorder_scan proves a layout written clustered once; this one
+    proves the rewrite path a real pipeline needs continuously: a
+    streaming sink lands small unclustered files whose footer stats
+    cover the whole key domain (zero skipping), and
+    layout.optimize_zordered compacts + re-clusters them in one rewrite
+    so the same scan skips most files on parquet min/max statistics
+    (fewer-files + skipping asserted in tests/test_layout.py).
+
+    The result is layout-independent — the oracle runs the identical
+    filter over the RAW table in DuckDB, so the hash check also pins
+    that the rewrite lost or duplicated no rows. Sums use the
+    compat.dsum decimal discipline.
+    """
+    path = optimized_lineitem_path(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            F.col("l_partkey").between(_OPT_PART_LO, _OPT_PART_HI)
+            & F.col("l_suppkey").between(_OPT_SUPP_LO, _OPT_SUPP_HI)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+    )

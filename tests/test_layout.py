@@ -511,3 +511,54 @@ def test_optimize_zordered_crash_leaves_original_intact(spark, tmp_path):
         r["event_id"] for r in spark.read.parquet(path).collect()
     )
     assert got == before_rows
+
+
+def test_zorder_optimize_scan_read_path_skips(spark):
+    """The registered q_zorder_optimize_scan read path (the OPTIMIZE
+    story's driver-visible half): (a) both rectangle predicates reach
+    the parquet reader as PushedFilters, (b) the rewrite actually
+    compacted — far fewer files than the 48-file debris it started
+    from — and (c) footer min/max stats admit a strict subset of the
+    rewritten files for the 2-D rectangle (the debris admitted ~all)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_data_ingestion_spark.queries.serving import (
+        _OPT_DEBRIS_FILES,
+        _OPT_PART_HI,
+        _OPT_PART_LO,
+        _OPT_SUPP_HI,
+        _OPT_SUPP_LO,
+        optimized_lineitem_path,
+    )
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_zorder_optimize_scan"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pushed = " ".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "l_partkey" in pushed and "l_suppkey" in pushed, pushed
+
+    path = optimized_lineitem_path(spark, SF_DIR)
+    files = glob.glob(f"{path}/*.parquet")
+    assert 1 < len(files) < _OPT_DEBRIS_FILES / 2, len(files)
+
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        i_p, i_s = names.index("l_partkey"), names.index("l_suppkey")
+        p_lo = min(md.row_group(r).column(i_p).statistics.min
+                   for r in range(md.num_row_groups))
+        p_hi = max(md.row_group(r).column(i_p).statistics.max
+                   for r in range(md.num_row_groups))
+        s_lo = min(md.row_group(r).column(i_s).statistics.min
+                   for r in range(md.num_row_groups))
+        s_hi = max(md.row_group(r).column(i_s).statistics.max
+                   for r in range(md.num_row_groups))
+        if (p_lo <= _OPT_PART_HI and p_hi >= _OPT_PART_LO
+                and s_lo <= _OPT_SUPP_HI and s_hi >= _OPT_SUPP_LO):
+            hit += 1
+    assert hit < len(files), (hit, len(files))
