@@ -166,6 +166,7 @@ EXTENDED = (
     "q_join_asof_tol",       # tolerance-bounded asof (exact-µs staleness gate)
     "q_hist_serving",        # stored mergeable-histogram serving read
     "q_zorder_optimize_scan",  # OPTIMIZE-rewritten debris scan (compaction+Z)
+    "q_cms_serving",         # stored CMS grid probe-token lookups
 )
 
 

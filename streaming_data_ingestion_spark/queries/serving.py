@@ -225,3 +225,149 @@ def q_zorder_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("max_supp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_cms_serving — probe-token lookups against the STORED Count-Min grid.
+# --------------------------------------------------------------------------
+
+# Fixed probe list (the dashboard's watchlist): deterministic, spanning
+# hot and mid-frequency tokens of the fixture vocabulary. A probe's
+# estimate is a pure grid lookup — O(1) per token, no corpus rescan.
+_CMS_PROBES = (
+    "scan", "join", "query", "window", "merge", "key", "value", "the",
+)
+
+_CMS_MEMO: dict[str, str] = {}
+
+
+def stored_cms_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the merged Count-Min grid for ``sf_dir``
+    by driving streaming/cms_stream.py's merge writer over four
+    deterministic document slices, then REPLAY the final epoch — the
+    q_hist_serving discipline, so the serving read proves the replay
+    protocol on the frequency sketch too."""
+    if sf_dir not in _CMS_MEMO:
+        from streaming_data_ingestion_spark.streaming.cms_stream import (
+            merge_cms_grid,
+        )
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"spark-warehouse/documents_cms_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+        wb = merge_cms_grid(path, run_ns="cms-serve")
+        for e in range(4):
+            wb(docs.where(F.col("doc_id") % 4 == e), e)
+        wb(docs.where(F.col("doc_id") % 4 == 3), 3)  # crash-shape replay
+        _CMS_MEMO[sf_dir] = path
+    return _CMS_MEMO[sf_dir]
+
+
+def _cms_probe_oracle() -> str:
+    from streaming_data_ingestion_spark.queries.sketches import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _PHI_DENOM,
+        _SQL_TOKENS,
+    )
+
+    probes = ", ".join(f"'{t}'" for t in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+),
+rows_ AS (SELECT UNNEST(range(0, {_CMS_DEPTH})) AS r),
+occ AS (
+  SELECT token, r,
+         ('0x' || substring(md5(token || '|cms' || r), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM toks, rows_
+),
+cells AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ GROUP BY r, bucket
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells WHERE r = 0),
+probes AS (SELECT unnest([{probes}]) AS token),
+pb AS (
+  SELECT token, r,
+         ('0x' || substring(md5(token || '|cms' || r), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM probes, rows_
+),
+est AS (
+  SELECT pb.token, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+  FROM pb LEFT JOIN cells c ON c.r = pb.r AND c.bucket = pb.bucket
+  GROUP BY pb.token
+)
+SELECT est.token, est.est, total.n AS total_occurrences,
+       est.est * {_PHI_DENOM} >= total.n AS is_heavy_candidate
+FROM est CROSS JOIN total
+ORDER BY est.token
+"""
+
+
+@query(
+    "q_cms_serving",
+    oracle=_cms_probe_oracle(),
+    tags=("serving", "sketch", "documents"),
+)
+def q_cms_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watchlist-token frequency estimates from the STORED Count-Min
+    grid — the serving half of the frequency sketch, completing the
+    trio's serving symmetry (q_hist_serving serves the distribution
+    sketch; HLL serves through q_hll_rollup_union's union-estimate).
+    Each probe costs 4 bucket lookups against the 4×1024 stored grid —
+    O(1) per token, no corpus rescan ever — and the φ cut is the same
+    integer cross-multiply as the batch sketch.
+
+    The grid was materialized through the stream's own idempotent merge
+    (4 epoch slices + a replayed final epoch), and the oracle recomputes
+    the grid from the raw documents table in DuckDB — so the driver's
+    hash check proves stored grid ≡ one-shot grid, i.e. the mergeable
+    sketch contract, on the driver-visible path.
+
+    Scale shape: the probe relation is watchlist-sized, the grid is
+    4096 rows regardless of corpus; everything after the (incremental)
+    grid build is broadcast-join lookups. CMS guarantees est ≥ exact,
+    so the candidate flag can only over-admit, never miss a true heavy
+    hitter.
+    """
+    from streaming_data_ingestion_spark.queries.sketches import (
+        _CMS_DEPTH,
+        _PHI_DENOM,
+        _bucket,
+    )
+
+    path = stored_cms_path(spark, sf_dir)
+    grid = spark.read.parquet(path).select("r", "bucket", "n")
+    total = grid.filter(F.col("r") == 0).agg(
+        F.sum("n").cast("long").alias("total_occurrences")
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "token string"
+    )
+    scored = probes
+    for r in range(_CMS_DEPTH):
+        grid_r = grid.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
+        )
+        scored = scored.withColumn(
+            f"_b{r}", _bucket(F.col("token"), r)
+        ).join(F.broadcast(grid_r), f"_b{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(_CMS_DEPTH)]
+    ).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            est.alias("est"),
+            "total_occurrences",
+            (est * _PHI_DENOM >= F.col("total_occurrences")).alias(
+                "is_heavy_candidate"
+            ),
+        )
+        .orderBy("token")
+    )
