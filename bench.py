@@ -167,6 +167,11 @@ EXTENDED = (
     "q_hist_serving",        # stored mergeable-histogram serving read
     "q_zorder_optimize_scan",  # OPTIMIZE-rewritten debris scan (compaction+Z)
     "q_cms_serving",         # stored CMS grid probe-token lookups
+    "q_spearman_corr",       # tie-averaged integer-rank correlation
+    "q_mann_kendall",        # pairwise-sign trend test (bounded triangle)
+    "q_trimmed_mean",        # global-rank per-type robust mean
+    "q_group_percentiles",   # exact per-type nearest-rank p50/p90/p99
+    "q_forecast_eval",       # naive/seasonal-naive backtest MAE+SMAPE
 )
 
 

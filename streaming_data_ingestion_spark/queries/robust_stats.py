@@ -1,0 +1,473 @@
+"""Rank-based / robust statistics and forecast evaluation (SURVEY.md
+§2B breadth): the nonparametric complements of the moment-based eval
+family (stats_tests.py) plus the backtest readout for the forecasting
+pair (event_analytics.q_forecast_holt / q_forecast_hw).
+
+Cross-engine exactness strategy (the house discipline): every rank is
+an exact integer from a deterministic total order; tie-averaged ranks
+are carried DOUBLED (2·avgrank = 2·RANK() + ties − 1, an integer) so
+rank moments stay integer-exact; trend/association statistics stay in
+BIGINT/DECIMAL until one final IEEE expression; round(6) only after a
+sqrt. Per-group ranks at scale come from ONE composite-key
+with_global_rank pass + a groups-sized offset broadcast — never a
+per-group window over a data-sized relation (a |groups|-partition
+window is a skew bomb at 100 TB).
+
+Reference parity note: the reference (/root/reference, 292-LoC ingest
+pipeline) has no statistics surface; this is §2B/north-star breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.ranking import with_global_rank
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load
+
+# --------------------------------------------------------------------------
+# q_spearman_corr — Spearman rank correlation between the daily click and
+# purchase volume series (the nonparametric twin of q_corr_matrix's
+# Pearson and q_xcorr's lag-0 cell).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+r AS (
+  SELECT
+    CAST(2 * RANK() OVER (ORDER BY x)
+         + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+    CAST(2 * RANK() OVER (ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+  FROM daily
+),
+m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(rx2) AS BIGINT) AS sx,
+    CAST(SUM(ry2) AS BIGINT) AS sy,
+    CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+    CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+    CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+  FROM r
+)
+SELECT
+  n AS n_days,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho_spearman
+FROM m
+""",
+    tags=("events", "stats", "rank"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily click volume and daily
+    purchase volume — monotone association, robust to the heavy upper
+    tail that drags Pearson around. Ties get average ranks (the standard
+    treatment), carried DOUBLED so they stay integers: 2·avgrank =
+    2·RANK() + ties − 1. ρ is then Pearson on the doubled ranks (scale
+    cancels), so every moment is an exact BIGINT and the one final
+    expression (a ratio of integer-differences with two sqrts) is
+    IEEE-identical in both engines; round(6) absorbs the sqrt ULP.
+
+    Scale shape: ONE day-keyed conditional-count aggregate collapses the
+    fact table to the calendar-bounded two-series relation (≤ a few
+    thousand rows at ANY corpus size); the rank windows run over that
+    bounded relation only — the q_xcorr/q_acf pattern.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("long")
+    r = daily.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+    dy = F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    return m.select(
+        n.alias("n_days"),
+        F.round(num / (dx * dy), 6).alias("rho_spearman"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_mann_kendall — Mann-Kendall trend test over the daily revenue series
+# (is the series monotonically trending, without assuming linearity?).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(38,10))) AS rev
+  FROM events GROUP BY day
+),
+pairs AS (
+  SELECT CAST(SIGN(b.rev - a.rev) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS s_stat,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days
+  FROM pairs
+)
+SELECT
+  n_days,
+  s_stat,
+  CAST(2 * s_stat AS DOUBLE) / CAST(n_days * (n_days - 1) AS DOUBLE) AS tau
+FROM agg
+""",
+    tags=("events", "stats", "timeseries"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic over daily revenue: S = Σ_{i<j}
+    sign(rev_j − rev_i) and Kendall's tau-a = 2S / (n(n−1)) — the
+    nonparametric "is this series trending" test (S near +n²/2 =
+    monotone growth; near 0 = no trend), complementing q_linreg's slope
+    (which assumes linearity) and q_seasonal_decompose's moving trend.
+
+    Exactness: daily revenue is an order-independent DECIMAL(38,10)
+    sum, so every pairwise comparison is a comparison of EXACT decimals
+    — sign() can never ULP-flip; S and n are BIGINTs and tau is one
+    IEEE division of exact integers.
+
+    Scale shape: the fact table collapses to the calendar-bounded daily
+    relation first; the pairwise stage is the allowlisted triangle join
+    on that bounded relation (days² pairs ≈ 3M even at 7 years —
+    constant in corpus size). At 100 TB the plan is identical: one
+    day-keyed aggregate, then calendar-bounded work.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.day") > F.col("a.day")).select(
+        F.signum(F.col("b.rev") - F.col("a.rev")).cast("long").alias("s")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = pairs.agg(F.sum("s").cast("long").alias("s_stat")).crossJoin(
+        F.broadcast(n)
+    )
+    return agg.select(
+        "n_days",
+        "s_stat",
+        (
+            (2 * F.col("s_stat")).cast("double")
+            / (F.col("n_days") * (F.col("n_days") - 1)).cast("double")
+        ).alias("tau"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_trimmed_mean — per-type 5%-trimmed mean of event values (the robust
+# location estimate a metrics pipeline quotes next to the raw mean).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_trimmed_mean",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM events
+),
+kept AS (
+  SELECT event_type, value, nt
+  FROM ranked
+  WHERE rt > nt // 20 AND rt <= nt - nt // 20
+)
+SELECT
+  event_type,
+  CAST(MIN(nt) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  {sql_dec_to_double("SUM(CAST(value AS DECIMAL(38,10)))")}
+    / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "stats", "robust"),
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event value per type: drop the lowest and
+    highest ⌊n/20⌋ observations (by the deterministic (value, event_id)
+    total order) and average the rest — the robust location estimate
+    that ignores fat tails and sensor glitches where the plain mean
+    cannot.
+
+    Scale shape — per-GROUP exact ranks WITHOUT a per-group window: a
+    |groups|-partition window drags each type through one task (a skew
+    bomb at 100 TB). Instead ONE composite-key with_global_rank pass
+    ((event_type, value, event_id): a parallel range exchange) gives
+    global ranks; per-type ranks are then rank − min(rank per type) + 1
+    via a types-sized offset broadcast. Trim bounds are pure integer
+    arithmetic (n//20), kept values decimal-summed, one final division.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked, _n = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    )
+    offs = ranked.groupBy("event_type").agg(
+        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    rt = (F.col("gr") - F.col("base") + 1).alias("rt")
+    k = F.floor(F.col("nt") / 20)
+    kept = (
+        ranked.join(F.broadcast(offs), "event_type")
+        .select("event_type", "value", "nt", rt)
+        .where((F.col("rt") > k) & (F.col("rt") <= F.col("nt") - k))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.min("nt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            (
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_group_percentiles — EXACT per-type p50/p90/p99 by nearest-rank (the
+# exact sibling of q_approx_quantile; per-key where q_histogram_equidepth
+# is global).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_group_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM events
+)
+SELECT
+  event_type,
+  CAST(MIN(nt) AS BIGINT) AS n,
+  MIN(CASE WHEN rt = (50 * nt + 99) // 100 THEN value END) AS p50,
+  MIN(CASE WHEN rt = (90 * nt + 99) // 100 THEN value END) AS p90,
+  MIN(CASE WHEN rt = (99 * nt + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "stats", "quantile"),
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of event value per type via the nearest-rank
+    definition: the value at per-type rank ⌈q·n⌉ = (q%·n + 99) // 100 —
+    pure integer arithmetic, so the selected rank (and therefore the
+    reported value, an untouched input double) is bit-deterministic in
+    both engines. The exact counterpart of q_approx_quantile's KLL
+    estimates and the per-key counterpart of q_histogram_equidepth.
+
+    Scale shape: same as q_trimmed_mean — ONE composite-key
+    with_global_rank pass + a types-sized offset broadcast gives exact
+    per-type ranks with no per-group window; the three target ranks are
+    computed from the broadcast counts and matched row-side, then one
+    types-sized pivot aggregate.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked, _n = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    )
+    offs = ranked.groupBy("event_type").agg(
+        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    rt = F.col("gr") - F.col("base") + 1
+    nt = F.col("nt")
+    hit = (
+        ranked.join(F.broadcast(offs), "event_type")
+        .select(
+            "event_type",
+            "value",
+            nt.alias("nt"),
+            rt.alias("rt"),
+        )
+        .where(
+            (F.col("rt") == F.expr("(50 * nt + 99) div 100"))
+            | (F.col("rt") == F.expr("(90 * nt + 99) div 100"))
+            | (F.col("rt") == F.expr("(99 * nt + 99) div 100"))
+        )
+    )
+    return (
+        hit.groupBy("event_type")
+        .agg(
+            F.min("nt").cast("long").alias("n"),
+            F.min(
+                F.when(
+                    F.col("rt") == F.expr("(50 * nt + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p50"),
+            F.min(
+                F.when(
+                    F.col("rt") == F.expr("(90 * nt + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p90"),
+            F.min(
+                F.when(
+                    F.col("rt") == F.expr("(99 * nt + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_forecast_eval — backtest of the two naive forecasters on the daily
+# click series (the baseline every forecasting model must beat).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_eval",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY day
+),
+joined AS (
+  SELECT a.day, a.y, l1.y AS yhat1, l7.y AS yhat7
+  FROM daily a
+  JOIN daily l1 ON l1.day = a.day - 1
+  JOIN daily l7 ON l7.day = a.day - 7
+),
+scored AS (
+  SELECT 'naive_1d' AS model, y, yhat1 AS yhat FROM joined
+  UNION ALL
+  SELECT 'snaive_7d' AS model, y, yhat7 AS yhat FROM joined
+)
+SELECT
+  model,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(ABS(y - yhat)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+  ROUND({sql_dec_to_double(
+    "SUM(CAST(2.0 * CAST(ABS(y - yhat) AS DOUBLE)"
+    " / CAST(y + yhat AS DOUBLE) AS DECIMAL(38,10)))"
+  )} / CAST(COUNT(*) AS DOUBLE), 6) AS smape
+FROM scored
+GROUP BY model
+ORDER BY model
+""",
+    tags=("events", "timeseries", "forecast"),
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest MAE + SMAPE of the two canonical naive forecasters over
+    the daily click series — yesterday's value (naive_1d) and the value
+    one week back (snaive_7d). These are the baselines q_forecast_holt /
+    q_forecast_hw must beat to justify their state; a forecasting
+    pipeline reports this table next to the model's own error.
+
+    Exactness: the series is integer daily counts, so every |y − ŷ| is
+    an exact BIGINT (MAE = one division); each SMAPE term
+    2|y−ŷ|/(y+ŷ) is one IEEE multiply+divide of exact integers, written
+    token-identically in both engines, decimal-summed, round(6).
+
+    Scale shape: one day-keyed count collapses the fact table; the
+    lag joins are equi-joins on the calendar-bounded daily relation
+    (evaluated only where both lags exist, so both models score the
+    same days and the comparison is fair).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a, l1, l7 = daily.alias("a"), daily.alias("l1"), daily.alias("l7")
+    joined = (
+        a.join(
+            F.broadcast(l1), F.col("l1.day") == F.date_sub(F.col("a.day"), 1)
+        )
+        .join(
+            F.broadcast(l7), F.col("l7.day") == F.date_sub(F.col("a.day"), 7)
+        )
+        .select(
+            F.col("a.y").alias("y"),
+            F.col("l1.y").alias("yhat1"),
+            F.col("l7.y").alias("yhat7"),
+        )
+    )
+    scored = joined.select(
+        F.lit("naive_1d").alias("model"),
+        "y",
+        F.col("yhat1").alias("yhat"),
+    ).unionByName(
+        joined.select(
+            F.lit("snaive_7d").alias("model"),
+            "y",
+            F.col("yhat7").alias("yhat"),
+        )
+    )
+    term = (
+        F.lit(2.0)
+        * F.abs(F.col("y") - F.col("yhat")).cast("double")
+        / (F.col("y") + F.col("yhat")).cast("double")
+    ).cast(DEC)
+    return (
+        scored.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("model")
+    )

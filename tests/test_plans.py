@@ -520,6 +520,9 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
+    "q_mann_kendall",      # triangle join on the calendar-bounded daily
+    #                        revenue relation (days² sign pairs) + 1-row
+    #                        count broadcast
     "q_cms_serving",       # 1-row total broadcast onto the 8-row probe
     #                        watchlist (grid lookups are broadcast hash
     #                        joins against the 4096-row stored grid)
