@@ -172,6 +172,10 @@ EXTENDED = (
     "q_trimmed_mean",        # global-rank per-type robust mean
     "q_group_percentiles",   # exact per-type nearest-rank p50/p90/p99
     "q_forecast_eval",       # naive/seasonal-naive backtest MAE+SMAPE
+    "q_oov_rate",            # train-vocab coverage of held-out splits
+    "q_bigram_cond_entropy", # corpus next-token conditional entropy
+    "q_dedup_prefix",        # boilerplate-head shared-prefix clusters
+    "q_type_token_curve",    # Heaps-law vocabulary growth checkpoints
 )
 
 

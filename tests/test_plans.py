@@ -520,6 +520,10 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
+    "q_bigram_cond_entropy",  # 1-row bigram-total broadcast onto the
+    #                        vocab-sized term relation
+    "q_type_token_curve",  # 1-row doc-id bounds broadcast + cumulative
+    #                        triangle join on the constant 10-row spine
     "q_mann_kendall",      # triangle join on the calendar-bounded daily
     #                        revenue relation (days² sign pairs) + 1-row
     #                        count broadcast
