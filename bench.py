@@ -176,6 +176,13 @@ EXTENDED = (
     "q_bigram_cond_entropy", # corpus next-token conditional entropy
     "q_dedup_prefix",        # boilerplate-head shared-prefix clusters
     "q_type_token_curve",    # Heaps-law vocabulary growth checkpoints
+    "q_centroid_classifier", # nearest-class-centroid confusion matrix
+    "q_knn_classify",        # probe-vector k-NN majority vote
+    "q_label_cell_purity",   # IVF coarse-cell label purity
+    "q_hhi",                 # regional supplier-concentration index
+    "q_theil_index",         # customer-spend entropy inequality
+    "q_rank_shift",          # YoY supplier rank movers (global-rank)
+    "q_conversion_pairs",    # stream-stream join's batch twin rollup
 )
 
 

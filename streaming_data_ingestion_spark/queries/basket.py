@@ -88,12 +88,26 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift, part_a, part_b) is a total order so LIMIT 100 is
     deterministic.
     """
-    li = load(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
-    ).distinct()
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # the basket relation feeds SIX consumers (both pair sides, the
+    # apriori filter, both support joins, the total) — uncached, each
+    # would re-scan + re-distinct the fact table
+    b = bounded_persist(
+        "q_assoc_rules.baskets",
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
     n = b.agg(F.countDistinct("k").cast("long").alias("n_orders"))
-    item = b.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    item = bounded_persist(
+        "q_assoc_rules.item",
+        sf_dir,
+        lambda: b.groupBy("p").agg(
+            F.count(F.lit(1)).cast("long").alias("n_i")
+        ),
+    )
     # apriori prune: only items frequent enough to possibly reach the
     # pair-support floor enter the quadratic pair stage (exactly
     # result-preserving; see docstring)
@@ -401,4 +415,168 @@ def q_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").alias("max_days"),
         )
         .orderBy("gap_weeks")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_hhi — Herfindahl-Hirschman market-concentration index per region.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_hhi",
+    oracle="""
+WITH srev AS (
+  SELECT r.r_name AS region, s.s_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, s.s_suppkey
+),
+rtot AS (
+  SELECT region, SUM(rev) AS tot FROM srev GROUP BY region
+)
+SELECT
+  srev.region,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  ROUND(CAST(CAST(SUM(CAST(
+    (CAST(CAST(srev.rev AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(rtot.tot AS VARCHAR) AS DOUBLE))
+    * (CAST(CAST(srev.rev AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(rtot.tot AS VARCHAR) AS DOUBLE))
+  AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) * 10000.0, 6) AS hhi
+FROM srev JOIN rtot ON rtot.region = srev.region
+GROUP BY srev.region
+ORDER BY srev.region
+""",
+    tags=("lineitem", "revenue", "olap"),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    region (Σ market-share², scaled ×10000 per antitrust convention:
+    < 1500 competitive, > 2500 concentrated) — the market-structure
+    readout next to q_revenue_pareto's customer-side concentration.
+
+    Exactness: per-supplier and per-region revenues are exact
+    DECIMAL(38,10) sums converted once (correctly-rounded VARCHAR hop);
+    each share is ONE IEEE division, each share² one multiply,
+    DECIMAL-summed, one scale multiply, round(6).
+
+    Scale shape: one (region, supplier)-keyed fact aggregate (map-side
+    combined; nation/region joins are broadcast dims), a regions-sized
+    total re-aggregate joined back on the region key, then a
+    regions-sized Σ. No data-sized shuffle beyond the first aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    srev = (
+        li.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(
+                        n.join(
+                            F.broadcast(r),
+                            n["n_regionkey"] == r["r_regionkey"],
+                        ).select("n_nationkey", "r_name")
+                    ),
+                    s["s_nationkey"] == F.col("n_nationkey"),
+                ).select("s_suppkey", F.col("r_name").alias("region"))
+            ),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("region", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).alias(
+                "rev"
+            )
+        )
+    )
+    rtot = srev.groupBy("region").agg(F.sum("rev").alias("tot"))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (
+        srev.join(F.broadcast(rtot), "region")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum((share * share).cast("decimal(38,10)")).cast("double")
+                * F.lit(10000.0),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("region")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_theil_index — Theil inequality index of customer spend.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS x
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS total
+  FROM spend
+)
+SELECT
+  tot.n AS n_customers,
+  ROUND(CAST(CAST(SUM(CAST(
+    (CAST(CAST(spend.x AS VARCHAR) AS DOUBLE) / (tot.total / tot.n))
+    * ln(CAST(CAST(spend.x AS VARCHAR) AS DOUBLE) / (tot.total / tot.n))
+  AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / tot.n, 6) AS theil
+FROM spend CROSS JOIN tot
+GROUP BY tot.n
+""",
+    tags=("orders", "revenue", "stats"),
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend — T = (1/n) Σ
+    (x/μ)·ln(x/μ), 0 = perfectly equal, ln(n) = one customer owns
+    everything. The information-theoretic inequality measure next to
+    q_revenue_pareto's decile view and q_gini_token's rank view, with
+    the property the others lack: T decomposes additively across
+    subgroups.
+
+    Exactness: per-customer spend is an exact decimal sum converted
+    once; μ is one division of a 1-row broadcast; each (x/μ)·ln(x/μ)
+    term is a few IEEE ops + one ln written token-identically in both
+    engines (the q_lm_score per-row-transcendental discipline),
+    DECIMAL-summed for order independence, one final division, round(6).
+
+    Scale shape: one customer-keyed aggregate (map-side combined), a
+    1-row total broadcast, one scan-speed term map, one global sum.
+    """
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("x")
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("total"),
+    )
+    xd = F.col("x").cast("double")
+    mu = F.col("total") / F.col("n")
+    term = (xd / mu) * F.log(xd / mu)
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n").alias("n_customers"))
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(38,10)")).cast("double")
+                / F.col("n_customers"),
+                6,
+            ).alias("theil")
+        )
     )

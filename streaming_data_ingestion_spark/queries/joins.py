@@ -778,3 +778,71 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("m_id")).alias("purchase_event_id"),
         F.when(in_tol, F.col("m_ts")).alias("purchase_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_conversion_pairs — click→purchase pairs within the attribution
+# window, rolled up per day (batch twin of streaming/join_stream.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_conversion_pairs",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.click_id, c.user_id, CAST(c.click_ts AS DATE) AS day
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECONDS
+)
+SELECT
+  CAST(day AS TIMESTAMP) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs
+GROUP BY day
+ORDER BY day
+""",
+    tags=("join", "events", "streaming-twin"),
+)
+def q_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion-pair counts within the 1-hour
+    attribution window — the BATCH twin of the stream-stream interval
+    join (streaming/join_stream.py): the very same
+    ``conversion_pairs`` expression tree runs here on bounded frames
+    and there on two watermarked streams, so the driver's hash check on
+    this key certifies the join logic both sinks share.
+
+    Scale shape: equi hash join on user_id with the time range as a
+    residual (never a time-range nested loop); one day-keyed rollup
+    after. Counts exact; the day bucket is a date truncation.
+    """
+    from streaming_data_ingestion_spark.streaming.join_stream import (
+        conversion_pairs,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pairs = conversion_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        pairs.groupBy(
+            F.to_date("click_ts").cast("timestamp").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("click_id").cast("long").alias("n_clicks"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day")
+    )

@@ -330,3 +330,98 @@ def q_tpcds_cumulative_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cum_s") > F.col("cum_b"))
         ).alias("shipping_leads"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_rank_shift — year-over-year supplier revenue-rank movement (the
+# TPC-DS "top movers" report shape).
+# --------------------------------------------------------------------------
+
+_RS_PREV, _RS_CUR = 1996, 1997
+
+
+@query(
+    "q_rank_shift",
+    oracle=f"""
+WITH yrev AS (
+  SELECT year(CAST(l_shipdate AS DATE)) AS y, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS rev
+  FROM lineitem
+  WHERE year(CAST(l_shipdate AS DATE)) IN ({_RS_PREV}, {_RS_CUR})
+  GROUP BY y, l_suppkey
+),
+ranked AS (
+  SELECT y, l_suppkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY y
+              ORDER BY rev DESC, l_suppkey DESC) AS BIGINT) AS rnk
+  FROM yrev
+)
+SELECT
+  CAST(p.l_suppkey AS BIGINT) AS s_suppkey,
+  p.rnk AS rank_prev,
+  c.rnk AS rank_cur,
+  p.rnk - c.rnk AS shift
+FROM ranked p JOIN ranked c ON c.l_suppkey = p.l_suppkey
+WHERE p.y = {_RS_PREV} AND c.y = {_RS_CUR}
+ORDER BY ABS(p.rnk - c.rnk) DESC, s_suppkey ASC
+LIMIT 20
+""",
+    tags=("lineitem", "tpcds", "rank"),
+)
+def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier revenue-rank movers between {_RS_PREV} and
+    {_RS_CUR} (rank_prev − rank_cur > 0 = climbed) — the TPC-DS
+    "biggest movers" report: per-period ranking, self-join across
+    periods, order by movement.
+
+    Scale shape — per-YEAR exact ranks without a per-year window (a
+    2-partition window single-tasks each year at scale): ONE
+    composite-key with_global_rank pass ordered (year, rev, suppkey)
+    gives global row numbers; the within-year DESCENDING rank is then
+    n_year − (global − base) computed from a 2-row per-year offset
+    broadcast — the q_trimmed_mean construction. Revenue ties break on
+    the larger suppkey (the direction the arithmetic reversal of the
+    ascending total order produces — matched exactly in the oracle's
+    ORDER BY rev DESC, suppkey DESC). Ranks/shifts are exact BIGINTs;
+    revenue comparisons compare exact decimals.
+    """
+    from streaming_data_ingestion_spark.ranking import with_global_rank
+
+    li = load(spark, sf_dir, "lineitem")
+    yrev = (
+        li.withColumn("y", F.year(F.col("l_shipdate").cast("date")))
+        .where(F.col("y").isin(_RS_PREV, _RS_CUR))
+        .groupBy("y", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev"))
+    )
+    ranked, _n = with_global_rank(
+        yrev, ["y", "rev", "l_suppkey"], rank_col="gr"
+    )
+    offs = ranked.groupBy("y").agg(
+        F.min("gr").alias("base"),
+        F.count(F.lit(1)).cast("long").alias("ny"),
+    )
+    # ascending within-year position reversed: rank 1 = highest revenue
+    rnk = (F.col("ny") - (F.col("gr") - F.col("base"))).cast("long")
+    r = ranked.join(F.broadcast(offs), "y").select(
+        "y", "l_suppkey", rnk.alias("rnk")
+    )
+    p = r.where(F.col("y") == _RS_PREV).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("rnk").alias("rank_prev"),
+    )
+    c = r.where(F.col("y") == _RS_CUR).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("rnk").alias("rank_cur"),
+    )
+    return (
+        p.join(c, "s_suppkey")
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "rank_prev",
+            "rank_cur",
+            (F.col("rank_prev") - F.col("rank_cur")).alias("shift"),
+        )
+        .orderBy(F.abs(F.col("shift")).desc(), F.asc("s_suppkey"))
+        .limit(20)
+    )

@@ -520,6 +520,10 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
+    "q_theil_index",       # 1-row spend-total broadcast onto the
+    #                        customer spend relation (μ attach)
+    "q_knn_classify",      # 3-row probe side broadcast fan-out (the
+    #                        q_sim_topk BroadcastNestedLoop shape)
     "q_bigram_cond_entropy",  # 1-row bigram-total broadcast onto the
     #                        vocab-sized term relation
     "q_type_token_curve",  # 1-row doc-id bounds broadcast + cumulative

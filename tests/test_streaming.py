@@ -1617,3 +1617,69 @@ def test_first_seen_growth_epoch_replay_idempotent(spark, tmp_path):
     }
     wb(first, 2)
     assert snapshot() == after_e2
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
+    """The stream-stream event-time interval join must produce EXACTLY
+    the batch join's pairs when micro-batches arrive in event-time order
+    (each source file a time slice) with a generous watermark: state
+    eviction (watermark + range constraint) may only drop rows that can
+    no longer match. Also: restarting the query over the same source
+    must append nothing (file-sink exactly-once)."""
+    import os
+    import time as _time
+
+    from streaming_data_ingestion_spark.streaming.join_stream import (
+        conversion_pairs,
+        maintain_conversions,
+    )
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    n = ev.count()
+    ts_sorted = ev.orderBy("ts", "event_id").collect()
+    base = _time.time()
+    for i in range(4):
+        chunk = ts_sorted[i * n // 4 : (i + 1) * n // 4]
+        d = src_dir / f"slice={i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for pth in d.rglob("*.parquet"):
+            os.utime(pth, (base + 10 * i, base + 10 * i))
+    schema = ev.schema
+
+    def run_stream():
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src_dir))
+            )
+
+        clicks = src().filter(F.col("event_type") == "click")
+        purchases = src().filter(F.col("event_type") == "purchase")
+        q = maintain_conversions(clicks, purchases, out, ckpt)
+        q.awaitTermination(180)
+
+    run_stream()
+    got = spark.read.parquet(out)
+    want = conversion_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert want.count() > 0  # the fixture must actually exercise the join
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # restart over the same source: exactly-once, nothing re-appended
+    run_stream()
+    again = spark.read.parquet(out)
+    assert again.count() == want.count()
