@@ -183,6 +183,9 @@ EXTENDED = (
     "q_theil_index",         # customer-spend entropy inequality
     "q_rank_shift",          # YoY supplier rank movers (global-rank)
     "q_conversion_pairs",    # stream-stream join's batch twin rollup
+    "q_sql_roundtrip",       # one ANSI text, two engines (SQL front door)
+    "q_null_profile",        # one-scan exact column profile
+    "q_sax_symbolize",       # SAX regime-transition matrix
 )
 
 
