@@ -186,6 +186,9 @@ EXTENDED = (
     "q_sql_roundtrip",       # one ANSI text, two engines (SQL front door)
     "q_null_profile",        # one-scan exact column profile
     "q_sax_symbolize",       # SAX regime-transition matrix
+    "q_ab_test",             # two-proportion cohort z-test
+    "q_iqr_outliers",        # Tukey-fence outlier census (exact quartiles)
+    "q_session_length_hist", # engagement-depth session-size histogram
 )
 
 

@@ -1877,3 +1877,84 @@ def q_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_session_length_hist — distribution of session sizes (the readout of
+# the q_sessionize construction).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_length_hist",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+assigned AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM assigned GROUP BY user_id, session_seq
+)
+SELECT
+  n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM sessions
+GROUP BY n_events
+ORDER BY n_events
+""",
+    tags=("events", "sessions"),
+)
+def q_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size distribution: how many sessions contain exactly k
+    events (and how many users produce them) — the engagement-depth
+    histogram product analytics reads off the q_sessionize construction
+    (a long tail of 1-event sessions = bounce-heavy traffic; mass at
+    high k = sticky flows).
+
+    Scale shape: identical to q_sessionize — ONE user_id exchange
+    shared by both window passes and the per-session rollup — plus a
+    session-size-keyed final aggregate whose key domain is bounded by
+    the longest session, not the corpus. Gap math is exact integer
+    microseconds; every count is a BIGINT.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000
+        ),
+        1,
+    ).otherwise(0)
+    assigned = e.select(
+        "user_id", "ts", F.sum(new_s).over(run).alias("session_seq")
+    )
+    sessions = assigned.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return (
+        sessions.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("n_events")
+    )

@@ -471,3 +471,102 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iqr_outliers — Tukey-fence outlier counts per event type (exact
+# nearest-rank quartiles).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_iqr_outliers",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM events
+),
+quarts AS (
+  SELECT event_type,
+         MIN(nt) AS nt,
+         MIN(CASE WHEN rt = (25 * nt + 99) // 100 THEN value END) AS q1,
+         MIN(CASE WHEN rt = (75 * nt + 99) // 100 THEN value END) AS q3
+  FROM ranked GROUP BY event_type
+)
+SELECT
+  r.event_type,
+  CAST(MIN(q.nt) AS BIGINT) AS n,
+  MIN(q.q1) AS q1,
+  MIN(q.q3) AS q3,
+  CAST(SUM(CASE WHEN r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(SUM(CASE WHEN r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM ranked r JOIN quarts q ON q.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+    tags=("events", "stats", "robust"),
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact nearest-rank
+    quartiles (the q_group_percentiles construction), fences at
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR, counts of values beyond each fence —
+    the box-plot outlier rule as a distributed operator (the
+    deterministic complement of q_anomaly_mad's robust-z view).
+
+    Exactness: quartiles are UNTOUCHED input doubles selected by pure
+    integer rank arithmetic; the fences are two IEEE ops on identical
+    operands; fence comparisons are therefore deterministic in both
+    engines; every count is a BIGINT.
+
+    Scale shape: per-type exact ranks via ONE composite-key
+    with_global_rank pass + a types-sized offset broadcast (no per-group
+    window); the fence pass re-joins the types-sized quartile relation
+    broadcast onto the ranked rows — two fact-sized passes total, both
+    shuffle-bounded by the ranged exchange.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked, _n = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    )
+    offs = ranked.groupBy("event_type").agg(
+        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    rt = F.col("gr") - F.col("base") + 1
+    tagged = ranked.join(F.broadcast(offs), "event_type").select(
+        "event_type", "value", F.col("nt").alias("nt"), rt.alias("rt")
+    )
+    quarts = tagged.groupBy("event_type").agg(
+        F.min("nt").alias("nt"),
+        F.min(
+            F.when(F.col("rt") == F.expr("(25 * nt + 99) div 100"), F.col("value"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rt") == F.expr("(75 * nt + 99) div 100"), F.col("value"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        tagged.join(F.broadcast(quarts.drop("nt")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.sum(
+                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -1175,3 +1175,111 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_ab_test — two-proportion z-test between hash-split user cohorts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS cohort,
+         CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) * 5 > CAST(COUNT(*) AS BIGINT)
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY cohort
+),
+w AS (
+  SELECT
+    MIN(CASE WHEN cohort = 0 THEN n END) AS n0,
+    MIN(CASE WHEN cohort = 0 THEN conv END) AS c0,
+    MIN(CASE WHEN cohort = 1 THEN n END) AS n1,
+    MIN(CASE WHEN cohort = 1 THEN conv END) AS c1
+  FROM g
+)
+SELECT
+  n0, c0, n1, c1,
+  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+  ROUND(
+    (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+     - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+    / sqrt(
+        (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+      ), 6) AS z_score
+FROM w
+""",
+    tags=("events", "eval", "stats"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the two deterministic user cohorts
+    (user_id parity — the hash-split an A/B assignment service
+    produces): success = the user is "purchase-heavy" (purchases exceed
+    20% of their events — an integer cross-multiply, chosen because the
+    naive "ever purchased" is degenerate on this fixture: every user
+    converts, p̂=1 zeroes the pooled variance and ANSI Spark raises on
+    the division while DuckDB yields inf). Per-cohort counts,
+    rates, and the pooled z statistic — the experiment readout every
+    product analytics stack ships (|z| > 1.96 = the 5% bar), the
+    proportion-flavored sibling of q_ttest's mean comparison.
+
+    Exactness: per-user conversion is a MAX over exact integers;
+    cohort counts are BIGINTs; every rate/pooled-rate term is written
+    as the same IEEE expression token-for-token in both engines;
+    round(6) absorbs only the final sqrt's ULP.
+
+    Scale shape: ONE user-keyed aggregate collapses the fact table
+    (map-side combined), then a 2-row cohort aggregate pivoted to one
+    row — nothing after the first pass scales with data.
+    """
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long")
+            * 5
+            > F.count(F.lit(1)).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "converted"
+    )
+    g = users.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = g.agg(
+        F.min(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.min(F.when(F.col("cohort") == 0, F.col("conv"))).alias("c0"),
+        F.min(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+        F.min(F.when(F.col("cohort") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (c0 / n0 - c1 / n1) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        (c0 / n0).alias("rate0"),
+        (c1 / n1).alias("rate1"),
+        F.round(z, 6).alias("z_score"),
+    )
