@@ -189,6 +189,7 @@ EXTENDED = (
     "q_ab_test",             # two-proportion cohort z-test
     "q_iqr_outliers",        # Tukey-fence outlier census (exact quartiles)
     "q_session_length_hist", # engagement-depth session-size histogram
+    "q_hist_quantiles",      # stored-histogram quantile serving readout
 )
 
 

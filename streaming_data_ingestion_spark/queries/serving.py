@@ -371,3 +371,116 @@ def q_cms_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# q_hist_quantiles — quantile readout FROM the stored histogram.
+# --------------------------------------------------------------------------
+
+_HQ_PCTS = (50, 90, 99)
+
+
+@query(
+    "q_hist_quantiles",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN CAST(value AS DOUBLE) < {_H_LO} THEN -1
+              WHEN CAST(value AS DOUBLE) >= {_H_HI} THEN {_H_BINS}
+              ELSE CAST(FLOOR((CAST(value AS DOUBLE) - {_H_LO}) / 2.0)
+                        AS INTEGER) END AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin
+),
+c AS (
+  SELECT bin, n,
+         CAST(SUM(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM h
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+pcts AS (SELECT UNNEST([{", ".join(str(p) for p in _HQ_PCTS)}]) AS pct),
+targets AS (
+  SELECT pct, (pct * tot.total + 99) // 100 AS target FROM pcts, tot
+),
+hit AS (
+  SELECT t.pct, t.target, c.bin, c.n, c.cum - c.n AS cum_prev
+  FROM targets t JOIN c ON c.cum >= t.target AND c.cum - c.n < t.target
+)
+SELECT
+  CAST(pct AS INTEGER) AS pct,
+  CAST(target AS BIGINT) AS target_rank,
+  CAST(bin AS INTEGER) AS bin,
+  CASE WHEN bin < 0 THEN {_H_LO}
+       WHEN bin >= {_H_BINS} THEN {_H_HI}
+       ELSE {_H_LO} + (CAST(bin AS DOUBLE)
+            + CAST(target - cum_prev AS DOUBLE) / CAST(n AS DOUBLE)) * 2.0
+  END AS value
+FROM hit
+ORDER BY pct
+""",
+    tags=("serving", "sketch", "events"),
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 served FROM the stored mergeable histogram — the
+    actual dashboard readout over q_hist_serving's bin relation: target
+    rank by pure integer arithmetic ((p·N+99)//100), hit bin = the
+    first bin whose cumulative count covers it, linear interpolation
+    inside the bin (rank error ≤ one bin's mass, value error ≤ one
+    2.0-wide bin, fixed at write time regardless of stream length).
+    Under/overflow bins clamp to the grid edges.
+
+    The oracle recomputes grid + cumulative walk + interpolation from
+    the raw events table, so the driver hash certifies the stored
+    sketch AND the serving arithmetic (one IEEE division + one multiply
+    per quantile, token-identical both engines).
+
+    Scale shape: everything after the (incremental) histogram build is
+    over the ≤ 258-row stored relation × a constant 3-row percentile
+    spine — a dashboard query in the true sense.
+    """
+    path = stored_hist_path(spark, sf_dir)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        spark.read.parquet(path)
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .withColumn("cum", F.sum("n").over(w).cast("long"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    pcts = spark.range(len(_HQ_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _HQ_PCTS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("pct")
+    )
+    targets = pcts.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        F.expr("(pct * total + 99) div 100").cast("long").alias("target"),
+    )
+    hit = targets.join(
+        F.broadcast(c),
+        (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("n") < F.col("target")),
+    )
+    frac = (F.col("target") - (F.col("cum") - F.col("n"))).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    val = (
+        F.when(F.col("bin") < 0, F.lit(_H_LO))
+        .when(F.col("bin") >= _H_BINS, F.lit(_H_HI))
+        .otherwise(
+            F.lit(_H_LO)
+            + (F.col("bin").cast("double") + frac) * F.lit(2.0)
+        )
+    )
+    return hit.select(
+        F.col("pct").cast("int").alias("pct"),
+        F.col("target").alias("target_rank"),
+        F.col("bin").cast("int").alias("bin"),
+        val.alias("value"),
+    ).orderBy("pct")
