@@ -40,12 +40,22 @@ def conversion_pairs(
     purchases: DataFrame,
     window_s: int = DEFAULT_WINDOW_S,
     watermark: str = "30 days",
+    how: str = "inner",
 ) -> DataFrame:
     """(click_id, purchase_id, user_id, click_ts, purchase_ts) pairs
     where the purchase follows the click within ``window_s`` seconds,
     per user — works on two STREAMING frames (watermarked, range
     constraint bounds the state) and, identically, on two batch frames
     (the test twin: same expression tree, no watermarks needed).
+
+    ``how='left_outer'`` additionally emits unconverted clicks with
+    NULL purchase columns. Streaming semantics differ by construction:
+    the inner part emits as matches arrive, but an UNMATCHED click can
+    only emit once the watermark proves no future purchase can still
+    match (click_ts + window < watermark) — so at any finite point the
+    streamed outer result covers matched pairs completely but NULL rows
+    only for provably-expired clicks (pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_join).
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -68,7 +78,7 @@ def conversion_pairs(
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
         )
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
@@ -85,12 +95,13 @@ def maintain_conversions(
     window_s: int = DEFAULT_WINDOW_S,
     watermark: str = "30 days",
     available_now: bool = True,
+    how: str = "inner",
 ) -> StreamingQuery:
     """Continuously materialize the conversion-pair table from two event
     streams. Append-mode parquet sink: Spark's file-sink manifest gives
     exactly-once; rows land once their watermark window closes."""
     pairs = conversion_pairs(
-        clicks_stream, purchases_stream, window_s, watermark
+        clicks_stream, purchases_stream, window_s, watermark, how
     )
     writer = (
         pairs.writeStream.format("parquet")

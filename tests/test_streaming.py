@@ -1683,3 +1683,101 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
     run_stream()
     again = spark.read.parquet(out)
     assert again.count() == want.count()
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER semantics: the inner part must equal the
+    batch join exactly; NULL (unconverted-click) rows may only cover
+    clicks the final watermark has PROVEN unmatchable (click_ts + window
+    < watermark) — and every safely-expired unmatched click must have
+    been emitted. Pins the eviction/emission contract that makes outer
+    stream-stream joins correct rather than lossy."""
+    import datetime as _dt
+    import os
+    import time as _time
+
+    from streaming_data_ingestion_spark.streaming.join_stream import (
+        DEFAULT_WINDOW_S,
+        conversion_pairs,
+        maintain_conversions,
+    )
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "pairs_outer")
+    ckpt = str(tmp_path / "ckpt_outer")
+
+    n = ev.count()
+    ts_sorted = ev.orderBy("ts", "event_id").collect()
+    base = _time.time()
+    for i in range(4):
+        chunk = ts_sorted[i * n // 4 : (i + 1) * n // 4]
+        d = src_dir / f"slice={i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for pth in d.rglob("*.parquet"):
+            os.utime(pth, (base + 10 * i, base + 10 * i))
+    schema = ev.schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    lag = "1 hour"
+    q = maintain_conversions(
+        src().filter(F.col("event_type") == "click"),
+        src().filter(F.col("event_type") == "purchase"),
+        out,
+        ckpt,
+        watermark=lag,
+        how="left_outer",
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    want = conversion_pairs(clicks, purchases, how="left_outer")
+
+    # (a) the matched part is exactly the batch inner join
+    got_inner = got.where(F.col("purchase_id").isNotNull())
+    want_inner = want.where(F.col("purchase_id").isNotNull())
+    assert got_inner.count() == want_inner.count()
+    assert got_inner.exceptAll(want_inner).count() == 0
+
+    # (b) every NULL row is a genuinely unmatched click (no false outers)
+    want_null_ids = {
+        r["click_id"]
+        for r in want.where(F.col("purchase_id").isNull())
+        .select("click_id")
+        .collect()
+    }
+    got_null = got.where(F.col("purchase_id").isNull())
+    got_null_ids = {r["click_id"] for r in got_null.select("click_id").collect()}
+    assert got_null_ids <= want_null_ids
+
+    # (c) everything the final watermark provably expired WAS emitted:
+    # W = min(max click ts, max purchase ts) - lag; margin dodges the
+    # inclusive/exclusive boundary
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    mxd = {r["event_type"]: r["m"] for r in mx}
+    wmark = min(mxd["click"], mxd["purchase"]) - _dt.timedelta(hours=1)
+    cutoff = wmark - _dt.timedelta(seconds=DEFAULT_WINDOW_S + 60)
+    must_emit = {
+        r["click_id"]
+        for r in want.where(
+            F.col("purchase_id").isNull() & (F.col("click_ts") < F.lit(cutoff))
+        )
+        .select("click_id")
+        .collect()
+    }
+    assert must_emit, "fixture must contain provably-expired unmatched clicks"
+    assert must_emit <= got_null_ids
