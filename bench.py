@@ -190,6 +190,7 @@ EXTENDED = (
     "q_iqr_outliers",        # Tukey-fence outlier census (exact quartiles)
     "q_session_length_hist", # engagement-depth session-size histogram
     "q_hist_quantiles",      # stored-histogram quantile serving readout
+    "q_type_corr_matrix",    # day-series co-movement across event types
 )
 
 

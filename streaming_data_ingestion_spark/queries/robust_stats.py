@@ -570,3 +570,138 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_type_corr_matrix — pairwise Pearson correlation matrix of the daily
+# volume series of ALL event types.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_type_corr_matrix",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY day, event_type
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+  -- dense day×type grid: a type absent on a day counts 0, otherwise
+  -- the two series' covariance would silently skip those days
+  SELECT d.day, t.event_type, COALESCE(x.n, 0) AS n
+  FROM days d CROSS JOIN types t
+  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM grid GROUP BY event_type
+),
+x AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+  FROM grid a JOIN grid b
+    ON b.day = a.day AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT
+  x.type_a,
+  x.type_b,
+  ROUND(CAST(ma.nd * x.sxy - ma.s * mb.s AS DOUBLE)
+        / (sqrt(CAST(ma.nd * ma.ss - ma.s * ma.s AS DOUBLE))
+           * sqrt(CAST(mb.nd * mb.ss - mb.s * mb.s AS DOUBLE))), 6) AS corr
+FROM x
+JOIN m ma ON ma.event_type = x.type_a
+JOIN m mb ON mb.event_type = x.type_b
+ORDER BY type_a, type_b
+""",
+    tags=("events", "stats", "timeseries"),
+)
+def q_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the DAILY VOLUME series of
+    every event-type pair — which behaviors move together day-to-day
+    (the k×k generalization of q_xcorr's lag-0 click/purchase cell;
+    q_corr_matrix correlates columns within rows, this correlates TIME
+    SERIES). Absent (day, type) cells count zero via a dense grid —
+    otherwise covariance silently skips exactly the days that carry the
+    signal.
+
+    Exactness: every series value is an integer count, every moment an
+    exact BIGINT, the correlation one closed-form expression with two
+    sqrts, round(6).
+
+    Scale shape: one (day, type) aggregate collapses the fact table;
+    the dense grid, moments, and the day-keyed pair join are all
+    calendar×|types|-bounded.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    x = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day") == F.col("a.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("sxy"))
+    )
+    ma = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("nd").alias("nd_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    mb = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("nd").alias("nd_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    num = (F.col("nd_a") * F.col("sxy") - F.col("s_a") * F.col("s_b")).cast(
+        "double"
+    )
+    da = F.sqrt(
+        (F.col("nd_a") * F.col("ss_a") - F.col("s_a") * F.col("s_a")).cast(
+            "double"
+        )
+    )
+    db = F.sqrt(
+        (F.col("nd_b") * F.col("ss_b") - F.col("s_b") * F.col("s_b")).cast(
+            "double"
+        )
+    )
+    return (
+        x.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(num / (da * db), 6).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
+    )
