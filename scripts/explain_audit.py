@@ -372,6 +372,43 @@ AUDITED = (
         "(zero shuffle); the ONLY exchange is the map-side-combined "
         "count over the winnowed fingerprint vocabulary.",
     ),
+    (
+        "q_trimmed_mean",
+        "Per-group exact ranks WITHOUT a per-group window. Read: one "
+        "rangepartitioning exchange on the composite (type, value, id) "
+        "key — never a |groups|-partition window that would single-task "
+        "each group; per-type offsets ride a tiny broadcast back.",
+    ),
+    (
+        "q_assoc_rules",
+        "Apriori-pruned market basket. Read: the frequent-item filter "
+        "(n_i >= 2) sits BELOW the pair self-join, bounding the "
+        "quadratic stage against hot baskets; the basket relation is an "
+        "InMemoryTableScan (bounded_persist) feeding all six consumers "
+        "from one distinct pass.",
+    ),
+    (
+        "q_hist_serving",
+        "Stored mergeable-sketch serving. Read: the scan is the <=258-row "
+        "histogram TABLE, not the fact — the fact-sized work happened "
+        "incrementally in the streaming merge; everything here is "
+        "grid-bounded.",
+    ),
+    (
+        "q_conversion_pairs",
+        "Stream-stream join's batch twin. Read: user_id equi hash join "
+        "with the attribution time-range as a residual filter condition "
+        "on the SAME join node — never a BroadcastNestedLoopJoin over "
+        "the time predicate.",
+    ),
+    (
+        "q_centroid_classifier",
+        "Broadcast-model scoring. Read: the centroid relation "
+        "(|labels| x 64) builds map-side from the same exploded scan and "
+        "broadcasts back; per-vector distances partial-aggregate before "
+        "the single (vec, class) exchange; the argmin window is "
+        "partitioned by vec_id, never global.",
+    ),
 )
 
 
