@@ -37,6 +37,12 @@ HOSTILE_CHECKED = (
     "q_join_asof_fwd",  # emits raw timestamps matched across event roles
     "q_join_asof_nearest",  # dual-direction carries + tie-break on raw ts
     "q_late_events",  # prefix-max carry must not depend on shuffle width
+    "q_join_asof_tol",  # raw ts output + integer-µs staleness gate
+    "q_conversion_pairs",  # to_date day rollup + interval arithmetic
+    "q_sax_symbolize",  # to_date daily buckets + LEAD over day order
+    "q_session_length_hist",  # unix_micros gap decisions
+    "q_forecast_eval",  # to_date + date_sub lag joins
+    "q_psi_drift",  # ts→double epoch split must be tz-independent
 )
 
 
