@@ -191,6 +191,9 @@ EXTENDED = (
     "q_session_length_hist", # engagement-depth session-size histogram
     "q_hist_quantiles",      # stored-histogram quantile serving readout
     "q_type_corr_matrix",    # day-series co-movement across event types
+    "q_shard_assign",        # content-addressed loader sharding audit
+    "q_curriculum_order",    # length-curriculum phase boundaries
+    "q_token_budget_pick",   # two-level prefix-sum budget selection
 )
 
 

@@ -1,0 +1,258 @@
+"""Training-run loader preparation (SURVEY.md §2B breadth): the last
+mile between a filtered corpus and a data loader — shard assignment,
+curriculum phasing, and exact token-budget selection. All three are
+content-addressed / rank-exact so any engine, run, or partitioning
+reproduces the identical training set.
+
+Reference parity note: the reference (/root/reference, 292-LoC ingest
+pipeline) stops at ingestion; this is §2B/north-star breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streaming_data_ingestion_spark.queries.llm_text import (
+    _SQL_TOKENS,
+    _tokens,
+)
+from streaming_data_ingestion_spark.ranking import with_global_rank
+from streaming_data_ingestion_spark.registry import query
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
+
+# --------------------------------------------------------------------------
+# q_shard_assign — content-addressed shard assignment + balance audit.
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "q_shard_assign",
+    oracle=f"""
+WITH d AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_N_SHARDS} AS shard,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+SELECT
+  CAST(shard AS INTEGER) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) * {_N_SHARDS} AS DOUBLE) / CAST(tot.n AS DOUBLE)
+    AS balance
+FROM d CROSS JOIN tot
+GROUP BY shard, tot.n
+ORDER BY shard
+""",
+    tags=("llm", "pipeline", "loader"),
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for data-loader workers: shard =
+    md5(doc_id) mod {_N_SHARDS}, with per-shard doc/token totals and the
+    balance ratio (n·shards/total — 1.0 = perfectly even; hash sharding
+    concentrates to 1±O(1/√(n/shards))). Content-addressed like
+    q_split_assign, so re-running the pipeline or changing partitioning
+    can never reshuffle examples between workers (which would break
+    epoch-boundary dedup and resume-from-step reproducibility).
+
+    Scale shape: a row-local hash + one shards-sized aggregate + a 1-row
+    total broadcast — no data-sized shuffle beyond the map-side-combined
+    count.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sh = d.select(
+        (h % _N_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+    )
+    tot = sh.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        sh.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            (
+                (F.col("n_docs") * _N_SHARDS).cast("double")
+                / F.col("n").cast("double")
+            ).alias("balance"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_curriculum_order — length-curriculum phases (short → long).
+# --------------------------------------------------------------------------
+
+_N_PHASES = 4
+
+
+@query(
+    "q_curriculum_order",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+ranked AS (
+  SELECT n_toks,
+         ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n
+  FROM d
+)
+SELECT
+  CAST(((r - 1) * {_N_PHASES}) // n + 1 AS INTEGER) AS phase,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+  CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM ranked
+GROUP BY phase
+ORDER BY phase
+""",
+    tags=("llm", "pipeline", "loader"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment (the classic short→long
+    schedule): documents ranked by token count and cut into
+    {_N_PHASES} equal-population phases via the closed-form NTILE
+    ((r−1)·k)//n + 1 — with per-phase doc counts, token-length bounds,
+    and token totals (the phase boundaries a training scheduler reads).
+
+    Scale shape: the rank comes from ONE with_global_rank pass over
+    (n_toks, doc_id) — the distributed range exchange, never an
+    unpartitioned window — and n rides along from the same pass; the
+    phase cut is pure integer arithmetic, so phases are bit-identical
+    cross-engine.
+    """
+    d = spread_for_cpu(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    ranked, n = with_global_rank(d, ["n_toks", "doc_id"], rank_col="r")
+    phase = F.expr(f"((r - 1) * {_N_PHASES}) div {n} + 1").cast("int")
+    return (
+        ranked.select(phase.alias("phase"), "n_toks")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_toks").cast("long").alias("min_tokens"),
+            F.max("n_toks").cast("long").alias("max_tokens"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("phase")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_token_budget_pick — exact token-budget selection in hash order.
+# --------------------------------------------------------------------------
+
+_BUDGET = 20_000  # tokens
+
+
+@query(
+    "q_token_budget_pick",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+run AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM run WHERE cum <= {_BUDGET}
+GROUP BY source
+ORDER BY source
+""",
+    tags=("llm", "pipeline", "loader"),
+)
+def q_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-budget selection: walk the corpus in content-hash
+    order (md5(doc_id) — a deterministic, source-unbiased shuffle) and
+    keep documents while the running token total stays within the
+    {_BUDGET}-token budget; report the picked set per source. This is
+    how a budgeted training mix takes "the first B tokens" without any
+    ordering bias — and the per-source readout shows the mix the budget
+    actually bought.
+
+    Scale shape — a distributed PREFIX SUM without a global window: the
+    hash's first hex digit buckets the corpus into 16 ordered cells
+    whose token totals (a 16-row aggregate) give exact cumulative
+    offsets via the bounded triangle join; every bucket wholly inside
+    the budget is taken WHOLESALE (no per-row work), every bucket wholly
+    outside is dropped, and only the ONE boundary bucket — 1/16 of the
+    data, recursively shrinkable by the next hex digit — needs a
+    per-row running sum, seeded with the bucket's exact offset. The
+    selected set is identical to the oracle's flat running sum because
+    hex-prefix order is a prefix of the full (h, doc_id) order.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+    )
+    d = d.withColumn("b", F.substring("h", 1, 1))
+    # 16-row bucket totals → exact offsets (triangle over the hex spine)
+    bt = d.groupBy("b").agg(F.sum("n_toks").cast("long").alias("t"))
+    a, c = bt.alias("a"), bt.alias("c")
+    offs = (
+        a.join(F.broadcast(c), F.col("c.b") < F.col("a.b"), "left")
+        .groupBy(F.col("a.b").alias("b"), F.col("a.t").alias("t"))
+        .agg(F.coalesce(F.sum("c.t"), F.lit(0)).cast("long").alias("before"))
+    )
+    tagged = d.join(F.broadcast(offs), "b")
+    # whole buckets inside the budget: no per-row work
+    inside = tagged.where(F.col("before") + F.col("t") <= _BUDGET).select(
+        "source", "n_toks"
+    )
+    # the single boundary bucket: per-row running sum seeded with its
+    # exact offset (1/16 of the data; recurse on the next hex digit to
+    # shrink further at real scale)
+    w = Window.partitionBy("b").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        tagged.where(
+            (F.col("before") < _BUDGET)
+            & (F.col("before") + F.col("t") > _BUDGET)
+        )
+        .withColumn("cum", F.col("before") + F.sum("n_toks").over(w))
+        .where(F.col("cum") <= _BUDGET)
+        .select("source", "n_toks")
+    )
+    return (
+        inside.unionByName(boundary)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

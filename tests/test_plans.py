@@ -520,6 +520,9 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
+    "q_shard_assign",      # 1-row corpus-total broadcast (balance ratio)
+    "q_token_budget_pick",  # bounded triangle join on the 16-row
+    #                        hex-prefix cell spine (exact offsets)
     "q_type_corr_matrix",  # dense calendar×|types| grid build (bounded
     #                        cross join) + day-keyed bounded pair join
     "q_hist_quantiles",    # 3-row pct spine × ≤258-row stored histogram
