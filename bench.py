@@ -194,6 +194,7 @@ EXTENDED = (
     "q_shard_assign",        # content-addressed loader sharding audit
     "q_curriculum_order",    # length-curriculum phase boundaries
     "q_token_budget_pick",   # two-level prefix-sum budget selection
+    "q_lsh_tuning",          # LSH band-config recall/cost operating curve
 )
 
 

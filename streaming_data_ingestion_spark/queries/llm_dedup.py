@@ -1392,3 +1392,121 @@ def q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q_lsh_tuning — candidate volume vs similarity threshold across every
+# (bands × rows) factorization of the 12-permutation signature.
+# --------------------------------------------------------------------------
+
+# every (b, r) with b·r = 12; threshold ≈ (1/b)^(1/r) precomputed in
+# python and inlined as the SAME literal in both engines (no runtime
+# transcendental to diverge)
+_LSH_CONFIGS = tuple(
+    (b, 12 // b, round((1.0 / b) ** (1.0 / (12 // b)), 6))
+    for b in (2, 3, 4, 6)
+)
+
+
+def _lsh_tuning_oracle() -> str:
+    parts = []
+    for b, r, thr in _LSH_CONFIGS:
+        bands = "\n    UNION ALL\n".join(
+            "    SELECT doc_id, "
+            f"md5(concat_ws('|', {', '.join(f'mh{r * i + k}' for k in range(r))})) "
+            f"AS bh, {i} AS bi FROM sigs"
+            for i in range(b)
+        )
+        parts.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST({thr} AS DOUBLE) AS threshold_est,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS c
+  FROM (
+{bands}
+  ) x JOIN (
+{bands}
+  ) y ON y.bh = x.bh AND y.bi = x.bi AND y.doc_id > x.doc_id
+)""")
+    from streaming_data_ingestion_spark.queries.llm_dedup import _SQL_SIGS
+
+    return _SQL_SIGS + "\nUNION ALL\n".join(parts) + "\nORDER BY bands"
+
+
+@query(
+    "q_lsh_tuning",
+    oracle=_lsh_tuning_oracle(),
+    tags=("llm", "dedup", "lsh"),
+)
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH operating curve: for EVERY (bands × rows-per-band)
+    factorization of the same 12-permutation signature, the similarity
+    threshold it targets (≈ (1/b)^(1/r), where the collision probability
+    curve inflects) and the candidate-pair volume it actually produces
+    on this corpus — the table an engineer reads to pick the
+    recall/cost point before committing an index build (more bands =
+    lower threshold = more candidates; q_dedup_minhash ships the (3, 4)
+    row; q_jaccard_hist calibrates its verify cut).
+
+    Scale shape: signatures are computed ONCE (the bounded-persisted
+    12-minhash relation — one md5 per shingle, map-side minima); each
+    config re-bands those 12 longs ROW-SIDE (b struct folds, zero extra
+    shuffles) and counts distinct colliding pairs through the same
+    band-keyed equi self-join as q_dedup_minhash_pairs — always
+    collision-scoped, never all-pairs. Thresholds are python-precomputed
+    literals, so the only measured quantities are exact BIGINT counts.
+    """
+    sigs = _bounded_persist(
+        "q_lsh_tuning.sigs", sf_dir, lambda: _minhash_sigs(spark, sf_dir)
+    )
+    outs = []
+    for b, r, thr in _LSH_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"mh{r * i + k}")
+                                        for k in range(r)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.bi", "s.bh")
+        x = bands.alias("x")
+        y = bands.alias("y")
+        pairs = (
+            x.join(
+                y,
+                (F.col("y.bh") == F.col("x.bh"))
+                & (F.col("y.bi") == F.col("x.bi"))
+                & (F.col("y.doc_id") > F.col("x.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("c")
+            )
+            .distinct()
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(thr).cast("double").alias("threshold_est"),
+                F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("bands")
