@@ -195,6 +195,7 @@ EXTENDED = (
     "q_curriculum_order",    # length-curriculum phase boundaries
     "q_token_budget_pick",   # two-level prefix-sum budget selection
     "q_lsh_tuning",          # LSH band-config recall/cost operating curve
+    "q_sim_ndcg",            # graded ANN ranking quality vs brute force
 )
 
 

@@ -1633,3 +1633,107 @@ def q_sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q_sim_ndcg — graded ranking quality (nDCG@5) of the LSH index vs the
+# brute-force ideal.
+# --------------------------------------------------------------------------
+
+# position discounts 1/log2(i+1) precomputed in python and inlined as
+# IDENTICAL literals in both engines — no runtime transcendental to
+# diverge; the only measured quantities are the bit-exact cosines.
+import math  # noqa: E402
+
+from streaming_data_ingestion_spark.compat import DEC  # noqa: E402
+
+_NDCG_K = 5
+_NDCG_W = tuple(round(1.0 / math.log2(i + 1), 12) for i in range(1, _NDCG_K + 1))
+
+_NDCG_ORACLE = f"""
+WITH w(rnk, w) AS (VALUES {", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))}),
+ann AS (
+  SELECT q_id, rnk, cosine FROM ({{ann}}) WHERE rnk <= {_NDCG_K}
+),
+truth AS (
+  SELECT q_id, rnk, cosine FROM ({{truth}}) WHERE rnk <= {_NDCG_K}
+),
+dcg AS (
+  SELECT a.q_id,
+         {{dsum_aw}} AS dcg
+  FROM ann a JOIN w ON w.rnk = a.rnk GROUP BY a.q_id
+),
+idcg AS (
+  SELECT t.q_id,
+         {{dsum_tw}} AS idcg
+  FROM truth t JOIN w ON w.rnk = t.rnk GROUP BY t.q_id
+)
+SELECT
+  idcg.q_id,
+  ROUND(dcg.dcg, 6) AS dcg,
+  ROUND(idcg.idcg, 6) AS idcg,
+  ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM idcg JOIN dcg ON dcg.q_id = idcg.q_id
+ORDER BY idcg.q_id
+"""
+
+
+def _ndcg_oracle() -> str:
+    from streaming_data_ingestion_spark.compat import sql_dec_to_double
+
+    term = "SUM(CAST({c}.cosine * w.w AS DECIMAL(38,10)))"
+    return _NDCG_ORACLE.format(
+        ann=_REG["q_sim_ann_lsh"].oracle,
+        truth=_REG["q_sim_topk"].oracle,
+        dsum_aw=sql_dec_to_double(term.format(c="a")),
+        dsum_tw=sql_dec_to_double(term.format(c="t")),
+    )
+
+
+@query("q_sim_ndcg", oracle=_ndcg_oracle(), tags=("llm", "similarity", "eval"))
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_NDCG_K} of the LSH ANN ranking against the brute-force
+    ideal, per probe query — the GRADED ranking-quality readout
+    (q_sim_recall counts set overlap; nDCG additionally charges the
+    index for returning lower-similarity items and for ordering them
+    late, which is what a retrieval consumer actually experiences).
+    Gains are the candidates' true cosines; position discounts
+    1/log₂(i+1) are python-precomputed literals shared by both engines,
+    so the statistic is a DECIMAL-summed dot product of bit-exact
+    cosines with constants — round(6) at the end.
+
+    Both sides are the engine's OWN registered queries (the q_sim_recall
+    composition discipline), so this measures the real operators.
+    Everything is (3 queries × {_NDCG_K} rows)-bounded after the two
+    underlying top-k passes.
+    """
+    ann = (
+        q_sim_ann_lsh(spark, sf_dir)
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select("q_id", "rnk", "cosine")
+    )
+    truth = (
+        q_sim_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= _NDCG_K)
+        .select("q_id", "rnk", "cosine")
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    wcol = F.element_at(warr, F.col("rnk"))
+
+    def _dcg(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("q_id").agg(
+            F.sum((F.col("cosine") * wcol).cast(DEC)).cast("double").alias(out)
+        )
+
+    dcg = _dcg(ann, "dcg")
+    idcg = _dcg(truth, "idcg")
+    return (
+        idcg.join(dcg, "q_id")
+        .select(
+            "q_id",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

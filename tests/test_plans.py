@@ -455,6 +455,7 @@ _CARTESIAN_OK = {
     "q_sim_range",         # same broadcast fan-out
     "q_sim_ivf",           # 6-row nprobe probe list broadcast fan-out
     "q_sim_recall",        # composes q_sim_topk
+    "q_sim_ndcg",          # composes q_sim_topk + q_sim_ann_lsh
     "q_skew_profile",      # 1-row total broadcast
     "q_lm_score",          # 1-row token-total broadcast onto the vocab
     "q_lm_score_bigram",   # 1-row vocabulary-size broadcast (V smoothing)
