@@ -196,6 +196,7 @@ EXTENDED = (
     "q_token_budget_pick",   # two-level prefix-sum budget selection
     "q_lsh_tuning",          # LSH band-config recall/cost operating curve
     "q_sim_ndcg",            # graded ANN ranking quality vs brute force
+    "q_scd2_pit_join",       # temporal fact join through SCD2 history
 )
 
 

@@ -1958,3 +1958,145 @@ def q_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# q_scd2_pit_join — point-in-time fact join THROUGH the SCD2 dimension
+# history (the consumer of the q_scd2_intervals build).
+# --------------------------------------------------------------------------
+
+_PIT_LO, _PIT_HI = 50.0, 150.0  # click-value segment band edges
+
+
+@query(
+    "q_scd2_pit_join",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < {_PIT_LO} THEN 'low'
+              WHEN value < {_PIT_HI} THEN 'mid'
+              ELSE 'high' END AS seg
+  FROM events WHERE event_type = 'click'
+),
+ordered AS (
+  SELECT user_id, ts, event_id, seg,
+         lag(seg) OVER w AS prev_seg
+  FROM clicks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, ts, seg,
+         SUM(CASE WHEN prev_seg IS NULL OR prev_seg != seg
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM ordered
+),
+dim AS (
+  SELECT user_id, version, seg, MIN(ts) AS valid_from
+  FROM seg GROUP BY user_id, version, seg
+),
+dim2 AS (
+  SELECT user_id, seg, valid_from,
+         lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM dim
+),
+p AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(38,10)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT COALESCE(d.seg, 'none') AS segment, p.v
+  FROM p LEFT JOIN dim2 d
+    ON d.user_id = p.user_id
+   AND p.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+)
+SELECT
+  segment,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS revenue
+FROM joined
+GROUP BY segment
+ORDER BY segment
+""",
+    tags=("events", "scd", "join"),
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact join THROUGH a slowly-changing dimension:
+    each purchase joins the click-value segment ('low'/'mid'/'high')
+    its user was in AT PURCHASE TIME — the [valid_from, valid_to)
+    interval of the SCD2 history built from the user's click stream
+    (the q_scd2_intervals run-collapse applied to a value band).
+    Purchases before the user's first click report segment 'none'. This
+    is the warehouse temporal-join pattern: facts never join the
+    CURRENT dimension row, they join the version valid at event time —
+    the difference between correct and subtly-wrong revenue attribution
+    whenever the dimension changes mid-history.
+
+    Scale shape: the dimension history is change-count-sized (runs, not
+    clicks); the PIT join is a user_id EQUI hash join with the interval
+    containment as a residual on the same join node — never a
+    time-range nested loop; both window passes in the build share one
+    user_id exchange. Exactness: band edges compare raw input doubles
+    against literals; interval bounds are untouched timestamps; revenue
+    is an exact decimal sum converted once.
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_ingestion_spark.compat import DEC
+
+    ev = load(spark, sf_dir, "events")
+    seg_band = (
+        F.when(F.col("value") < _PIT_LO, "low")
+        .when(F.col("value") < _PIT_HI, "mid")
+        .otherwise("high")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", seg_band.alias("seg")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = clicks.select(
+        "user_id",
+        "ts",
+        "seg",
+        F.sum(
+            F.when(
+                F.lag("seg").over(w).isNull()
+                | (F.lag("seg").over(w) != F.col("seg")),
+                1,
+            ).otherwise(0)
+        )
+        .over(run)
+        .alias("version"),
+    )
+    dim = flagged.groupBy("user_id", "version", "seg").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim2 = dim.select(
+        "user_id",
+        "seg",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast(DEC).alias("v")
+    )
+    joined = p.join(
+        dim2,
+        (p["user_id"] == dim2["user_id"])
+        & (p["ts"] >= dim2["valid_from"])
+        & (dim2["valid_to"].isNull() | (p["ts"] < dim2["valid_to"])),
+        "left",
+    ).select(F.coalesce(dim2["seg"], F.lit("none")).alias("segment"), "v")
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("v").cast("double").alias("revenue"),
+        )
+        .orderBy("segment")
+    )
