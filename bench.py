@@ -197,6 +197,8 @@ EXTENDED = (
     "q_lsh_tuning",          # LSH band-config recall/cost operating curve
     "q_sim_ndcg",            # graded ANN ranking quality vs brute force
     "q_scd2_pit_join",       # temporal fact join through SCD2 history
+    "q_weekly_percentiles",  # exact weekly tail-latency trend
+    "q_histogram2d",         # value-band × hour heat-map grid
 )
 
 

@@ -705,3 +705,137 @@ def q_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q_weekly_percentiles — exact p50/p90 trend of event values by week.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_weekly_percentiles",
+    oracle="""
+WITH wk AS (
+  SELECT date_trunc('week', CAST(ts AS DATE)) AS week, value, event_id
+  FROM events
+),
+ranked AS (
+  SELECT week, value,
+         ROW_NUMBER() OVER (PARTITION BY week
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY week) AS nt
+  FROM wk
+)
+SELECT
+  CAST(week AS TIMESTAMP) AS week,
+  CAST(MIN(nt) AS BIGINT) AS n,
+  MIN(CASE WHEN rt = (50 * nt + 99) // 100 THEN value END) AS p50,
+  MIN(CASE WHEN rt = (90 * nt + 99) // 100 THEN value END) AS p90
+FROM ranked
+GROUP BY week
+ORDER BY week
+""",
+    tags=("events", "stats", "timeseries"),
+)
+def q_weekly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p50/p90 trend of event values — the tail-latency-over-time
+    dashboard (a rising p90 with a flat p50 is the classic
+    degrading-tail signature), by exact nearest-rank selection per week.
+
+    Scale shape: q_group_percentiles' construction with the calendar
+    week as the group — ONE composite-key with_global_rank pass over
+    (week, value, event_id) + a weeks-sized offset broadcast; no
+    per-week window ever touches the fact table. Integer rank targets;
+    reported values are untouched input doubles.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.to_date("ts")).alias("week"),
+        "value",
+        "event_id",
+    )
+    ranked, _n = with_global_rank(
+        ev, ["week", "value", "event_id"], rank_col="gr"
+    )
+    offs = ranked.groupBy("week").agg(
+        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    rt = F.col("gr") - F.col("base") + 1
+    hit = (
+        ranked.join(F.broadcast(offs), "week")
+        .select("week", "value", F.col("nt").alias("nt"), rt.alias("rt"))
+        .where(
+            (F.col("rt") == F.expr("(50 * nt + 99) div 100"))
+            | (F.col("rt") == F.expr("(90 * nt + 99) div 100"))
+        )
+    )
+    return (
+        hit.groupBy(F.col("week").cast("timestamp").alias("week"))
+        .agg(
+            F.min("nt").cast("long").alias("n"),
+            F.min(
+                F.when(
+                    F.col("rt") == F.expr("(50 * nt + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p50"),
+            F.min(
+                F.when(
+                    F.col("rt") == F.expr("(90 * nt + 99) div 100"),
+                    F.col("value"),
+                )
+            ).alias("p90"),
+        )
+        .orderBy("week")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_histogram2d — fixed-grid 2-D histogram (value band × hour of day).
+# --------------------------------------------------------------------------
+
+_H2_VBINS = 16
+_H2_VMAX = 512.0  # power-of-two grid: width 32, one IEEE sub/div + floor
+
+
+@query(
+    "q_histogram2d",
+    oracle=f"""
+SELECT
+  CAST(CASE WHEN CAST(value AS DOUBLE) >= {_H2_VMAX} THEN {_H2_VBINS}
+            ELSE CAST(FLOOR(CAST(value AS DOUBLE) / 32.0) AS INTEGER)
+       END AS INTEGER) AS value_bin,
+  CAST(hour(ts) AS INTEGER) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY value_bin, hour
+ORDER BY value_bin, hour
+""",
+    tags=("events", "stats", "histogram"),
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid 2-D histogram of (value band × hour of day) — the
+    heat-map feed behind every "when do the big ones happen" dashboard
+    panel, and the 2-D generalization of q_histogram /
+    q_hist_serving's fixed-boundary discipline (power-of-two bin width
+    32: one IEEE divide + floor, bit-identical cross-engine; overflow
+    band at {_H2_VBINS}).
+
+    Scale shape: ONE map-side-combined aggregate to a ≤ (bins+1)×24
+    grid — the whole operator is a single scan + a grid-sized shuffle
+    at any corpus size. Hour extraction is on the UTC-pinned session,
+    matching DuckDB's naive-UTC read.
+    """
+    ev = load(spark, sf_dir, "events")
+    vb = (
+        F.when(F.col("value").cast("double") >= _H2_VMAX, F.lit(_H2_VBINS))
+        .otherwise(F.floor(F.col("value").cast("double") / F.lit(32.0)))
+        .cast("int")
+    )
+    return (
+        ev.groupBy(
+            vb.alias("value_bin"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("value_bin", "hour")
+    )
