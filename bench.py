@@ -199,6 +199,7 @@ EXTENDED = (
     "q_scd2_pit_join",       # temporal fact join through SCD2 history
     "q_weekly_percentiles",  # exact weekly tail-latency trend
     "q_histogram2d",         # value-band × hour heat-map grid
+    "q_attribution_ushape",  # U-shaped multi-touch revenue attribution
 )
 
 

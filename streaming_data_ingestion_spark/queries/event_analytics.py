@@ -2100,3 +2100,140 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# q_attribution_ushape — position-based (U-shaped) multi-touch
+# attribution over the 7-day lookback path.
+# --------------------------------------------------------------------------
+
+_USHAPE_LOOKBACK_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "q_attribution_ushape",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(value AS DECIMAL(38,10)) AS rev
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts,
+         CASE WHEN value < 50.0 THEN 'low'
+              WHEN value < 150.0 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM events WHERE event_type = 'click'
+),
+path AS (
+  SELECT p.p_id, p.rev, c.band,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_ts, c.c_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS k
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts < p.p_ts
+   AND date_diff('microsecond', c.c_ts, p.p_ts) <= {_USHAPE_LOOKBACK_US}
+),
+credited AS (
+  SELECT band, rev,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN pos = 1 THEN 0.4
+              WHEN pos = k THEN 0.4
+              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS credit
+  FROM path
+)
+SELECT
+  band,
+  CAST(COUNT(*) AS BIGINT) AS n_touches,
+  ROUND(CAST(CAST(SUM(CAST(credit AS DECIMAL(38,10))) AS VARCHAR)
+        AS DOUBLE), 6) AS total_credit,
+  ROUND(CAST(CAST(SUM(CAST(credit * CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+        AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6)
+    AS attributed_revenue
+FROM credited
+GROUP BY band
+ORDER BY band
+""",
+    tags=("events", "attribution"),
+)
+def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every click in
+    the 7 days before a purchase shares that purchase's revenue — 40%
+    to the first touch, 40% to the last, 20% split across the middle
+    (1.0 / 0.5-0.5 for one- and two-click paths) — rolled up by the
+    click's value band. The multi-touch complement of q_attribution's
+    last-touch rule: last-touch over-credits the final click; the
+    U-shape is the standard production compromise that still credits
+    discovery.
+
+    Scale shape: path assembly is a user_id EQUI hash join with the
+    lookback as an integer-microsecond residual (never a time nested
+    loop); position/size windows partition by PURCHASE id — purchase-
+    count-many small partitions, never global. Credits are exact CASE
+    constants or one IEEE division; credit and credit·revenue sums go
+    through DECIMAL for order independence; round(6) absorbs nothing
+    transcendental, only the fixed display precision.
+    """
+    from pyspark.sql import Window
+
+    from streaming_data_ingestion_spark.compat import DEC
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast(DEC).alias("rev"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.when(F.col("value") < 50.0, "low")
+        .when(F.col("value") < 150.0, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    path = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            <= F.lit(_USHAPE_LOOKBACK_US)
+        ),
+    )
+    w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wk = Window.partitionBy("p_id")
+    path = path.select(
+        "band",
+        "rev",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
+    )
+    return (
+        path.select(
+            "band",
+            credit.alias("credit"),
+            (credit * F.col("rev").cast("double")).alias("crev"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum(F.col("credit").cast(DEC)).cast("double"), 6).alias(
+                "total_credit"
+            ),
+            F.round(F.sum(F.col("crev").cast(DEC)).cast("double"), 6).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("band")
+    )
