@@ -200,6 +200,8 @@ EXTENDED = (
     "q_weekly_percentiles",  # exact weekly tail-latency trend
     "q_histogram2d",         # value-band × hour heat-map grid
     "q_attribution_ushape",  # U-shaped multi-touch revenue attribution
+    "q_js_divergence",       # per-source distributional alienness (JSD)
+    "q_churn_cohorts",       # signup-vintage churn rates
 )
 
 

@@ -358,3 +358,103 @@ def q_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q_js_divergence — Jensen-Shannon divergence of each source's token
+# distribution vs the rest of the corpus.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_js_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+),
+gt AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY term
+),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s_n FROM st GROUP BY source),
+tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM gt),
+grid AS (
+  SELECT s.source, g.term, COALESCE(st.c, 0) AS c, g.g,
+         s.s_n, tot.n
+  FROM stot s CROSS JOIN gt g
+  LEFT JOIN st ON st.source = s.source AND st.term = g.term
+  CROSS JOIN tot
+),
+terms AS (
+  SELECT source,
+    CAST(c AS DOUBLE) / CAST(s_n AS DOUBLE) AS p,
+    CAST(g - c AS DOUBLE) / CAST(n - s_n AS DOUBLE) AS q
+  FROM grid
+)
+SELECT
+  source,
+  ROUND({sql_dec_to_double(
+    "SUM(CAST("
+    "  CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END"
+    "  + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END"
+    " AS DECIMAL(38,10)))"
+  )}, 6) AS jsd_nats
+FROM terms
+GROUP BY source
+ORDER BY source
+""",
+    tags=("llm", "eval", "text"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats, ≤ ln 2) between each source's
+    token distribution and the REST of the corpus — the symmetric,
+    always-finite "how alien is this source" readout a dataset-mix
+    curator ranks sources by (q_source_log_odds names the terms
+    responsible; q_psi_drift is the over-time sibling; JSD is the
+    cross-source one).
+
+    Scale shape: one tokenize pass → (source, term) counts (map-side
+    combined), a vocab-sized global re-aggregate, and a DENSE
+    sources×vocab grid (absent terms must contribute their q-side mass
+    — skipping them understates divergence) built from a bounded cross
+    join of the sources spine with the vocabulary. Each grid term is a
+    few IEEE ops + ln written token-identically in both engines,
+    DECIMAL-summed per source, round(6).
+    """
+    d = spread_for_cpu(load(spark, sf_dir, "documents"))
+    toks = d.select("source", F.explode(_tokens()).alias("term"))
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gt = st.groupBy("term").agg(F.sum("c").cast("long").alias("g"))
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("s_n"))
+    tot = gt.agg(F.sum("g").cast("long").alias("n"))
+    grid = (
+        stot.crossJoin(gt)
+        .join(st, ["source", "term"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "g",
+            "s_n",
+            "n",
+        )
+    )
+    p = F.col("c").cast("double") / F.col("s_n").cast("double")
+    q = (F.col("g") - F.col("c")).cast("double") / (
+        F.col("n") - F.col("s_n")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    return (
+        grid.select("source", term.cast(DEC).alias("t"))
+        .groupBy("source")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd_nats"))
+        .orderBy("source")
+    )

@@ -765,3 +765,76 @@ def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# q_churn_cohorts — churn rate by signup cohort (inactivity definition).
+# --------------------------------------------------------------------------
+
+_CHURN_IDLE_US = 30 * 86_400 * 1_000_000  # inactive ≥ 30 days at horizon
+
+
+@query(
+    "q_churn_cohorts",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+hz AS (SELECT MAX(ts) AS horizon FROM events)
+SELECT
+  CAST(date_trunc('week', CAST(first_ts AS DATE)) AS TIMESTAMP)
+    AS cohort_week,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN date_diff('microsecond', last_ts, hz.horizon)
+                     >= {_CHURN_IDLE_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+  CAST(SUM(CASE WHEN date_diff('microsecond', last_ts, hz.horizon)
+                     >= {_CHURN_IDLE_US}
+                THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+FROM u CROSS JOIN hz
+GROUP BY cohort_week
+ORDER BY cohort_week
+""",
+    tags=("events", "lifecycle"),
+)
+def q_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn rate by signup cohort: a user counts as churned when their
+    LAST event is ≥ 30 days before the data horizon (the standard
+    inactivity definition — right-censored users near the horizon
+    cannot be judged and correctly count as retained). The
+    per-cohort-week readout says WHICH acquisition vintages leak
+    (q_survival_km gives the duration curve; q_cohort_matrix the
+    activity grid; this is the one-number-per-cohort executive row).
+
+    Scale shape: ONE user-keyed min/max aggregate collapses the fact
+    table; the horizon is a 1-row broadcast; everything after is
+    cohort-week-bounded. Inactivity compares exact integer microseconds.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    hz = ev.agg(F.max("ts").alias("horizon"))
+    churned = (
+        F.unix_micros("horizon") - F.unix_micros("last_ts")
+        >= F.lit(_CHURN_IDLE_US)
+    ).cast("int")
+    return (
+        u.crossJoin(F.broadcast(hz))
+        .groupBy(
+            F.date_trunc("week", F.to_date("first_ts"))
+            .cast("timestamp")
+            .alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(churned).cast("long").alias("n_churned"),
+            (
+                F.sum(churned).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("churn_rate"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -521,6 +521,10 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
+    "q_js_divergence",     # bounded sources×vocab dense-grid cross join
+    #                        (absent terms must carry q-side mass) +
+    #                        1-row corpus-total broadcast
+    "q_churn_cohorts",     # 1-row horizon broadcast onto the user table
     "q_shard_assign",      # 1-row corpus-total broadcast (balance ratio)
     "q_token_budget_pick",  # bounded triangle join on the 16-row
     #                        hex-prefix cell spine (exact offsets)
