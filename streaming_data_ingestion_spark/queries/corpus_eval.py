@@ -381,29 +381,33 @@ gt AS (
 ),
 stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s_n FROM st GROUP BY source),
 tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM gt),
-grid AS (
-  SELECT s.source, g.term, COALESCE(st.c, 0) AS c, g.g,
-         s.s_n, tot.n
-  FROM stot s CROSS JOIN gt g
-  LEFT JOIN st ON st.source = s.source AND st.term = g.term
+sp AS (
+  SELECT st.source,
+         CAST(st.c AS DOUBLE) / CAST(stot.s_n AS DOUBLE) AS p,
+         CAST(gt.g - st.c AS DOUBLE)
+           / CAST(tot.n - stot.s_n AS DOUBLE) AS q
+  FROM st
+  JOIN gt USING (term)
+  JOIN stot USING (source)
   CROSS JOIN tot
+  WHERE stot.s_n < tot.n
 ),
-terms AS (
+agg AS (
   SELECT source,
-    CAST(c AS DOUBLE) / CAST(s_n AS DOUBLE) AS p,
-    CAST(g - c AS DOUBLE) / CAST(n - s_n AS DOUBLE) AS q
-  FROM grid
+    SUM(CAST(
+      0.5 * p * ln(p / ((p + q) / 2.0))
+      + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+             ELSE 0.0 END
+    AS DECIMAL(38,10))) AS tsum,
+    SUM(CAST(q AS DECIMAL(38,10))) AS qsum
+  FROM sp GROUP BY source
 )
 SELECT
   source,
-  ROUND({sql_dec_to_double(
-    "SUM(CAST("
-    "  CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END"
-    "  + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END"
-    " AS DECIMAL(38,10)))"
-  )}, 6) AS jsd_nats
-FROM terms
-GROUP BY source
+  ROUND({sql_dec_to_double("tsum")}
+        + (1.0 - {sql_dec_to_double("qsum")}) * 0.5 * ln(2.0), 6)
+    AS jsd_nats
+FROM agg
 ORDER BY source
 """,
     tags=("llm", "eval", "text"),
@@ -416,13 +420,23 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     responsible; q_psi_drift is the over-time sibling; JSD is the
     cross-source one).
 
-    Scale shape: one tokenize pass → (source, term) counts (map-side
-    combined), a vocab-sized global re-aggregate, and a DENSE
-    sources×vocab grid (absent terms must contribute their q-side mass
-    — skipping them understates divergence) built from a bounded cross
-    join of the sources spine with the vocabulary. Each grid term is a
-    few IEEE ops + ln written token-identically in both engines,
-    DECIMAL-summed per source, round(6).
+    Scale shape — SPARSE by closed form: only (source, term) pairs the
+    source actually contains are materialized (one tokenize pass →
+    map-side-combined counts → a vocab-keyed equi join with the global
+    term counts). Terms ABSENT from a source still carry q-side mass,
+    but for p = 0 the JSD term collapses to ½·q·ln 2, so the whole
+    absent tail folds into ONE per-source correction,
+    (1 − Σ_present q)·½·ln 2 — no sources×vocab dense grid, no cross
+    join of the sources spine with the vocabulary. Present terms are a
+    few IEEE ops + ln written token-identically in both engines;
+    both the term sum and the covered-q mass are DECIMAL-summed
+    (order-independent), correction applied once, round(6).
+
+    Sources covering the WHOLE corpus (s_n = n — the single-source
+    case) have no "rest" distribution (q's denominator is zero, and
+    Spark ANSI division would raise where DuckDB yields inf); such
+    sources are excluded by the identical `s_n < n` guard in both
+    engines — JSD vs an empty complement is undefined, not 0.
     """
     d = spread_for_cpu(load(spark, sf_dir, "documents"))
     toks = d.select("source", F.explode(_tokens()).alias("term"))
@@ -432,29 +446,29 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = st.groupBy("term").agg(F.sum("c").cast("long").alias("g"))
     stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("s_n"))
     tot = gt.agg(F.sum("g").cast("long").alias("n"))
-    grid = (
-        stot.crossJoin(gt)
-        .join(st, ["source", "term"], "left")
+    sp = (
+        st.join(gt, "term")
+        .join(F.broadcast(stot), "source")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-            "g",
-            "s_n",
-            "n",
-        )
+        .where(F.col("s_n") < F.col("n"))
     )
     p = F.col("c").cast("double") / F.col("s_n").cast("double")
     q = (F.col("g") - F.col("c")).cast("double") / (
         F.col("n") - F.col("s_n")
     ).cast("double")
     m = (p + q) / F.lit(2.0)
-    term = F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
-        F.lit(0.0)
-    ) + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
-    return (
-        grid.select("source", term.cast(DEC).alias("t"))
-        .groupBy("source")
-        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd_nats"))
-        .orderBy("source")
+    term = F.lit(0.5) * p * F.log(p / m) + F.when(
+        q > 0, F.lit(0.5) * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    agg = sp.groupBy("source").agg(
+        F.sum(term.cast(DEC)).alias("tsum"),
+        F.sum(q.cast(DEC)).alias("qsum"),
     )
+    jsd = F.round(
+        F.col("tsum").cast("double")
+        + (F.lit(1.0) - F.col("qsum").cast("double"))
+        * F.lit(0.5)
+        * F.log(F.lit(2.0)),
+        6,
+    )
+    return agg.select("source", jsd.alias("jsd_nats")).orderBy("source")

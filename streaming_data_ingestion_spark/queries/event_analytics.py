@@ -149,7 +149,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS new_s
@@ -158,7 +158,7 @@ WITH flagged AS (
 ),
 assigned AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
@@ -1889,7 +1889,7 @@ def q_forecast_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_length_hist",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS new_s
@@ -1898,7 +1898,7 @@ WITH flagged AS (
 ),
 assigned AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 ),

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import dsum, sql_dsum
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import artifact_path, load
 
 # 2-D predicate rectangle: ~4% of the shipdate span (fixture lineitem
 # ships 1995-01..2001-11) × a low-partkey band (fixture partkeys start
@@ -46,7 +46,7 @@ def zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         from streaming_data_ingestion_spark.layout import zorder_value
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/lineitem_zorder_{tag}"
+        path = artifact_path(f"lineitem_zorder_{tag}")
         li = load(spark, sf_dir, "lineitem")
         # store date columns as DATE: the fixture ships them as
         # timestamps, which Spark writes as INT96 — a physical type with

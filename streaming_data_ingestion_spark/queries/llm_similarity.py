@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import artifact_path, load
 
 _DIM = 64
 
@@ -1204,7 +1204,7 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
         from streaming_data_ingestion_spark.ml.ivfpq import build_ivfpq_index
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/ivfpq_index_{tag}"
+        path = artifact_path(f"ivfpq_index_{tag}")
         emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         cents = build_ivfpq_index(emb, path, k_cells=4, n_iters=2)
         _IVFPQ_INDEX_MEMO[sf_dir] = (path, cents)
@@ -1304,7 +1304,7 @@ def _det_ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
         from streaming_data_ingestion_spark.layout import write_partitioned
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/ivfpq_det_{tag}"
+        path = artifact_path(f"ivfpq_det_{tag}")
         scored = _det_ivf_scored(spark, sf_dir)
         best = F.max_by(
             F.struct(F.col("centroid_id"), F.col("embedding")),

@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from streaming_data_ingestion_spark.compat import dsum, sql_dsum
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import artifact_path, load
 
 # --------------------------------------------------------------------------
 # q_hist_serving — read the stored mergeable histogram.
@@ -66,7 +66,7 @@ def stored_hist_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/events_hist_{tag}"
+        path = artifact_path(f"events_hist_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         ev = load(spark, sf_dir, "events")
         wb = merge_value_hist(
@@ -160,7 +160,7 @@ def optimized_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         from streaming_data_ingestion_spark.layout import optimize_zordered
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/lineitem_optimized_{tag}"
+        path = artifact_path(f"lineitem_optimized_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         li = load(spark, sf_dir, "lineitem")
         li.repartition(_OPT_DEBRIS_FILES).write.mode("overwrite").parquet(path)
@@ -253,7 +253,7 @@ def stored_cms_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        path = f"spark-warehouse/documents_cms_{tag}"
+        path = artifact_path(f"documents_cms_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         docs = load(spark, sf_dir, "documents")
         wb = merge_cms_grid(path, run_ns="cms-serve")

@@ -27,6 +27,40 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Paths already scheduled for atexit removal (one registration each).
+_ARTIFACT_CLEANUP: set[str] = set()
+
+
+def artifact_path(name: str) -> str:
+    """Absolute, per-process path for a process-BUILT stored artifact
+    (merged histogram / CMS grid / Z-ordered or OPTIMIZE-rewritten copy /
+    IVFPQ index) under the repo's ``spark-warehouse/``.
+
+    Two properties matter, both flagged by review of the serving paths:
+
+    * ABSOLUTE, derived from the package location — a cwd-relative
+      ``spark-warehouse/`` silently lands the artifact wherever the
+      calling process happens to run from;
+    * PER-PROCESS (pid suffix) — bench.py and the round driver run
+      concurrently on the same box and both build these artifacts; with
+      a shared path one process can ``rmtree`` or read the table while
+      the other is mid-way through its multi-epoch merge build, which is
+      either a flaky failure or (worse) a partially-merged grid passing
+      through the hash check. A pid-unique path makes the build
+      single-writer by construction; ``atexit`` removes it so builds
+      don't accumulate across runs.
+    """
+    import atexit
+    import os
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "spark-warehouse", f"{name}_p{os.getpid()}")
+    if path not in _ARTIFACT_CLEANUP:
+        _ARTIFACT_CLEANUP.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 
 def _parquet_has_nanos_ts(path: str) -> bool:
     """Probe the parquet footer: does any column carry TIMESTAMP(NANOS)?
