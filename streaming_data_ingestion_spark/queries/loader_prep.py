@@ -166,6 +166,75 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUDGET = 20_000  # tokens
 
+# Hex-prefix recursion depth for the distributed prefix sum: each level
+# shrinks the boundary cell that still needs a per-row running sum by
+# 16×, so the windowed relation is ≤ 16^-LEVELS of the corpus (at
+# 100 TB, 3 levels bound it to ~1/4096 — tens of GB, one healthy task
+# group, while levels 1..k-1 move only 16-row spines).
+_BUDGET_LEVELS = 2
+
+
+def _hex_budget_parts(d: DataFrame, budget: int, levels: int = _BUDGET_LEVELS):
+    """Decompose the budget walk over ``d`` (cols: doc_id, source, h,
+    n_toks) into wholesale-taken parts plus ONE final boundary sub-cell.
+
+    Level l buckets the current boundary relation by hex digit l of the
+    md5 ``h``; a 16-row total/offset spine (bounded triangle join,
+    broadcast) tells which cells sit wholly inside the budget (taken
+    WHOLESALE, no per-row work), wholly outside (dropped), or straddle
+    it (exactly one cell — recurse). Hex-prefix order is a prefix of the
+    full (h, doc_id) order, so the union of wholesale parts plus the
+    resolved boundary equals a flat global running sum.
+
+    Returns ``(parts, boundary)``: ``parts`` is a list of (source,
+    n_toks) DataFrames taken wholesale; ``boundary`` is the final
+    straddling sub-cell (cols: b, doc_id, source, h, n_toks, before),
+    ≤ 16^-levels of the corpus, whose rows still need the per-row
+    running sum seeded with its exact composed offset ``before``.
+    """
+    parts: list[DataFrame] = []
+    cur = d.withColumn("before", F.lit(0).cast("long"))
+    for lvl in range(1, levels + 1):
+        cur = cur.withColumn("b", F.substring("h", lvl, 1))
+        bt = cur.groupBy("b").agg(
+            F.sum("n_toks").cast("long").alias("t"),
+            # the cell's inherited offset: constant across the (single)
+            # parent boundary cell, so min() just carries it through
+            F.min("before").cast("long").alias("base"),
+        )
+        a, c = bt.alias("a"), bt.alias("c")
+        offs = (
+            a.join(F.broadcast(c), F.col("c.b") < F.col("a.b"), "left")
+            .groupBy(
+                F.col("a.b").alias("b"),
+                F.col("a.t").alias("t"),
+                F.col("a.base").alias("base"),
+            )
+            .agg(
+                F.coalesce(F.sum("c.t"), F.lit(0)).cast("long").alias("prior")
+            )
+            .select(
+                "b",
+                "t",
+                (F.col("base") + F.col("prior")).cast("long").alias("off"),
+            )
+        )
+        tagged = cur.drop("before").join(F.broadcast(offs), "b")
+        parts.append(
+            tagged.where(F.col("off") + F.col("t") <= budget).select(
+                "source", "n_toks"
+            )
+        )
+        cur = (
+            tagged.where(
+                (F.col("off") < budget)
+                & (F.col("off") + F.col("t") > budget)
+            )
+            .withColumnRenamed("off", "before")
+            .drop("t")
+        )
+    return parts, cur
+
 
 @query(
     "q_token_budget_pick",
@@ -201,16 +270,16 @@ def q_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering bias — and the per-source readout shows the mix the budget
     actually bought.
 
-    Scale shape — a distributed PREFIX SUM without a global window: the
-    hash's first hex digit buckets the corpus into 16 ordered cells
-    whose token totals (a 16-row aggregate) give exact cumulative
-    offsets via the bounded triangle join; every bucket wholly inside
-    the budget is taken WHOLESALE (no per-row work), every bucket wholly
-    outside is dropped, and only the ONE boundary bucket — 1/16 of the
-    data, recursively shrinkable by the next hex digit — needs a
-    per-row running sum, seeded with the bucket's exact offset. The
-    selected set is identical to the oracle's flat running sum because
-    hex-prefix order is a prefix of the full (h, doc_id) order.
+    Scale shape — a distributed PREFIX SUM without a global window,
+    recursing {_BUDGET_LEVELS} hex digits deep (_hex_budget_parts): each
+    level's 16-row total/offset spine (bounded triangle join, broadcast)
+    takes whole cells inside the budget WHOLESALE, drops whole cells
+    outside, and recurses into the ONE straddling cell — so the only
+    per-row running sum runs over the final boundary sub-cell,
+    ≤ 16^-{_BUDGET_LEVELS} of the corpus (asserted by row count in
+    tests/test_round7_props.py), seeded with its exact composed offset.
+    The selected set is identical to the oracle's flat running sum
+    because hex-prefix order is a prefix of the full (h, doc_id) order.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -218,37 +287,26 @@ def q_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
         F.size(_tokens()).cast("long").alias("n_toks"),
     )
-    d = d.withColumn("b", F.substring("h", 1, 1))
-    # 16-row bucket totals → exact offsets (triangle over the hex spine)
-    bt = d.groupBy("b").agg(F.sum("n_toks").cast("long").alias("t"))
-    a, c = bt.alias("a"), bt.alias("c")
-    offs = (
-        a.join(F.broadcast(c), F.col("c.b") < F.col("a.b"), "left")
-        .groupBy(F.col("a.b").alias("b"), F.col("a.t").alias("t"))
-        .agg(F.coalesce(F.sum("c.t"), F.lit(0)).cast("long").alias("before"))
+    parts, boundary = _hex_budget_parts(d, _BUDGET)
+    # the final boundary sub-cell: per-row running sum over ≤ 16^-k of
+    # the corpus, partitioned by its full hex prefix
+    w = (
+        Window.partitionBy(F.substring("h", 1, _BUDGET_LEVELS))
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = d.join(F.broadcast(offs), "b")
-    # whole buckets inside the budget: no per-row work
-    inside = tagged.where(F.col("before") + F.col("t") <= _BUDGET).select(
-        "source", "n_toks"
-    )
-    # the single boundary bucket: per-row running sum seeded with its
-    # exact offset (1/16 of the data; recurse on the next hex digit to
-    # shrink further at real scale)
-    w = Window.partitionBy("b").orderBy("h", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    boundary = (
-        tagged.where(
-            (F.col("before") < _BUDGET)
-            & (F.col("before") + F.col("t") > _BUDGET)
+    resolved = (
+        boundary.withColumn(
+            "cum", F.col("before") + F.sum("n_toks").over(w)
         )
-        .withColumn("cum", F.col("before") + F.sum("n_toks").over(w))
         .where(F.col("cum") <= _BUDGET)
         .select("source", "n_toks")
     )
+    sel = parts[0]
+    for p in parts[1:]:
+        sel = sel.unionByName(p)
     return (
-        inside.unionByName(boundary)
+        sel.unionByName(resolved)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
