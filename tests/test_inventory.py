@@ -47,6 +47,44 @@ def test_oracle_coverage_is_near_total():
     ], rows_only
 
 
+def test_prose_counters_match_registry():
+    """SURVEY §8 / docs/API.md headline counts must track the registry.
+    The §2B table is enforced above, but the PROSE counters drifted in
+    rounds 5 and 6 ("260 oracle-checked" against a 268-oracled registry)
+    — parse them here so that drift class dies."""
+    specs = all_queries()
+    n = len(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    n_rows_only = n - n_oracle
+
+    text = SURVEY.read_text()
+    s8 = text[text.index("## 8."):]
+    m = re.search(r"(\d+) queries are registered", s8)
+    assert m and int(m.group(1)) == n, (
+        f"SURVEY §8 says {m and m.group(1)} registered, registry has {n}"
+    )
+    m = re.search(r"(\d+) oracle-checked against", s8)
+    assert m and int(m.group(1)) == n_oracle, (
+        f"SURVEY §8 says {m and m.group(1)} oracle-checked, "
+        f"registry has {n_oracle}"
+    )
+    m = re.search(r"(\d+) rows-only by contract", s8)
+    assert m and int(m.group(1)) == n_rows_only, (
+        f"SURVEY §8 says {m and m.group(1)} rows-only, "
+        f"registry has {n_rows_only}"
+    )
+
+    api = (SURVEY.parent / "docs" / "API.md").read_text()
+    counts = re.findall(
+        r"(\d+) registered query keys|all (\d+) operators", api
+    )
+    assert counts, "docs/API.md lost its headline counts"
+    for a, b in counts:
+        assert int(a or b) == n, (
+            f"docs/API.md says {a or b} operators, registry has {n}"
+        )
+
+
 def test_bench_headline_is_registered():
     """Every bench.py HEADLINE name must be a registered query — a typo
     or stale entry would crash the driver's per-round benchmark."""
