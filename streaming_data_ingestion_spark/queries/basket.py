@@ -26,6 +26,19 @@ from streaming_data_ingestion_spark.tables import load
 
 _MIN_PAIR = 2  # minimum pair support (co-occurrence count)
 
+# Per-basket width cap for the quadratic pair stage: a single
+# pathological mega-basket (10^5 frequent distinct items in one order)
+# would otherwise cost width² in the self-join no matter how good the
+# apriori prune is. Keep the _MAX_BASKET_W most FREQUENT items per
+# basket (ties by part key — a total order, so the kept set is
+# deterministic), identically in both engines. Ranking by n_i DESC means
+# apriori-pruned singletons always rank BEHIND frequent items, so
+# prune-then-cap (Spark) and cap-then-support-floor (oracle) keep the
+# exact same item set. TPC-H baskets are ≤ 7 items wide, so the cap
+# never bites at fixture scale; the bite path is pinned on synthetic
+# wide baskets in tests/test_round7_props.py.
+_MAX_BASKET_W = 16
+
 
 @query(
     "q_assoc_rules",
@@ -39,9 +52,16 @@ n AS (
 item AS (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY p
 ),
+bw AS (
+  SELECT b.k, b.p,
+         ROW_NUMBER() OVER (PARTITION BY b.k
+                            ORDER BY item.n_i DESC, b.p) AS rn
+  FROM b JOIN item ON item.p = b.p
+),
+bc AS (SELECT k, p FROM bw WHERE rn <= {_MAX_BASKET_W}),
 pair AS (
   SELECT a.p AS part_a, c.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+  FROM bc a JOIN bc c ON a.k = c.k AND a.p < c.p
   GROUP BY a.p, c.p
   HAVING COUNT(*) >= {_MIN_PAIR}
 )
@@ -82,7 +102,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-preserving (the apriori property is a theorem, not a
     heuristic — the oracle needs no prune) while bounding the Σ basket²
     pair stage against hot baskets at 100×: a mega-basket contributes
-    only its FREQUENT items to the quadratic stage.
+    only its FREQUENT items to the quadratic stage. On top of the prune,
+    a per-basket WIDTH CAP admits only each basket's {_MAX_BASKET_W}
+    most frequent items (n_i DESC, part-key tie-break) into the
+    self-join, so one pathological 10^5-frequent-item basket can never
+    cost width² regardless of support. The cap ranks by n_i DESC, which
+    makes prune-then-cap (this code) and cap-then-support-floor (the
+    oracle, which needs no prune) keep the identical item set — the
+    equivalence is pinned on synthetic wide baskets in
+    tests/test_round7_props.py.
     All metrics are single IEEE divisions of exact
     BIGINT products (< 2^53) written token-identically in both engines;
     (lift, part_a, part_b) is a total order so LIMIT 100 is
@@ -108,12 +136,24 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_i")
         ),
     )
+    from pyspark.sql.window import Window
+
     # apriori prune: only items frequent enough to possibly reach the
     # pair-support floor enter the quadratic pair stage (exactly
     # result-preserving; see docstring)
     bf = b.join(
-        item.where(F.col("n_i") >= _MIN_PAIR).select("p"), "p"
-    ).select("k", "p")
+        item.where(F.col("n_i") >= _MIN_PAIR), "p"
+    ).select("k", "p", "n_i")
+    # width cap: keep the _MAX_BASKET_W most frequent items per basket
+    # (n_i DESC, p — a total order) so one mega-basket can never cost
+    # width² in the self-join. Per-basket window: millions of tiny
+    # groups, linear work — the quadratic stage below is what it bounds.
+    wcap = Window.partitionBy("k").orderBy(F.desc("n_i"), F.asc("p"))
+    bf = (
+        bf.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= _MAX_BASKET_W)
+        .select("k", "p")
+    )
     a, c = bf.alias("a"), bf.alias("c")
     pair = (
         a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))

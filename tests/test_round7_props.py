@@ -118,3 +118,77 @@ def test_md5_hex_order_matches_python(spark):
         assert (
             r["h"] == hashlib.md5(str(r["id"]).encode()).hexdigest()
         )
+
+
+def test_assoc_rules_width_cap_bites_identically(spark, tmp_path):
+    """On a synthetic fixture with one mega-basket (40 frequent + 10
+    singleton items) the per-basket width cap must (a) bound the
+    quadratic stage to C(16,2) pairs from that basket and (b) produce
+    the IDENTICAL rule set through the Spark path (prune→cap) and the
+    DuckDB oracle (cap→support-floor) — the equivalence the cap's
+    n_i-DESC ranking guarantees."""
+    import duckdb
+
+    from streaming_data_ingestion_spark.queries.basket import (
+        _MAX_BASKET_W,
+        q_assoc_rules,
+    )
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    rows = []
+    # 50 small baskets over a 25-item pool: every pool item is frequent
+    for k in range(1, 51):
+        for j in range(3):
+            rows.append((k, (k * 3 + j * 7) % 25))
+    # the mega-basket: 40 pool-frequent items (0..24 plus 25..39 which
+    # each also appear in one echo basket) + 10 singletons (1000..1009)
+    mega = 999
+    for p in range(40):
+        rows.append((mega, p))
+    for p in range(25, 40):  # echo baskets make 25..39 frequent
+        rows.append((2000 + p, p))
+    for p in range(1000, 1010):
+        rows.append((mega, p))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    got = q_assoc_rules(spark, sf_dir)
+    got_rows = [
+        (
+            r["part_a"], r["part_b"], r["n_ab"], r["n_a"], r["n_b"],
+            round(r["support"], 9), round(r["confidence"], 9),
+            round(r["lift"], 9),
+        )
+        for r in got.collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    oracle = all_queries()["q_assoc_rules"].oracle
+    want_rows = [
+        (a, b, n_ab, n_a, n_b, round(s, 9), round(c, 9), round(l, 9))
+        for a, b, n_ab, n_a, n_b, s, c, l in con.execute(oracle).fetchall()
+    ]
+    assert got_rows == want_rows
+    # the cap genuinely bit: no rule pairs two items the mega-basket
+    # ranked beyond _MAX_BASKET_W, and the mega-basket's contribution to
+    # any pair is bounded — spot-check via the kept-set definition
+    n_i = {}
+    for k, p in rows:
+        n_i.setdefault(p, set()).add(k)
+    mega_items = sorted(
+        (p for k, p in rows if k == mega),
+        key=lambda p: (-len(n_i[p]), p),
+    )
+    dropped = set(mega_items[_MAX_BASKET_W:])
+    assert len(dropped) > 20  # the cap actually pruned the mega-basket
+    for a, b, n_ab, *_ in got_rows:
+        if a in dropped and b in dropped:
+            # a dropped-dropped pair can only appear via OTHER baskets
+            both = n_i[a] & n_i[b]
+            assert both - {mega}, (a, b)
