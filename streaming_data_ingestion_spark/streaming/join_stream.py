@@ -48,14 +48,23 @@ def conversion_pairs(
     constraint bounds the state) and, identically, on two batch frames
     (the test twin: same expression tree, no watermarks needed).
 
-    ``how='left_outer'`` additionally emits unconverted clicks with
-    NULL purchase columns. Streaming semantics differ by construction:
-    the inner part emits as matches arrive, but an UNMATCHED click can
-    only emit once the watermark proves no future purchase can still
-    match (click_ts + window < watermark) — so at any finite point the
-    streamed outer result covers matched pairs completely but NULL rows
-    only for provably-expired clicks (pinned in
-    tests/test_streaming.py::test_stream_stream_left_outer_join).
+    The full outer-join matrix Spark supports for stream-stream joins is
+    exposed through ``how``: ``left_outer`` additionally emits
+    unconverted clicks with NULL purchase columns, ``right_outer`` emits
+    orphan purchases (no attributable click — the fraud/direct-traffic
+    readout) with NULL click columns, and ``full_outer`` emits both.
+    Streaming semantics differ by construction: the inner part emits as
+    matches arrive, but an UNMATCHED row can only emit once the
+    watermark proves no future partner can still match — for a click,
+    when click_ts + window < watermark; for a purchase, when
+    purchase_ts < watermark (a later click could otherwise still land
+    inside [purchase_ts − window, purchase_ts]). So at any finite point
+    the streamed outer result covers matched pairs completely but NULL
+    rows only for provably-expired orphans (each mode pinned in
+    tests/test_streaming.py::test_stream_stream_{left,right,full}_outer_join).
+
+    ``user_id`` is taken from whichever side is present
+    (coalesce(c_user, p_user)) so outer rows always carry the user.
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -81,7 +90,7 @@ def conversion_pairs(
     return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_ts",
         "purchase_ts",
     )

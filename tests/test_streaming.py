@@ -1781,3 +1781,169 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     }
     assert must_emit, "fixture must contain provably-expired unmatched clicks"
     assert must_emit <= got_null_ids
+
+
+def _sliced_event_source_dir(spark, tmp_path):
+    """Write the events fixture as 4 event-time-ordered slices with
+    increasing mtimes so maxFilesPerTrigger=1 feeds them as successive
+    micro-batches — the shared setup of every stream-stream join test."""
+    import os
+    import time as _time
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    n = ev.count()
+    ts_sorted = ev.orderBy("ts", "event_id").collect()
+    base = _time.time()
+    for i in range(4):
+        chunk = ts_sorted[i * n // 4 : (i + 1) * n // 4]
+        d = src_dir / f"slice={i}"
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for pth in d.rglob("*.parquet"):
+            os.utime(pth, (base + 10 * i, base + 10 * i))
+    return ev, src_dir, ev.schema
+
+
+def _outer_join_stream_run(spark, tmp_path, how):
+    from streaming_data_ingestion_spark.streaming.join_stream import (
+        conversion_pairs,
+        maintain_conversions,
+    )
+
+    ev, src_dir, schema = _sliced_event_source_dir(spark, tmp_path)
+    out = str(tmp_path / f"pairs_{how}")
+    ckpt = str(tmp_path / f"ckpt_{how}")
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+
+    q = maintain_conversions(
+        src().filter(F.col("event_type") == "click"),
+        src().filter(F.col("event_type") == "purchase"),
+        out,
+        ckpt,
+        watermark="1 hour",
+        how=how,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    want = conversion_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how=how,
+    )
+    return ev, got, want
+
+
+def _final_watermark(ev):
+    import datetime as _dt
+
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    mxd = {r["event_type"]: r["m"] for r in mx}
+    return min(mxd["click"], mxd["purchase"]) - _dt.timedelta(hours=1)
+
+
+def test_stream_stream_right_outer_join(spark, tmp_path):
+    """RIGHT OUTER stream-stream semantics: matched part == batch inner;
+    NULL-click rows only for genuinely orphan purchases; and every
+    purchase the final watermark provably expired (purchase_ts <
+    watermark − margin: no click with click_ts ≤ purchase_ts can still
+    arrive) MUST have been emitted with NULL click columns."""
+    import datetime as _dt
+
+    ev, got, want = _outer_join_stream_run(spark, tmp_path, "right_outer")
+
+    got_inner = got.where(F.col("click_id").isNotNull())
+    want_inner = want.where(F.col("click_id").isNotNull())
+    assert want_inner.count() > 0
+    assert got_inner.count() == want_inner.count()
+    assert got_inner.exceptAll(want_inner).count() == 0
+
+    want_null_ids = {
+        r["purchase_id"]
+        for r in want.where(F.col("click_id").isNull())
+        .select("purchase_id")
+        .collect()
+    }
+    got_null = got.where(F.col("click_id").isNull())
+    got_null_ids = {
+        r["purchase_id"] for r in got_null.select("purchase_id").collect()
+    }
+    assert got_null_ids <= want_null_ids
+    # outer rows must still carry the user (coalesce side-switch)
+    assert got_null.where(F.col("user_id").isNull()).count() == 0
+
+    wmark = _final_watermark(ev)
+    cutoff = wmark - _dt.timedelta(seconds=60)
+    must_emit = {
+        r["purchase_id"]
+        for r in want.where(
+            F.col("click_id").isNull() & (F.col("purchase_ts") < F.lit(cutoff))
+        )
+        .select("purchase_id")
+        .collect()
+    }
+    assert must_emit, "fixture must contain provably-expired orphan purchases"
+    assert must_emit <= got_null_ids
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """FULL OUTER stream-stream semantics: matched part == batch inner;
+    both orphan sides emit exactly the provably-expired rows (click side
+    once click_ts + window < watermark, purchase side once purchase_ts <
+    watermark), with no false orphans on either side."""
+    import datetime as _dt
+
+    from streaming_data_ingestion_spark.streaming.join_stream import (
+        DEFAULT_WINDOW_S,
+    )
+
+    ev, got, want = _outer_join_stream_run(spark, tmp_path, "full_outer")
+
+    got_inner = got.where(
+        F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    )
+    want_inner = want.where(
+        F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    )
+    assert want_inner.count() > 0
+    assert got_inner.count() == want_inner.count()
+    assert got_inner.exceptAll(want_inner).count() == 0
+
+    wmark = _final_watermark(ev)
+
+    for null_side, id_col, ts_col, margin_s in (
+        ("purchase_id", "click_id", "click_ts", DEFAULT_WINDOW_S + 60),
+        ("click_id", "purchase_id", "purchase_ts", 60),
+    ):
+        want_null_ids = {
+            r[id_col]
+            for r in want.where(F.col(null_side).isNull())
+            .select(id_col)
+            .collect()
+        }
+        got_null = got.where(F.col(null_side).isNull())
+        got_null_ids = {r[id_col] for r in got_null.select(id_col).collect()}
+        assert got_null_ids <= want_null_ids, null_side
+        assert got_null.where(F.col("user_id").isNull()).count() == 0
+        cutoff = wmark - _dt.timedelta(seconds=margin_s)
+        must_emit = {
+            r[id_col]
+            for r in want.where(
+                F.col(null_side).isNull() & (F.col(ts_col) < F.lit(cutoff))
+            )
+            .select(id_col)
+            .collect()
+        }
+        assert must_emit, f"no provably-expired orphans on {id_col} side"
+        assert must_emit <= got_null_ids, null_side
