@@ -202,6 +202,7 @@ EXTENDED = (
     "q_attribution_ushape",  # U-shaped multi-touch revenue attribution
     "q_js_divergence",       # per-source distributional alienness (JSD)
     "q_churn_cohorts",       # signup-vintage churn rates
+    "q_sim_ivfpq_probe_param",  # arbitrary-vector stored-index serving probe
 )
 
 

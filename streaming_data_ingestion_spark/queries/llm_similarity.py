@@ -1595,6 +1595,194 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ivfpq_probe — the PARAMETERIZED stored-index serving entry point: an
+# arbitrary query vector, supplied at CALL time, against the stored
+# deterministic IVFPQ index. q_sim_ivfpq_recall hash-verifies the
+# pipeline for compile-time query ids; this is the "index as a service"
+# shape (mirroring how q_cms_serving parameterized the CMS watchlist) —
+# route → partition-pruned probe → ADC on codes → exact re-rank, with
+# the query vector a plain python list.
+# --------------------------------------------------------------------------
+
+
+def _adc_dist_to(qcol: Column) -> Column:
+    """ADC distance of the PQ-coded corpus row to the query column
+    ``qcol`` — the identical fold structure/order as
+    q_sim_ivfpq_recall's inline expression and _adc_sql_term."""
+
+    def make_step(s: int, c: Column):
+        def step(acc: Column, d: Column) -> Column:
+            cent = (
+                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double")
+                - 6.0
+            ) / 6.0
+            x = F.element_at(
+                qcol, (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
+            ).cast("double")
+            diff = x - cent
+            return acc + diff * diff
+
+        return step
+
+    adc = None
+    for s in range(_PQ_SUB):
+        c = F.element_at("codes", s + 1)
+        term = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
+            F.lit(0.0),
+            make_step(s, c),
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    q_emb: list[float],
+    nprobe: int = _IVF_NPROBE,
+    k: int = 5,
+    rerank: int = _RERANK,
+) -> DataFrame:
+    """Serve one ARBITRARY query vector against the stored IVFPQ index.
+
+    Stages, each the 100 TB serving shape:
+    1. route — score the literal query against the K coarse centroids
+       (a K-row job) and keep the top-``nprobe`` cells: the routing
+       lookup, collected driver-side because it is nprobe rows;
+    2. prune — a literal IN over the index's ``cell`` partition column,
+       so the scan lists only nprobe/K of the corpus (PartitionFilters);
+    3. ADC — asymmetric distance on the stored PQ CODES only (~3% of
+       the vector bytes), top-``rerank`` via orderBy+limit (distributed
+       TakeOrderedAndProject, no global window);
+    4. exact re-rank — true L2 on the ``rerank`` survivors' float
+       vectors, top-``k``.
+
+    Returns (rnk, vec_id, cell, adc_dist, exact_dist).
+    """
+    path = _det_ivfpq_index_for(spark, sf_dir)
+    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _IVF_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            _cos(qcol, F.col("embedding")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe_cells = sorted(r["centroid_id"] for r in cents)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probe_cells))
+    kept = (
+        idx.select(
+            "vec_id",
+            "cell",
+            "embedding",
+            _adc_dist_to(qcol).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    topk = (
+        kept.withColumn("exact_dist", _l2(qcol, F.col("embedding")))
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    # rank stamp: a window over ≤ k rows (bounded by construction)
+    w = Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "vec_id",
+        "cell",
+        "adc_dist",
+        "exact_dist",
+    )
+
+
+# Deterministic example query vector for the registered key: a closed
+# form both engines can generate token-identically (small-integer
+# arithmetic + one IEEE subtract/divide), NOT a corpus vector — the
+# point is that the probe input is arbitrary.
+_PARAM_Q = [((i * 37) % 19 - 9) / 9.0 for i in range(_DIM)]
+
+
+@query(
+    "q_sim_ivfpq_probe_param",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(range(0, {_DIM}),
+         i -> (CAST((i * 37) % 19 AS DOUBLE) - 9.0) / 9.0) AS q_emb
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+routed AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           ROW_NUMBER() OVER (ORDER BY {_sql_cos("q.q_emb", "c.c_emb")} DESC,
+                              c.centroid_id ASC) AS crn
+    FROM cents c CROSS JOIN q
+  ) WHERE crn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_sql_cos("e.embedding", "c.c_emb")} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, centroid_id ASC) AS crn
+    FROM scored
+  ) WHERE crn = 1
+),
+codes AS ({_PQ_ORACLE}),
+cand AS (
+  SELECT a.vec_id, a.cell, a.embedding, c.codes, q.q_emb,
+         {" + ".join(_adc_sql_term(s) for s in range(_PQ_SUB))} AS adc_dist
+  FROM assign a
+  JOIN routed r ON a.cell = r.centroid_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  CROSS JOIN q
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS arn
+    FROM cand
+  ) WHERE arn <= {_RERANK}
+)
+SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, cell, adc_dist, exact_dist
+FROM (
+  SELECT vec_id, cell, adc_dist,
+         {_sql_l2("q_emb", "embedding")} AS exact_dist,
+         ROW_NUMBER() OVER (ORDER BY {_sql_l2("q_emb", "embedding")} ASC,
+                            vec_id ASC) AS rnk
+  FROM kept
+) WHERE rnk <= 5
+ORDER BY rnk
+""",
+    tags=("llm", "similarity", "ann", "index", "serving"),
+)
+def q_sim_ivfpq_probe_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized stored-index probe, driver-verified: run
+    ivfpq_probe with a query vector that is NOT a corpus row (a closed
+    form both engines generate token-identically), so the hash certifies
+    the serve-an-arbitrary-vector path — route, PartitionFilters prune,
+    code-only ADC, exact re-rank — not just the compile-time-id path
+    q_sim_ivfpq_recall already pins.
+
+    Scale: the routing job touches K rows, the probe reads nprobe/K of
+    the corpus via partition pruning, top-rerank/top-k are
+    orderBy+limit (distributed TakeOrderedAndProject, no global
+    window); the only windows run over ≤ k rows.
+    """
+    return ivfpq_probe(spark, sf_dir, _PARAM_Q)
+
+
+# --------------------------------------------------------------------------
 # q_sim_pair_hist — cosine-similarity histogram over the IVF-cell candidate
 # pairs: the calibration readout behind q_emb_neardup/q_semdedup's 0.35
 # threshold (where does the pair distribution actually split?).
