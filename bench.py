@@ -203,6 +203,16 @@ EXTENDED = (
     "q_js_divergence",       # per-source distributional alienness (JSD)
     "q_churn_cohorts",       # signup-vintage churn rates
     "q_sim_ivfpq_probe_param",  # arbitrary-vector stored-index serving probe
+    "q_kendall_tau",         # tie-corrected daily concordance (tau-b)
+    "q_theil_sen",           # median-pairwise-slope robust trend
+    "q_benford",             # first-digit financial-DQ audit + chi2
+    "q_new_vs_returning",    # DAU acquisition/retention composition
+    "q_dedup_yield",         # per-source dedup survivor accounting
+    "q_dedup_suffix",        # boilerplate-footer clusters
+    "q_bm25_search",         # parameterized top-k retrieval serving
+    "q_mix_temperature",     # sqrt-temperature data-mix multipliers
+    "q_pack_efficiency",     # seq-pack fill/straddle audit
+    "q_ivfpq_cell_stats",    # stored-index occupancy integrity read
 )
 
 

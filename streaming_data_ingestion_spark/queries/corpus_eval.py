@@ -472,3 +472,71 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return agg.select("source", jsd.alias("jsd_nats")).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q_dedup_suffix — shared-ENDING clusters: the boilerplate-footer twin of
+# q_dedup_prefix (scraped corpora repeat signatures, disclaimers, and
+# license tails the way they repeat banners).
+# --------------------------------------------------------------------------
+
+_SUFFIX_K = 3
+
+
+@query(
+    "q_dedup_suffix",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(
+           ({_SQL_TOKENS})[greatest(1, len({_SQL_TOKENS}) - {_SUFFIX_K} + 1)
+                           :len({_SQL_TOKENS})], ' ') AS suffix
+  FROM documents
+)
+SELECT
+  md5(suffix) AS suffix_digest,
+  suffix,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM p
+GROUP BY suffix
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, suffix_digest ASC
+""",
+    tags=("llm", "dedup", "text"),
+)
+def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-ending clusters: documents whose last {_SUFFIX_K} tokens
+    are identical, with the deterministic min-doc_id keeper — the
+    boilerplate-FOOTER detector (signatures, disclaimers, license
+    tails). Position-anchored like q_dedup_prefix, so clusters are
+    directly actionable as a strip rule; q_dup_substring finds the same
+    text anywhere but cannot say "it is the tail".
+
+    Scale shape: identical to q_dedup_prefix — a row-local slice (from
+    the end, clamped for short docs identically in both engines) + md5,
+    then ONE digest-keyed map-side-combined aggregate over a
+    constant-width key.
+    """
+    d = spread_for_cpu(load(spark, sf_dir, "documents"))
+    toks = _tokens()
+    start = F.greatest(F.lit(1), F.size(toks) - F.lit(_SUFFIX_K - 1))
+    p = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, start, _SUFFIX_K), " ").alias("suffix"),
+    )
+    return (
+        p.groupBy("suffix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("suffix").cast("binary")).alias("suffix_digest"),
+            "suffix",
+            "n_docs",
+            "keeper_doc_id",
+        )
+        .orderBy(F.desc("n_docs"), F.asc("suffix_digest"))
+    )

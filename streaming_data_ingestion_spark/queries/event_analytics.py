@@ -2237,3 +2237,72 @@ def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# q_new_vs_returning — daily active users split by first-ever-seen vs
+# returning (the acquisition/retention composition of every DAU point).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+SELECT
+  ud.day,
+  CAST(COUNT(*) AS BIGINT) AS n_active,
+  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_returning,
+  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS new_share
+FROM ud JOIN fs USING (user_id)
+GROUP BY ud.day
+ORDER BY ud.day
+""",
+    tags=("events", "lifecycle"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into first-ever-seen vs returning —
+    the composition behind every DAU chart (a flat DAU line can hide
+    collapsing retention masked by acquisition; `new_share` makes the
+    trade visible per day). Complements q_cum_uniques (running total of
+    firsts), q_rolling_active (DAU/WAU windows) and q_churn_cohorts
+    (vintage decay) with the per-day split product analytics actually
+    plots.
+
+    Exactness: first-seen is an integer-date MIN per user; all counts
+    BIGINT; new_share one IEEE division.
+
+    Scale shape: the fact table collapses to the (user, day) distinct
+    once (map-side combinable); the first-seen aggregate groups by a
+    SUBSET key (user) of that relation's partitioning, so Catalyst plans
+    no second exchange; the join back is user-keyed equi and the final
+    rollup is calendar-bounded.
+    """
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        ud.join(fs, "user_id")
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(is_new).cast("long").alias("n_new"),
+            F.sum(1 - is_new).cast("long").alias("n_returning"),
+            (
+                F.sum(is_new).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )

@@ -1005,3 +1005,253 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_pack_efficiency — bin-utilization readout of the q_seq_pack
+# construction: how full the fixed 2048-token training sequences are and
+# how many documents straddle a pack boundary per source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pack_efficiency",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+),
+p AS (
+  SELECT source, n_tokens,
+         (cum_tokens - n_tokens) // {_PACK_BUDGET} AS spack,
+         CASE WHEN n_tokens > 0
+              THEN (cum_tokens - 1) // {_PACK_BUDGET}
+              ELSE (cum_tokens - n_tokens) // {_PACK_BUDGET} END AS epack
+  FROM c
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(MAX(epack) + 1 AS BIGINT) AS n_packs,
+  CAST(SUM(n_tokens) AS DOUBLE)
+    / CAST((MAX(epack) + 1) * {_PACK_BUDGET} AS DOUBLE) AS utilization,
+  CAST(SUM(CASE WHEN epack > spack THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_straddling
+FROM p
+GROUP BY source
+ORDER BY source
+""",
+    tags=("llm", "pipeline", "loader"),
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the q_seq_pack layout, per source:
+    pack count, fill ratio of the allocated (n_packs × 2048)-token
+    budget, and how many documents straddle a sequence boundary (each
+    straddler costs a split — or a truncation — at materialization
+    time). This is the readout a training-data engineer checks before
+    committing to a packing order: low utilization or a high straddle
+    rate means the doc-length mix fights the sequence length.
+
+    Exactness: everything up to `utilization` is integer arithmetic on
+    exact token prefix sums (the q_seq_pack window); utilization is one
+    IEEE division of exact BIGINTs.
+
+    Scale shape: the same single source-partitioned prefix-sum window
+    as q_seq_pack, then a source-keyed aggregate — one shuffle on
+    source, map-side combinable rollup.
+    """
+    from streaming_data_ingestion_spark.queries.llm_text import _tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    spack = F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}")
+    epack = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(cum_tokens - 1) div {_PACK_BUDGET}"),
+    ).otherwise(F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}"))
+    p = d.withColumn("cum_tokens", cum).select(
+        "source", "n_tokens", spack.alias("spack"), epack.alias("epack")
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (F.max("epack") + 1).cast("long").alias("n_packs"),
+            (
+                F.sum("n_tokens").cast("double")
+                / ((F.max("epack") + 1) * _PACK_BUDGET).cast("double")
+            ).alias("utilization"),
+            F.sum(F.when(F.col("epack") > F.col("spack"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_mix_temperature — temperature-scaled sampling weights (the multinomial
+# mixing recipe): target share ∝ n_tokens^τ with τ = 0.5, the standard
+# square-root rebalance that up-weights small sources without letting
+# them dominate.
+# --------------------------------------------------------------------------
+
+_MIX_TAU_SQL = "sqrt(CAST(n_tokens AS DOUBLE))"
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST({_MIX_TAU_SQL} AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE) AS s
+  FROM per_source
+)
+SELECT
+  source,
+  n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(tot.n AS DOUBLE) AS natural_share,
+  {_MIX_TAU_SQL} / tot.s AS target_share,
+  ({_MIX_TAU_SQL} / tot.s)
+    / (CAST(n_tokens AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS multiplier
+FROM per_source CROSS JOIN tot
+ORDER BY source
+""",
+    tags=("llm", "pipeline", "loader"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mix weights, τ = 0.5: target share ∝
+    √n_tokens — the standard multinomial-temperature recipe for
+    up-weighting small/high-quality sources without letting them
+    dominate (τ=1 reproduces the natural mix, τ=0 the uniform one).
+    `multiplier` = target/natural is the per-source sampling factor a
+    loader applies (q_mix_weights' epochs_to_balance is the τ=0
+    equalize-to-max special case; this is the tunable-τ production
+    form).
+
+    Exactness: token counts are exact BIGINTs; each √n is one correctly
+    rounded IEEE sqrt (identical both engines); the √-mass total is
+    DECIMAL-summed (order-independent) and converted once via the
+    VARCHAR hop; every share/multiplier is then single IEEE ops on
+    identical operands — no rounding needed.
+
+    Scale shape: one map-side-combined per-source aggregate, a 1-row
+    total broadcast — sources-sized everything.
+    """
+    from streaming_data_ingestion_spark.compat import DEC
+    from streaming_data_ingestion_spark.queries.llm_text import _tokens
+
+    per_source = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.size(_tokens()).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    rt = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("n"),
+        F.sum(rt.cast(DEC)).cast("double").alias("s"),
+    )
+    natural = F.col("n_tokens").cast("double") / F.col("n").cast("double")
+    target = rt / F.col("s")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            natural.alias("natural_share"),
+            target.alias("target_share"),
+            (target / natural).alias("multiplier"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_yield — per-source exact-dedup yield audit: what fraction of
+# each source survives global keeper selection (the dataset-card row a
+# curator reads before paying for a source).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_yield",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, sha256(lower(trim(text))) AS digest
+  FROM documents
+),
+k AS (SELECT digest, MIN(doc_id) AS keeper FROM d GROUP BY digest)
+SELECT
+  d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_dropped,
+  CAST(SUM(CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS yield
+FROM d JOIN k USING (digest)
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup yield: how many of a source's documents
+    survive GLOBAL keeper selection (q_dedup_exact's min-doc_id rule) —
+    the duplication tax per source. A low-yield source is paying
+    ingest/storage for bytes the dedup stage throws away; cross-source
+    duplicates are charged to the non-keeper source, which is exactly
+    the accounting a buy/crawl decision needs.
+
+    Exactness: keeper selection is an integer MIN per digest; all
+    counts BIGINT; yield one IEEE division.
+
+    Scale shape: digest (not body) shuffles for the keeper aggregate;
+    the join back is digest-keyed equi; the final rollup is
+    sources-sized and map-side combinable.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+    )
+    k = d.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    kept = F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0)
+    return (
+        d.join(k, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(1 - kept).cast("long").alias("n_dropped"),
+            (
+                F.sum(kept).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("yield"),
+        )
+        .orderBy("source")
+    )

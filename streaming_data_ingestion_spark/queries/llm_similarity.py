@@ -1678,7 +1678,7 @@ def ivfpq_probe(
     kept = (
         idx.select(
             "vec_id",
-            "cell",
+            F.col("cell").cast("long").alias("cell"),
             "embedding",
             _adc_dist_to(qcol).alias("adc_dist"),
         )
@@ -1949,4 +1949,96 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
         .orderBy("q_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ivfpq_cell_stats — occupancy/balance audit of the STORED det-IVFPQ
+# index, read back from disk and hash-checked against the assignment
+# rule recomputed from the raw embeddings (index-integrity serving read).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ivfpq_cell_stats",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_sql_cos("e.embedding", "c.c_emb")} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, centroid_id ASC) AS crn
+    FROM scored
+  ) WHERE crn = 1
+),
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+         CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+  FROM assign GROUP BY cell
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM counts)
+SELECT
+  cell,
+  n_vectors,
+  min_vec_id,
+  max_vec_id,
+  CAST(n_vectors AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share,
+  CAST(n_vectors * {_IVF_K} AS DOUBLE) / CAST(tot.n AS DOUBLE) AS balance
+FROM counts CROSS JOIN tot
+ORDER BY cell
+""",
+    tags=("llm", "similarity", "ann", "index", "serving"),
+)
+def q_ivfpq_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit of the STORED IVFPQ index: per coarse cell,
+    vector count, id range, corpus share, and the balance ratio
+    (n·K/total — 1.0 = perfectly even; a cell at 3.0 means probe cost
+    is 3× the nprobe/K estimate when routing lands there). The Spark
+    side reads the INDEX TABLE back from disk, so the driver hash
+    certifies that the stored layout contains exactly the vectors the
+    assignment rule (recomputed from the raw embeddings by the oracle)
+    says each cell should hold — index-build integrity as a serving
+    read, the q_hist_serving discipline applied to the ANN artifact.
+
+    Scale shape: the index scan aggregates per partition directory
+    (map-side combinable, K groups), one 1-row total broadcast; the
+    expensive assignment recompute happens only in the oracle.
+    """
+    path = _det_ivfpq_index_for(spark, sf_dir)
+    # the hive partition column reads back as int32 — widen to the
+    # BIGINT the assignment rule (and oracle) carries
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+        )
+    )
+    tot = counts.agg(F.sum("n_vectors").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            "min_vec_id",
+            "max_vec_id",
+            (
+                F.col("n_vectors").cast("double") / F.col("n").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n_vectors") * _IVF_K).cast("double")
+                / F.col("n").cast("double")
+            ).alias("balance"),
+        )
+        .orderBy("cell")
     )

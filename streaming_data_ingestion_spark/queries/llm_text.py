@@ -1487,3 +1487,140 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_search — the PARAMETERIZED retrieval serving entry point: an
+# arbitrary term list, supplied at call time, ranked top-k by Okapi BM25
+# (q_bm25 scores a compile-time query; this is "search as a service",
+# the text twin of llm_similarity.ivfpq_probe).
+# --------------------------------------------------------------------------
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for an arbitrary ``terms`` query by Okapi
+    BM25 (k1=1.2, b=0.75) — term frequencies are per-row
+    ``filter``+``size`` over the token array keyed by POSITION (tf_0,
+    tf_1, …), so any term string works, including non-identifier
+    characters. One corpus-stats row (N, Σdl, per-term df) broadcasts
+    back; the doc side stays a streaming scan; top-k is orderBy+limit
+    (distributed TakeOrderedAndProject). Ranking uses the round(6)
+    score (ln is libm; ranking on raw doubles could ULP-flip near-ties
+    across engines) with doc_id as the total-order tie-break.
+
+    Returns (rank, doc_id, dl, bm25).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
+    sel = [F.col("doc_id"), F.size(toks).cast("long").alias("dl")]
+    for i, t in enumerate(terms):
+        sel.append(_tf(t).alias(f"tf_{i}"))
+    base = d.select(*sel)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    any_tf = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        part = (
+            idf
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / avgdl)))
+        )
+        score = part if score is None else score + part
+        any_tf = (
+            F.col(f"tf_{i}") if any_tf is None else any_tf + F.col(f"tf_{i}")
+        )
+    topk = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # ≤ k rows
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "dl",
+        "bm25",
+    )
+
+
+_BM25_SEARCH_TERMS = ("merge", "scan", "filter")
+_BM25_SEARCH_K = 10
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,
+         {", ".join(
+           f"CAST(len(list_filter({_SQL_TOKENS}, x -> x = '{t}')) AS BIGINT)"
+           f" AS tf_{i}" for i, t in enumerate(_BM25_SEARCH_TERMS)
+         )}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {", ".join(
+           f"CAST(count_if(tf_{i} > 0) AS BIGINT) AS df_{i}"
+           for i in range(len(_BM25_SEARCH_TERMS))
+         )}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, dl,
+    ROUND(
+      {" + ".join(
+        f"ln((CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f"    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+        f"                            / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+        for i in range(len(_BM25_SEARCH_TERMS))
+      )}, 6) AS bm25
+  FROM d CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_SEARCH_TERMS)))} > 0
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, dl, bm25 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_SEARCH_K}
+ORDER BY rank
+""",
+    tags=("llm", "text", "serving"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized BM25 retrieval path, driver-verified with a
+    fixed example query ({", ".join(_BM25_SEARCH_TERMS)}) — certifying
+    the serve-an-arbitrary-query machinery (positional tf columns,
+    broadcast corpus stats, round(6)-stable ranking, distributed top-k)
+    rather than a compile-time scoring pass. bm25_search() itself takes
+    any term list at call time.
+    """
+    return bm25_search(spark, sf_dir, _BM25_SEARCH_TERMS, _BM25_SEARCH_K)

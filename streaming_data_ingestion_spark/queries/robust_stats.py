@@ -839,3 +839,190 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("value_bin", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q_kendall_tau — Kendall tau-b association between the daily click and
+# purchase volume series (the concordance view of what q_spearman_corr
+# measures through ranks; tau-b corrects for ties on either axis).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+pairs AS (
+  SELECT
+    CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+    CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+    CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+    CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+agg AS (
+  SELECT
+    CAST(SUM(c) AS BIGINT) AS c,
+    CAST(SUM(d) AS BIGINT) AS d,
+    CAST(SUM(tx) AS BIGINT) AS tx,
+    CAST(SUM(ty) AS BIGINT) AS ty,
+    CAST(COUNT(*) AS BIGINT) AS n0,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days
+  FROM pairs
+)
+SELECT
+  n_days,
+  c AS concordant,
+  d AS discordant,
+  ROUND(CAST(c - d AS DOUBLE)
+        / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)), 6) AS tau_b
+FROM agg
+""",
+    tags=("events", "stats", "rank"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily click volume and daily purchase
+    volume: concordant minus discordant pairs over √((n₀−t_x)(n₀−t_y)),
+    where t_x/t_y count pairs tied on either axis — the tie-corrected
+    concordance coefficient (integer-count series tie often, so tau-a
+    would understate the association Spearman/Pearson report).
+
+    Exactness: the series are integer counts, so every pairwise
+    comparison is exact; C, D, tie counts and n₀ are BIGINTs, and tau-b
+    is one integer-difference division with one sqrt, round(6).
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    (day, x, y) relation in ONE conditional-count aggregate; the
+    triangle join runs over days² bounded pairs (the q_mann_kendall
+    shape), never over events.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("c"),
+        F.when(prod < 0, 1).otherwise(0).alias("d"),
+        F.when(F.col("b.x") == F.col("a.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("b.y") == F.col("a.y"), 1).otherwise(0).alias("ty"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    agg = pairs.agg(
+        F.sum("c").cast("long").alias("c"),
+        F.sum("d").cast("long").alias("d"),
+        F.sum("tx").cast("long").alias("tx"),
+        F.sum("ty").cast("long").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    ).crossJoin(F.broadcast(n))
+    tau = F.round(
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt(
+            ((F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))).cast(
+                "double"
+            )
+        ),
+        6,
+    )
+    return agg.select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_theil_sen — Theil-Sen robust trend: the median pairwise slope of the
+# daily revenue series (the outlier-immune line q_linreg's OLS is not).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(38,10))) AS rev
+  FROM events GROUP BY day
+),
+slopes AS (
+  SELECT a.day AS d1, b.day AS d2,
+         CAST(CAST(b.rev - a.rev AS VARCHAR) AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM slopes
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT
+  n.n_days,
+  ranked.m AS n_pairs,
+  ranked.slope AS sen_slope
+FROM ranked CROSS JOIN n
+WHERE rn = (m + 1) // 2
+""",
+    tags=("events", "stats", "timeseries"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator over daily revenue: the MEDIAN of all
+    pairwise slopes (rev_j − rev_i)/(day_j − day_i) — the robust trend
+    line (breakdown point ~29%) that one promo-day revenue spike cannot
+    drag the way it drags q_linreg's OLS slope. Median = the
+    lower-median nearest rank (m+1)//2 of the (slope, day-pair)-ordered
+    slope set, a deterministic total order.
+
+    Exactness: daily revenue is an exact DECIMAL sum; each slope is ONE
+    decimal-difference→double conversion (VARCHAR-hop on the DuckDB
+    side, single-rounded both engines) divided by an exact integer day
+    gap — bit-identical doubles, so both engines rank and pick the same
+    slope. No rounding needed: the output is a picked value, not a sum.
+
+    Scale shape: the fact table collapses to the calendar-bounded daily
+    relation first; slopes are days² bounded pairs (the q_mann_kendall
+    triangle), and the rank window runs over that bounded relation.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("rev")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).cast("long").alias("m"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select("n_days", F.col("m").alias("n_pairs"), F.col("slope").alias("sen_slope"))
+    )

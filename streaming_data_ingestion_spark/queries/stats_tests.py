@@ -1283,3 +1283,133 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c1 / n1).alias("rate1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_benford — Benford's-law first-digit audit of order totals (the
+# classic financial-data-quality / fraud screen).
+# --------------------------------------------------------------------------
+
+# Expected first-digit shares log10(1 + 1/d), PRE-COMPUTED in python and
+# injected as literals into BOTH engines: JVM Math.log10 and DuckDB's C
+# log10 may differ by one ULP on non-exact inputs like 1+1/3, which
+# would make an in-engine log10 hash-unstable. (repr() round-trips the
+# exact double, and both engines' string→double parsers are correctly
+# rounded.)
+import math as _math
+
+_BENFORD_E = tuple(_math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS x FROM orders
+  WHERE o_totalprice >= 1
+),
+d AS (
+  SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM v
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM counts),
+spine AS (SELECT UNNEST(range(1, 10)) AS digit),
+g AS (
+  SELECT spine.digit,
+         COALESCE(counts.nd, 0) AS n_orders,
+         CAST(COALESCE(counts.nd, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+           AS share,
+         [{", ".join(repr(e) for e in _BENFORD_E)}][spine.digit]
+           AS expected_share,
+         tot.n AS n
+  FROM spine LEFT JOIN counts ON counts.digit = spine.digit
+  CROSS JOIN tot
+),
+chi AS (
+  SELECT {sql_dec_to_double(
+    "SUM(CAST((share - expected_share) * (share - expected_share)"
+    " / expected_share AS DECIMAL(38,10)))"
+  )} AS tsum
+  FROM g
+)
+SELECT
+  CAST(g.digit AS INTEGER) AS digit,
+  g.n_orders,
+  g.share,
+  g.expected_share,
+  ROUND(CAST(g.n AS DOUBLE) * chi.tsum, 6) AS chi2_stat
+FROM g CROSS JOIN chi
+ORDER BY digit
+""",
+    tags=("orders", "stats", "dq"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected share log10(1+1/d) per leading digit, plus the Pearson
+    chi-square statistic n·Σ(p_d − e_d)²/e_d — the standard screen for
+    fabricated or truncated financial values (organic multi-scale
+    amounts follow Benford closely; price-capped or synthetic data
+    shows up as a large chi²).
+
+    Exactness: the leading digit comes from the INTEGER part's string
+    head (FLOOR→BIGINT→VARCHAR; integer-to-string is canonical in both
+    engines, unlike float formatting or log10-based digit extraction);
+    expected shares are python-precomputed literals (in-engine log10
+    differs by ULPs between JVM and C libm); shares are single IEEE
+    divisions of exact counts; the 9 chi² terms are DECIMAL-summed
+    (order-independent) and round(6) absorbs the final multiply.
+
+    Scale shape: one map-side-combined digit count (9 groups), a 9-row
+    spine join, a 1-row total broadcast — the fact table is touched
+    once.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    tot = counts.agg(F.sum("nd").cast("long").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    e_arr = F.array(*[F.lit(e) for e in _BENFORD_E])
+    g = (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_orders"),
+            (
+                F.coalesce(F.col("nd"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("share"),
+            F.element_at(e_arr, F.col("digit")).alias("expected_share"),
+            "n",
+        )
+    )
+    term = (
+        (F.col("share") - F.col("expected_share"))
+        * (F.col("share") - F.col("expected_share"))
+        / F.col("expected_share")
+    )
+    chi = g.agg(F.sum(term.cast(DEC)).alias("tsum"))
+    return (
+        g.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_orders",
+            "share",
+            "expected_share",
+            F.round(
+                F.col("n").cast("double") * F.col("tsum").cast("double"), 6
+            ).alias("chi2_stat"),
+        )
+        .orderBy("digit")
+    )

@@ -521,13 +521,23 @@ _CARTESIAN_OK = {
     "q_calibration_bins",  # 1-row total + 1-row ECE broadcasts onto the
     #                        16-row confidence grid
     "q_psi_drift",         # 1-row bounds/span broadcast + 1-row totals
-    "q_js_divergence",     # bounded sources×vocab dense-grid cross join
-    #                        (absent terms must carry q-side mass) +
-    #                        1-row corpus-total broadcast
+    "q_js_divergence",     # 1-row corpus-total broadcast onto the sparse
+    #                        (source, term) relation (absent-term q-mass
+    #                        folds into the closed-form correction)
     "q_churn_cohorts",     # 1-row horizon broadcast onto the user table
     "q_shard_assign",      # 1-row corpus-total broadcast (balance ratio)
     "q_token_budget_pick",  # bounded triangle join on the 16-row
     #                        hex-prefix cell spine (exact offsets)
+    "q_kendall_tau",       # triangle join on the calendar-bounded daily
+    #                        relation + 1-row n_days broadcast
+    "q_theil_sen",         # same bounded daily triangle + 1-row n_days
+    "q_benford",           # 1-row total + 1-row chi2 broadcasts onto the
+    #                        9-row digit spine
+    "q_mix_temperature",   # 1-row token/sqrt-mass totals broadcast onto
+    #                        the sources-sized relation
+    "q_bm25_search",       # 1-row corpus-stats broadcast (the q_bm25 shape)
+    "q_ivfpq_cell_stats",  # 1-row total broadcast onto the K-row cell
+    #                        occupancy relation
     "q_type_corr_matrix",  # dense calendar×|types| grid build (bounded
     #                        cross join) + day-keyed bounded pair join
     "q_hist_quantiles",    # 3-row pct spine × ≤258-row stored histogram
