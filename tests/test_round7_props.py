@@ -192,3 +192,145 @@ def test_assoc_rules_width_cap_bites_identically(spark, tmp_path):
             # a dropped-dropped pair can only appear via OTHER baskets
             both = n_i[a] & n_i[b]
             assert both - {mega}, (a, b)
+
+
+def test_kendall_tau_matches_python_brute_force(spark):
+    """tau-b must equal a brute-force python pairwise walk over the same
+    daily series (independent of both engines' SQL)."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    )
+    xs = [(r["x"], r["y"]) for r in daily]
+    c = d = tx = ty = n0 = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            n0 += 1
+            dx, dy = xs[j][0] - xs[i][0], xs[j][1] - xs[i][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    import math
+
+    want = round((c - d) / math.sqrt((n0 - tx) * (n0 - ty)), 6)
+    row = all_queries()["q_kendall_tau"].fn(spark, SF).collect()[0]
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert row["tau_b"] == want
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark):
+    """The picked slope must be the lower-median of the full python
+    slope list, and sit between the 40th and 60th percentile slopes
+    (sanity that the rank pick is not off by a cell)."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    daily = sorted(
+        (
+            (r["day"], float(r["rev"]))
+            for r in ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.sum(F.col("value").cast("decimal(38,10)")).alias("rev"))
+            .collect()
+        )
+    )
+    slopes = []
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            gap = (daily[j][0] - daily[i][0]).days
+            slopes.append((daily[j][1] - daily[i][1]) / gap)
+    slopes.sort()
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    row = all_queries()["q_theil_sen"].fn(spark, SF).collect()[0]
+    assert row["n_pairs"] == len(slopes)
+    assert abs(row["sen_slope"] - want) < 1e-9
+
+
+def test_benford_shares_and_chi2_invariants(spark):
+    """Expected shares must sum to 1 (within fp), observed shares must
+    sum to 1 exactly over the digit spine, and chi2 must equal the
+    python recomputation from the emitted rows."""
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    rows = all_queries()["q_benford"].fn(spark, SF).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["expected_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    n = sum(r["n_orders"] for r in rows)
+    chi = n * sum(
+        (r["share"] - r["expected_share"]) ** 2 / r["expected_share"]
+        for r in rows
+    )
+    assert abs(rows[0]["chi2_stat"] - chi) < 1e-4
+    # Benford monotonicity of the law itself
+    es = [r["expected_share"] for r in rows]
+    assert all(a > b for a, b in zip(es, es[1:]))
+
+
+def test_bm25_search_matches_q_bm25_on_its_terms(spark):
+    """bm25_search with q_bm25's own compile-time terms must reproduce
+    q_bm25's top-k scores exactly (same formula, positional tf path)."""
+    from streaming_data_ingestion_spark.queries.llm_text import (
+        _BM25_TERMS,
+        bm25_search,
+    )
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_search(spark, SF, _BM25_TERMS, 10).collect()
+    }
+    want_all = {
+        r["doc_id"]: r["bm25"]
+        for r in all_queries()["q_bm25"].fn(spark, SF).collect()
+    }
+    top = sorted(want_all.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == dict(top)
+
+
+def test_ivfpq_probe_matches_exact_within_probed_cells(spark):
+    """For an arbitrary query vector, the probe's top-k must equal the
+    brute-force L2 top-k computed in python over ONLY the probed cells
+    (partial-probe semantics) with ADC limited to candidate selection."""
+    import math
+
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _PARAM_Q,
+        _det_ivfpq_index_for,
+        ivfpq_probe,
+    )
+
+    got = ivfpq_probe(spark, SF, _PARAM_Q, nprobe=8, k=5, rerank=10**6)
+    rows = got.collect()
+    # with every cell probed and no rerank cut, the result IS the global
+    # exact-L2 top-5 — verify against python over the stored index
+    path = _det_ivfpq_index_for(spark, SF)
+    idx = spark.read.parquet(path).select("vec_id", "embedding").collect()
+
+    def l2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    truth = sorted(
+        ((l2(_PARAM_Q, r["embedding"]), r["vec_id"]) for r in idx)
+    )[:5]
+    assert [r["vec_id"] for r in rows] == [v for _, v in truth]
+    for r, (dist, _) in zip(rows, truth):
+        assert math.isclose(r["exact_dist"], dist, rel_tol=1e-9)
