@@ -213,6 +213,7 @@ EXTENDED = (
     "q_mix_temperature",     # sqrt-temperature data-mix multipliers
     "q_pack_efficiency",     # seq-pack fill/straddle audit
     "q_ivfpq_cell_stats",    # stored-index occupancy integrity read
+    "q_bm25_serving",        # retrieval from stored streaming-merged stats
 )
 
 

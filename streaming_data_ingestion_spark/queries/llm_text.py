@@ -1497,25 +1497,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def bm25_search(
-    spark: SparkSession,
-    sf_dir: str,
-    terms: tuple[str, ...],
-    k: int = 10,
-) -> DataFrame:
-    """Top-``k`` documents for an arbitrary ``terms`` query by Okapi
-    BM25 (k1=1.2, b=0.75) — term frequencies are per-row
-    ``filter``+``size`` over the token array keyed by POSITION (tf_0,
-    tf_1, …), so any term string works, including non-identifier
-    characters. One corpus-stats row (N, Σdl, per-term df) broadcasts
-    back; the doc side stays a streaming scan; top-k is orderBy+limit
-    (distributed TakeOrderedAndProject). Ranking uses the round(6)
-    score (ln is libm; ranking on raw doubles could ULP-flip near-ties
-    across engines) with doc_id as the total-order tie-break.
-
-    Returns (rank, doc_id, dl, bm25).
-    """
-    d = load(spark, sf_dir, "documents")
+def _bm25_base(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, tf_0..tf_{n-1}): positional per-term frequencies so
+    any term string works, including non-identifier characters."""
     toks = _tokens()
 
     def _tf(term: str) -> Column:
@@ -1524,19 +1508,20 @@ def bm25_search(
     sel = [F.col("doc_id"), F.size(toks).cast("long").alias("dl")]
     for i, t in enumerate(terms):
         sel.append(_tf(t).alias(f"tf_{i}"))
-    base = d.select(*sel)
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
+    return d.select(*sel)
+
+
+def _bm25_rank_topk(base: DataFrame, stats: DataFrame, n_terms: int, k: int) -> DataFrame:
+    """Score ``base`` against the broadcast 1-row ``stats`` (n_docs,
+    sum_dl, df_0..df_{n-1}) and return the top-``k`` as (rank, doc_id,
+    dl, bm25). Ranking uses the round(6) score (ln is libm; raw doubles
+    could ULP-flip near-ties across engines) with doc_id as the
+    total-order tie-break; top-k is orderBy+limit (distributed
+    TakeOrderedAndProject), the rank window runs over ≤ k rows."""
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = None
     any_tf = None
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf = F.col(f"tf_{i}").cast("double")
         idf = F.log(
             (F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
@@ -1566,6 +1551,32 @@ def bm25_search(
         "dl",
         "bm25",
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for an arbitrary ``terms`` query by Okapi
+    BM25 (k1=1.2, b=0.75). One corpus-stats row (N, Σdl, per-term df)
+    is aggregated fresh and broadcasts back; the doc side stays a
+    streaming scan. For the stats-from-STORE variant (no per-query
+    corpus aggregation) see queries/serving.py's bm25_serve.
+
+    Returns (rank, doc_id, dl, bm25).
+    """
+    base = _bm25_base(load(spark, sf_dir, "documents"), terms)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    return _bm25_rank_topk(base, stats, len(terms), k)
 
 
 _BM25_SEARCH_TERMS = ("merge", "scan", "filter")

@@ -484,3 +484,155 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         val.alias("value"),
     ).orderBy("pct")
+
+
+# --------------------------------------------------------------------------
+# q_bm25_serving — BM25 scored FROM the stored streaming-maintained
+# corpus statistics (streaming/bm25_stats.py): the retrieval leg of the
+# maintain→store→serve trio.
+# --------------------------------------------------------------------------
+
+_BM25_SERVE_TERMS = ("hash", "join", "stream")
+_BM25_SERVE_K = 10
+
+_BM25_STATS_MEMO: dict[str, str] = {}
+
+
+def stored_bm25_stats_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the merged BM25 stats table for
+    ``sf_dir`` by driving streaming/bm25_stats.py's merge writer over
+    four deterministic document slices, then REPLAY the final epoch —
+    the q_hist_serving discipline applied to the retrieval statistics."""
+    if sf_dir not in _BM25_STATS_MEMO:
+        from streaming_data_ingestion_spark.streaming.bm25_stats import (
+            merge_bm25_stats,
+        )
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = artifact_path(f"documents_bm25_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+        wb = merge_bm25_stats(path, run_ns="bm25-serve")
+        for e in range(4):
+            wb(docs.where(F.col("doc_id") % 4 == e), e)
+        wb(docs.where(F.col("doc_id") % 4 == 3), 3)  # crash-shape replay
+        _BM25_STATS_MEMO[sf_dir] = path
+    return _BM25_STATS_MEMO[sf_dir]
+
+
+def bm25_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` BM25 for an arbitrary ``terms`` query using the STORED
+    corpus statistics instead of a per-query aggregation pass: the stats
+    table (vocab-sized, incrementally maintained) collapses to one row
+    of exact integers (N, Σdl, df per query term — absent terms read as
+    df=0, exactly what a fresh aggregation would count), which
+    broadcasts onto the document scan. At 100 TB this turns every search
+    from scan+aggregate+scan into a single scan — the statistics were
+    paid for incrementally by the stream."""
+    from streaming_data_ingestion_spark.queries.llm_text import (
+        _bm25_base,
+        _bm25_rank_topk,
+    )
+
+    path = stored_bm25_stats_path(spark, sf_dir)
+    st = spark.read.parquet(path)
+    meta = F.col("kind") == "meta"
+    stats = st.agg(
+        F.max(F.when(meta & (F.col("term") == "n_docs"), F.col("n")))
+        .cast("long")
+        .alias("n_docs"),
+        F.max(F.when(meta & (F.col("term") == "sum_dl"), F.col("n")))
+        .cast("long")
+        .alias("sum_dl"),
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("kind") == "df") & (F.col("term") == t),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    base = _bm25_base(load(spark, sf_dir, "documents"), terms)
+    return _bm25_rank_topk(base, stats, len(terms), k)
+
+
+def _bm25_serving_oracle() -> str:
+    from streaming_data_ingestion_spark.queries.llm_text import _SQL_TOKENS
+
+    terms, k = _BM25_SERVE_TERMS, _BM25_SERVE_K
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,
+         {", ".join(
+           f"CAST(len(list_filter({_SQL_TOKENS}, x -> x = '{t}')) AS BIGINT)"
+           f" AS tf_{i}" for i, t in enumerate(terms)
+         )}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {", ".join(
+           f"CAST(count_if(tf_{i} > 0) AS BIGINT) AS df_{i}"
+           for i in range(len(terms))
+         )}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, dl,
+    ROUND(
+      {" + ".join(
+        f"ln((CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f"    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+        f"                            / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+        for i in range(len(terms))
+      )}, 6) AS bm25
+  FROM d CROSS JOIN stats
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(terms)))} > 0
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, dl, bm25 FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+@query(
+    "q_bm25_serving",
+    oracle=_bm25_serving_oracle(),
+    tags=("llm", "text", "serving"),
+)
+def q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 retrieval scored from the STORED streaming-maintained
+    corpus statistics — the retrieval leg of the maintain→store→serve
+    trio (histogram = distribution, CMS = frequency, BM25 stats =
+    ranking). The builder drives streaming/bm25_stats.py's idempotent
+    merge over four epoch slices PLUS a replayed final epoch; the oracle
+    recomputes (N, Σdl, df) from the raw documents table — so the
+    driver's hash certifies that a score served from the store is
+    bit-identical to one computed by a fresh corpus aggregation,
+    including the replay protocol (a broken replay skip would double df
+    and flip ranks).
+
+    Scale shape: the stats read collapses the vocab-sized stored table
+    to ONE row (exact integers) that broadcasts onto the document scan —
+    per-search cost is one scan instead of scan+aggregate+scan; top-k
+    via orderBy+limit; rank window over ≤ k rows.
+    """
+    return bm25_serve(spark, sf_dir, _BM25_SERVE_TERMS, _BM25_SERVE_K)

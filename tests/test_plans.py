@@ -536,6 +536,8 @@ _CARTESIAN_OK = {
     "q_mix_temperature",   # 1-row token/sqrt-mass totals broadcast onto
     #                        the sources-sized relation
     "q_bm25_search",       # 1-row corpus-stats broadcast (the q_bm25 shape)
+    "q_bm25_serving",      # 1-row STORED-stats broadcast (the q_bm25 shape
+    #                        with the aggregation read from the store)
     "q_ivfpq_cell_stats",  # 1-row total broadcast onto the K-row cell
     #                        occupancy relation
     "q_type_corr_matrix",  # dense calendar×|types| grid build (bounded

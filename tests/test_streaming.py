@@ -1947,3 +1947,63 @@ def test_stream_stream_full_outer_join(spark, tmp_path):
         }
         assert must_emit, f"no provably-expired orphans on {id_col} side"
         assert must_emit <= got_null_ids, null_side
+
+
+def test_streaming_bm25_stats_match_batch_with_replays(spark, tmp_path):
+    """Mergeable retrieval-stats contract: per-batch (df, n_docs,
+    sum_dl) partials summed into the stored table — with replays
+    injected after every epoch — equal the one-shot batch aggregation
+    over the cumulative prefix EXACTLY, and a true end-to-end stream
+    over file slices converges to the same table."""
+    from streaming_data_ingestion_spark.queries.llm_text import _tokens
+    from streaming_data_ingestion_spark.streaming.bm25_stats import (
+        bm25_stats_partial,
+        maintain_bm25_stats,
+        merge_bm25_stats,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    table = str(tmp_path / "bm25_stats")
+    wb = merge_bm25_stats(table, run_ns="run-a")
+
+    for epoch in range(3):
+        lo_c, hi_c = cuts[epoch], cuts[epoch + 1]
+        wave = docs.filter(
+            (F.col("doc_id") >= lo_c) & (F.col("doc_id") < hi_c)
+        )
+        wb(wave, epoch)
+        wb(wave, epoch)  # injected replay must be a no-op
+        prefix = docs.filter(F.col("doc_id") < hi_c)
+        got = spark.read.parquet(table).select("kind", "term", "n")
+        want = bm25_stats_partial(prefix)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+
+    # sanity: served integers == fresh aggregation integers
+    st = spark.read.parquet(table)
+    meta = {
+        r["term"]: r["n"]
+        for r in st.where(F.col("kind") == "meta").collect()
+    }
+    assert meta["n_docs"] == n
+    assert meta["sum_dl"] == docs.select(
+        F.sum(F.size(_tokens())).alias("s")
+    ).collect()[0]["s"]
+
+    # end-to-end: the same merge through a real availableNow stream
+    src = tmp_path / "src"
+    docs.coalesce(2).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    table2 = str(tmp_path / "bm25_stats_stream")
+    q = maintain_bm25_stats(
+        stream, table2, str(tmp_path / "ckpt_bm25")
+    )
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(table2).select("kind", "term", "n")
+    want2 = bm25_stats_partial(docs)
+    assert got2.count() == want2.count()
+    assert got2.exceptAll(want2).count() == 0
