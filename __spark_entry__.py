@@ -89,6 +89,20 @@ def _waiting_rounds() -> dict[str, int]:
         return {}
 
 
+# Re-verify queue: key -> round in which the key's ORACLE or semantics
+# changed after it already held a driver green (e.g. round 7 rewrote
+# q_js_divergence's formulation and q_assoc_rules' oracle gained the
+# width cap). A standing green from an earlier round certifies the OLD
+# definition, so the rotation ranks these right after never-checked keys
+# until a green lands in a round >= the stamped one — self-clearing, no
+# manual cleanup (the stamp only bites while last-green < stamp).
+def _reverify_rounds() -> dict[str, int]:
+    try:
+        return json.load(open(os.path.join(_HERE, "reverify_queue.json")))
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def _rotation(names: list[str]) -> list[str]:
     last_ok: dict[str, int] = {}  # key -> latest round with a green row
     last_seen: dict[str, int] = {}  # key -> latest round with ANY row
@@ -109,6 +123,7 @@ def _rotation(names: list[str]) -> list[str]:
                 last_ok[k] = max(last_ok.get(k, 0), rno)
 
     waiting = _waiting_rounds()
+    reverify = _reverify_rounds()
 
     def bucket(k: str) -> tuple:
         seen, ok = last_seen.get(k), last_ok.get(k)
@@ -118,7 +133,11 @@ def _rotation(names: list[str]) -> list[str]:
             # never driver-checked: longest-waiting (earliest-registered
             # per the ledger) first; unstamped keys are newest-possible
             return (1, waiting.get(k, 10**9), k)
-        return (2, ok, k)  # green — stalest round first
+        if ok is not None and ok < reverify.get(k, 0):
+            # green, but the definition changed after that green landed:
+            # re-certify before re-confirming untouched stale greens
+            return (2, reverify[k], k)
+        return (3, ok, k)  # green — stalest round first
 
     return sorted(names, key=bucket)
 

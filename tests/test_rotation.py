@@ -127,3 +127,52 @@ def test_every_oracle_belongs_to_a_registered_query():
     # exact 4-key list (q_agg_approx, q_bpe_encode, q_multimodal_features,
     # q_sim_ivfpq_index); this is just the drift tripwire
     assert len(q) - len(o) <= 4
+
+
+def test_reverify_queue_keys_enter_the_window():
+    """A key whose oracle/semantics changed after its last driver green
+    (reverify_queue.json stamp > last green round) must sit in the
+    first-50 window ahead of untouched stale greens — its standing green
+    certifies the OLD definition. Self-clearing: once a green lands in a
+    round >= the stamp, the key reverts to normal staleness ordering."""
+    mod = _entry()
+    rq = mod._reverify_rounds()
+    if not rq:
+        return
+    checked = _driver_checked()
+    # last green round per key (mirrors _rotation's last_ok)
+    last_ok: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rno = int("".join(c for c in f.stem if c.isdigit()))
+        for k, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            good = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ) or (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            if good:
+                last_ok[k] = max(last_ok.get(k, 0), rno)
+    pending = [
+        k for k, rnd in rq.items() if k in last_ok and last_ok[k] < rnd
+    ]
+    window = set(list(mod.queries())[:50])
+    waiting_outside = [k for k in pending if k not in window]
+    # only a genuinely full window (never-checked keys filling all 50)
+    # may push a reverify key out
+    never = [k for k in mod.queries() if k not in checked]
+    assert not waiting_outside or len(never) >= 50, (
+        f"oracle-changed keys wait outside the window: {waiting_outside}"
+    )
+
+
+def test_reverify_queue_keys_are_registered():
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    rq = _entry()._reverify_rounds()
+    stale = sorted(set(rq) - set(all_queries()))
+    assert not stale, f"reverify_queue has unregistered keys: {stale}"
