@@ -55,7 +55,29 @@ def artifact_path(name: str) -> str:
     import shutil
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "spark-warehouse", f"{name}_p{os.getpid()}")
+    wh = os.path.join(root, "spark-warehouse")
+    if not _ARTIFACT_CLEANUP:
+        # first call this process: sweep orphans left by processes that
+        # died without running atexit (SIGKILL'd pytest, timed-out
+        # drivers). A _p<pid> suffix whose pid is no longer alive is
+        # definitionally garbage — no live process can be mid-build in it.
+        try:
+            for entry in os.listdir(wh):
+                stem, _, pid_s = entry.rpartition("_p")
+                if not (stem and pid_s.isdigit()):
+                    continue
+                pid = int(pid_s)
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)  # alive? leave it alone
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+                except PermissionError:
+                    pass  # alive under another uid — leave it
+        except OSError:
+            pass
+    path = os.path.join(wh, f"{name}_p{os.getpid()}")
     if path not in _ARTIFACT_CLEANUP:
         _ARTIFACT_CLEANUP.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
