@@ -409,6 +409,37 @@ AUDITED = (
         "the single (vec, class) exchange; the argmin window is "
         "partitioned by vec_id, never global.",
     ),
+    (
+        "q_token_budget_pick",
+        "Multi-level distributed prefix sum. Read: two 16-row spine "
+        "builds (BroadcastNestedLoop over the bounded triangle is fine "
+        "at 16 rows) take/drop whole hex-prefix cells; the ONLY per-row "
+        "Window is partitioned by the 2-digit prefix and its input is "
+        "the single straddling sub-cell, <= 16^-2 of the corpus.",
+    ),
+    (
+        "q_emb_neardup",
+        "Within-cell quadratic stage. Read: the vector norm is a Project "
+        "below the self-join (one 64-wide fold per ROW); the join itself "
+        "is a hash join on the label cell, so each pair pays one dot "
+        "product — never a re-derived norm, never a cartesian.",
+    ),
+    (
+        "q_sim_ivfpq_probe_param",
+        "Arbitrary-vector stored-index probe. Read: the index scan's "
+        "PartitionFilters carry the literal probed-cell IN list (pruned "
+        "directories never listed); ADC runs over the codes column only; "
+        "both cuts are TakeOrderedAndProject (distributed top-k), the "
+        "rank Window input is <= k rows.",
+    ),
+    (
+        "q_bm25_serving",
+        "Stored-stats retrieval. Read: the stats scan collapses the "
+        "vocab-sized store to ONE row (partial_max before its exchange) "
+        "that BroadcastExchanges onto the document scan; the corpus side "
+        "is a single pass with row-side tf computation, top-k via "
+        "TakeOrderedAndProject.",
+    ),
 )
 
 
