@@ -56,6 +56,16 @@ EMPTY_SAFE = (
     "q_lm_score_bigram",
     "q_source_log_odds",
     "q_split_leakage_audit",
+    "q_token_budget_pick",
+    "q_kendall_tau",
+    "q_theil_sen",
+    "q_benford",
+    "q_new_vs_returning",
+    "q_dedup_yield",
+    "q_dedup_suffix",
+    "q_bm25_search",
+    "q_mix_temperature",
+    "q_pack_efficiency",
 )
 
 
