@@ -334,3 +334,24 @@ def test_ivfpq_probe_matches_exact_within_probed_cells(spark):
     assert [r["vec_id"] for r in rows] == [v for _, v in truth]
     for r, (dist, _) in zip(rows, truth):
         assert math.isclose(r["exact_dist"], dist, rel_tol=1e-9)
+
+
+def test_bm25_serve_handles_absent_terms_like_fresh_aggregation(spark):
+    """A query term absent from the corpus must read df=0 from the store
+    (COALESCE over the missing row) and produce the IDENTICAL ranking a
+    fresh aggregation pass computes — the store lookup may not diverge
+    from bm25_search on any term list, including out-of-vocabulary."""
+    from streaming_data_ingestion_spark.queries.llm_text import bm25_search
+    from streaming_data_ingestion_spark.queries.serving import bm25_serve
+
+    terms = ("merge", "zzz_not_a_token_zzz")
+    got = [
+        (r["rank"], r["doc_id"], r["bm25"])
+        for r in bm25_serve(spark, SF, terms, 7).collect()
+    ]
+    want = [
+        (r["rank"], r["doc_id"], r["bm25"])
+        for r in bm25_search(spark, SF, terms, 7).collect()
+    ]
+    assert got == want
+    assert len(got) == 7
