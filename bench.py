@@ -214,6 +214,9 @@ EXTENDED = (
     "q_pack_efficiency",     # seq-pack fill/straddle audit
     "q_ivfpq_cell_stats",    # stored-index occupancy integrity read
     "q_bm25_serving",        # retrieval from stored streaming-merged stats
+    "q_winsorized_mean",     # per-type clamped robust mean + cut values
+    "q_group_linreg",        # per-type daily-volume OLS trend
+    "q_length_histogram",    # digit-magnitude doc-length histogram
 )
 
 

@@ -540,3 +540,75 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_docs"), F.asc("suffix_digest"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_length_histogram — order-of-magnitude document-length histogram per
+# source (the loader-batch-shape readout).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_length_histogram",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+b AS (
+  SELECT source, n_toks,
+         CAST(length(CAST(n_toks AS VARCHAR)) AS INTEGER) AS magnitude
+  FROM d WHERE n_toks >= 1
+)
+SELECT
+  source,
+  magnitude,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+  CAST(MAX(n_toks) AS BIGINT) AS max_tokens
+FROM b
+GROUP BY source, magnitude
+ORDER BY source, magnitude
+""",
+    tags=("llm", "text", "loader"),
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude document-length histogram per source:
+    magnitude = decimal-digit count of the token length (1 → 1–9
+    tokens, 2 → 10–99, 3 → 100–999, …) with per-cell doc counts, token
+    mass, and length bounds — the batch-shape readout a loader engineer
+    checks before choosing sequence length and packing strategy (a
+    source dominated by magnitude-1 fragments packs very differently
+    from one of magnitude-4 longreads). Empty documents are excluded
+    (no leading digit).
+
+    Exactness: the bucket is the INTEGER's string length — canonical in
+    both engines, unlike floor(log10(n)) whose libm result can ULP-flip
+    at exact powers of ten. All outputs exact BIGINTs.
+
+    Scale shape: one row-local bucket computation + ONE
+    map-side-combined (source × ≤6 magnitudes) aggregate; the corpus is
+    touched once, nothing shuffles but the tiny rollup.
+    """
+    d = spread_for_cpu(load(spark, sf_dir, "documents")).select(
+        "source", F.size(_tokens()).cast("long").alias("n_toks")
+    )
+    b = d.where(F.col("n_toks") >= 1).select(
+        "source",
+        "n_toks",
+        F.length(F.col("n_toks").cast("string")).cast("int").alias(
+            "magnitude"
+        ),
+    )
+    return (
+        b.groupBy("source", "magnitude")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("n_toks").cast("long").alias("min_tokens"),
+            F.max("n_toks").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source", "magnitude")
+    )

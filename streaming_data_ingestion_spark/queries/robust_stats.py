@@ -1026,3 +1026,202 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.expr("(m + 1) div 2"))
         .select("n_days", F.col("m").alias("n_pairs"), F.col("slope").alias("sen_slope"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_winsorized_mean — per-type 5%/95% winsorized mean: the clamping
+# sibling of q_trimmed_mean (outliers are pulled to the cut values
+# instead of dropped, preserving n).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_winsorized_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rt,
+         COUNT(*) OVER (PARTITION BY event_type) AS nt
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         CAST(MIN(nt) AS BIGINT) AS n,
+         MIN(CASE WHEN rt = (5 * nt + 99) // 100 THEN value END) AS lo_cut,
+         MIN(CASE WHEN rt = (95 * nt + 99) // 100 THEN value END) AS hi_cut
+  FROM ranked GROUP BY event_type
+)
+SELECT
+  r.event_type,
+  b.n,
+  b.lo_cut,
+  b.hi_cut,
+  CAST(CAST(SUM(CAST(LEAST(GREATEST(r.value, b.lo_cut), b.hi_cut)
+       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+FROM ranked r JOIN bounds b USING (event_type)
+GROUP BY r.event_type, b.n, b.lo_cut, b.hi_cut
+ORDER BY r.event_type
+""",
+    tags=("events", "stats", "rank"),
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorized mean of event value per type: values below the
+    p05 nearest-rank cut are pulled UP to it and values above p95 pulled
+    DOWN — the robust location estimate that (unlike q_trimmed_mean)
+    keeps every observation's vote, just caps its leverage; the pair of
+    cut values is reported so the clamping is auditable.
+
+    Exactness: cut ranks are pure integer arithmetic ((q·n+99)//100 on a
+    unique ROW_NUMBER), cut values untouched input doubles, the clamp is
+    LEAST/GREATEST (exact), the clamped sum DECIMAL-routed, one final
+    IEEE division.
+
+    Scale shape: the q_trimmed_mean construction — ONE composite-key
+    with_global_rank pass + a types-sized offset/bounds broadcast; no
+    per-group window ever touches the fact table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    ranked, _n = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    )
+    offs = ranked.groupBy("event_type").agg(
+        F.min("gr").alias("base"),
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    j = ranked.join(F.broadcast(offs), "event_type").select(
+        "event_type",
+        "value",
+        "nt",
+        (F.col("gr") - F.col("base") + 1).alias("rt"),
+    )
+    bounds = j.groupBy("event_type").agg(
+        F.min("nt").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("rt") == F.expr("(5 * nt + 99) div 100"), F.col("value"))
+        ).alias("lo_cut"),
+        F.min(
+            F.when(F.col("rt") == F.expr("(95 * nt + 99) div 100"), F.col("value"))
+        ).alias("hi_cut"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut")
+    )
+    return (
+        j.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo_cut", "hi_cut")
+        .agg(
+            (
+                F.sum(clamped.cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean")
+        )
+        .select(
+            "event_type", "n", "lo_cut", "hi_cut", "winsorized_mean"
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_group_linreg — per-type OLS trend of the daily event-count series
+# (slope, intercept, r²): the grouped sibling of q_linreg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_group_linreg",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM daily GROUP BY event_type
+)
+SELECT
+  event_type,
+  n AS n_days,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE) AS intercept,
+  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM m
+WHERE n * sxx > sx * sx AND n * syy > sy * sy
+ORDER BY event_type
+""",
+    tags=("events", "stats", "timeseries"),
+)
+def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of the daily volume series: slope
+    (events/day of drift), intercept at the fixed 2024-01-01 origin, and
+    r² — "which event types are growing, and how linearly" in one
+    grouped regression, the per-key sibling of q_linreg (one global
+    fit) and the parametric counterpart of q_mann_kendall.
+
+    Exactness: x (days since a fixed origin) and y (daily counts) are
+    exact integers, so all five moments are exact BIGINTs; slope is one
+    IEEE division of integer differences; intercept/r² are a few IEEE
+    ops written token-identically (r²'s squares computed in doubles —
+    the integer squares could exceed 2^63). Degenerate groups (constant
+    x or constant y ⇒ zero denominator, which ANSI division would
+    raise on) are excluded by the identical integer guard in both
+    engines.
+
+    Scale shape: the fact table collapses to the (type × day) relation
+    in ONE map-side-combined aggregate; the moment rollup is
+    types-sized. No windows, no joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    d = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).cast("long").alias("x"),
+        "y",
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    slope = num / dx
+    return (
+        m.where((n * sxx > sx * sx) & (n * syy > sy * sy))
+        .select(
+            "event_type",
+            n.alias("n_days"),
+            slope.alias("slope"),
+            (
+                (sy.cast("double") - slope * sx.cast("double"))
+                / n.cast("double")
+            ).alias("intercept"),
+            ((num * num) / (dx * dy)).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
