@@ -2007,3 +2007,72 @@ def test_streaming_bm25_stats_match_batch_with_replays(spark, tmp_path):
     want2 = bm25_stats_partial(docs)
     assert got2.count() == want2.count()
     assert got2.exceptAll(want2).count() == 0
+
+
+def test_streaming_ann_index_fold_in_equals_one_shot(spark, tmp_path):
+    """Folding vector micro-batches into the stored IVFPQ index (frozen
+    centroids, epoch-partitioned dynamic-overwrite appends) must — with
+    a replay injected — hold EXACTLY the rows a one-shot assignment of
+    the cumulative vector set produces, and a probe through the index
+    must not see the epoch column."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        assign_to_centroids,
+        fold_in_writer,
+        maintain_ann_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    idx_path = str(tmp_path / "ann_idx")
+
+    n = emb.count()
+    wb = fold_in_writer(idx_path, cents)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for epoch in range(3):
+        wave = emb.filter(
+            (F.col("vec_id") >= cuts[epoch]) & (F.col("vec_id") < cuts[epoch + 1])
+        )
+        wb(wave, epoch)
+        wb(wave, epoch)  # replay: dynamic overwrite must not duplicate
+
+    got = spark.read.parquet(idx_path).select(
+        "vec_id", "cell", "codes", "embedding"
+    )
+    want = assign_to_centroids(emb, cents)
+    assert got.count() == n
+    assert got.count() == want.count()
+    assert (
+        got.withColumn("codes", F.col("codes").cast("array<int>"))
+        .exceptAll(want.withColumn("codes", F.col("codes").cast("array<int>")))
+        .count()
+        == 0
+    )
+    # cell stays the leading partition dir => probe pruning unaffected
+    import os
+
+    assert any(
+        d.startswith("cell=") for d in os.listdir(idx_path) if "=" in d
+    )
+
+    # the same fold through a REAL availableNow stream (fresh path)
+    src = tmp_path / "vec_src"
+    emb.coalesce(2).write.parquet(str(src))
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    idx2 = str(tmp_path / "ann_idx_stream")
+    q = maintain_ann_index(
+        stream, idx2, str(tmp_path / "ann_ckpt"), cents
+    )
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(idx2).select("vec_id", "cell", "codes", "embedding")
+    assert got2.count() == n
+    assert (
+        got2.withColumn("codes", F.col("codes").cast("array<int>"))
+        .exceptAll(want.withColumn("codes", F.col("codes").cast("array<int>")))
+        .count()
+        == 0
+    )
