@@ -43,6 +43,11 @@ HOSTILE_CHECKED = (
     "q_session_length_hist",  # unix_micros gap decisions
     "q_forecast_eval",  # to_date + date_sub lag joins
     "q_psi_drift",  # ts→double epoch split must be tz-independent
+    "q_new_vs_returning",  # to_date first-seen + timestamp-cast day output
+    "q_kendall_tau",  # to_date daily buckets feeding exact comparisons
+    "q_theil_sen",  # to_date buckets + datediff day gaps in slopes
+    "q_group_linreg",  # datediff against a DATE literal origin
+    "q_winsorized_mean",  # global-rank cuts must not depend on shuffle width
 )
 
 
