@@ -19,9 +19,12 @@ Quantization for Nearest Neighbor Search", TPAMI 2011):
   answer.
 
 At deployment the exact `embedding` column lives in the index only for
-the re-rank column read (parquet column pruning means ADC scoring never
-touches it); with rerank ≪ cell size the exact reads are per-candidate
-row lookups, not scans.
+the re-rank fetch: the ADC stage is a SEPARATE codes-only scan (its
+ReadSchema provably excludes `embedding` — asserted in
+tests/test_ivfpq.py), and the exact re-rank is a second scan filtered
+to the ≤ rerank survivor ids, pushed into the parquet reader
+(PushedFilters on vec_id), so the float-vector bytes read are
+per-candidate row-group lookups, not probed-cell scans.
 """
 
 from __future__ import annotations
@@ -106,6 +109,48 @@ def _adc_table(q_emb: list[float]) -> list[list[float]]:
     return table
 
 
+def adc_candidates(
+    idx: DataFrame, table: list[list[float]], rerank: int
+) -> DataFrame:
+    """The codes-only ADC stage: score every probed row against the
+    8×16 literal lookup table and keep the top ``rerank`` by
+    (adc_dist, vec_id). The projection reads (vec_id, cell, codes) and
+    NOTHING else — in particular not ``embedding`` — so the probed-cell
+    parquet scan is code-sized (~3% of the vector bytes); asserted on
+    ReadSchema in tests/test_ivfpq.py. Top-rerank is orderBy+limit
+    (distributed TakeOrderedAndProject, no global window)."""
+    adc = None
+    for s in range(_PQ_SUB):
+        lut = F.array(*[F.lit(v) for v in table[s]])
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        adc = term if adc is None else adc + term
+    return (
+        idx.select("vec_id", "cell", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+
+
+def fetch_vectors(
+    spark: SparkSession,
+    path: str,
+    probe_cells: list[int],
+    vec_ids: list[int],
+) -> DataFrame:
+    """Point-fetch the float vectors for the ≤ rerank ADC survivors:
+    partition pruning on ``cell`` plus a literal vec_id IN-list pushed
+    into the parquet reader (PushedFilters — row-group stats skip
+    non-matching groups), so the exact-rerank read is per-candidate
+    lookups, not a probed-cell scan of the 512 B/row float column."""
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("cell").isin(*probe_cells) & F.col("vec_id").isin(vec_ids)
+        )
+        .select("vec_id", "embedding")
+    )
+
+
 def query_ivfpq(
     spark: SparkSession,
     path: str,
@@ -115,29 +160,39 @@ def query_ivfpq(
     k: int = 5,
     rerank: int = 20,
 ) -> DataFrame:
-    """Top-k neighbors of ``q_emb``: partition-pruned probe → ADC lookup
-    scoring → exact re-rank of the top ``rerank`` ADC candidates.
+    """Top-k neighbors of ``q_emb``: partition-pruned probe → codes-only
+    ADC lookup scoring → exact re-rank of the top ``rerank`` ADC
+    candidates.
 
     The cell filter is a literal IN-list over the partition column, so
     it lands in PartitionFilters (asserted in tests/test_ivfpq.py) —
-    non-probed cells cost nothing. ADC is one element_at per subspace
-    against the 8×16 literal table; only the ``rerank`` survivors read
-    the float vectors for exact scoring.
+    non-probed cells cost nothing. The ADC stage (adc_candidates) never
+    projects ``embedding``; its top-``rerank`` survivors (a bounded,
+    ≤ rerank-row collect — the serving call's answer is k rows anyway)
+    are re-fetched by a vec_id-pushed point scan (fetch_vectors) for
+    exact scoring, so float-vector bytes are read for ≤ rerank rows
+    total, never for every probed row.
     """
     probes = _probe_cells(q_emb, cents, nprobe)
     table = _adc_table(q_emb)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
 
-    adc = None
-    for s in range(_PQ_SUB):
-        lut = F.array(*[F.lit(v) for v in table[s]])
-        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
-        adc = term if adc is None else adc + term
-
-    candidates = (
-        idx.select("vec_id", "cell", "embedding", adc.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(rerank)
+    survivors = adc_candidates(idx, table, rerank).collect()
+    if not survivors:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, cell int, adc_dist double, exact_dist double",
+        )
+    # doubles round-trip exactly through collect/createDataFrame (IEEE
+    # bit patterns preserved), so re-attaching adc_dist is hash-safe
+    surv_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in survivors],
+            "vec_id long, cell int, adc_dist double",
+        )
+    )
+    fetched = fetch_vectors(
+        spark, path, probes, [r["vec_id"] for r in survivors]
     )
     q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
     exact = F.aggregate(
@@ -150,9 +205,8 @@ def query_ivfpq(
         lambda acc, x: acc + x,
     )
     return (
-        candidates.select(
-            "vec_id", "cell", "adc_dist", exact.alias("exact_dist")
-        )
+        fetched.join(surv_df, "vec_id")
+        .select("vec_id", "cell", "adc_dist", exact.alias("exact_dist"))
         .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )

@@ -1437,39 +1437,15 @@ LEFT JOIN ht USING (q_id)
 """
 
 
-@query(
-    "q_sim_ivfpq_recall",
-    oracle=_IVFPQ_RECALL_ORACLE,
-    tags=("llm", "similarity", "ann", "index"),
-)
-def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the STORED partial-probe IVFPQ path against the
-    brute-force L2 truth — the hash-verified quality contract
-    q_sim_ivfpq_index (rows-only) cannot give.
+def _det_recall_kept(spark: SparkSession, sf_dir: str):
+    """The lazy codes-only ADC stage of the stored-index recall path:
+    probe routing (memoized) → partition-pruned index scan → broadcast
+    probe join → ADC fold on the PQ codes → per-query rerank cut.
 
-    The index on disk is the real deployment layout (cell-partitioned
-    parquet, PQ codes + float vectors, probe = literal IN over the
-    partition column → PartitionFilters), but its coarse quantizer is
-    the DETERMINISTIC q_sim_ivf rule (centroids = first-K corpus
-    vectors, cosine assignment, ties to the lower id) instead of trained
-    k-means — which is exactly what makes every stage SQL-expressible:
-    cell assignment (q_sim_ivf's oracle idiom), PQ codes (_PQ_ORACLE),
-    ADC scoring (q_sim_pq_adc's fold), the rerank-20 cut
-    (row_number over bit-exact ADC doubles), exact-L2 re-rank, and the
-    final integer hits join. The driver therefore value-hashes the
-    ENTIRE stored-index query path, nprobe=2 < K=8
-    partial probing included — recall here is genuinely < 1.0 when a
-    true neighbor lives in an unprobed cell, and both engines must
-    agree on exactly which. (The fixture embeddings are isotropic, so
-    measured recall sits near the nprobe/K = 0.25 chance floor — the
-    contract under test is bit-exact agreement on the probe/ADC/rerank
-    pipeline, not clustering quality of random vectors; real corpora
-    with cluster structure are what lift IVF recall above chance.)
-
-    Scale: identical to q_sim_ivfpq_index — the probe reads nprobe/K of
-    the corpus via partition pruning, ADC reads codes only (~3% of the
-    vector bytes), and only rerank survivors touch float vectors.
-    """
+    Returns (kept, path, probe_cells). ``kept`` projects (q_id, q_emb,
+    vec_id, adc_dist, arn) and NEVER ``embedding`` — the probed-cell
+    parquet scan under it is code-sized; tests/test_ivfpq.py asserts
+    its ReadSchema excludes the float column."""
     path = _det_ivfpq_index_for(spark, sf_dir)
     # Probe routing is memoized with the index: the (q_id, q_emb, cell)
     # rows are the serving path's routing-table lookup — computed once
@@ -1532,9 +1508,11 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         adc = term if adc is None else adc + term
 
+    # codes-only ADC stage: the projection reads (q_id, q_emb, vec_id,
+    # codes) — never `embedding` — so the probed-cell scan is code-sized
+    # (~3% of the vector bytes; ReadSchema asserted in tests/test_ivfpq.py)
     scored_cand = cand.select(
-        "q_id", "q_emb", idx["vec_id"].alias("vec_id"), "embedding",
-        adc.alias("adc_dist"),
+        "q_id", "q_emb", idx["vec_id"].alias("vec_id"), adc.alias("adc_dist")
     )
     aw = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
@@ -1543,11 +1521,75 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_cand.withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") <= _RERANK)
     )
+    return kept, path, probe_cells
+
+
+@query(
+    "q_sim_ivfpq_recall",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    tags=("llm", "similarity", "ann", "index"),
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the STORED partial-probe IVFPQ path against the
+    brute-force L2 truth — the hash-verified quality contract
+    q_sim_ivfpq_index (rows-only) cannot give.
+
+    The index on disk is the real deployment layout (cell-partitioned
+    parquet, PQ codes + float vectors, probe = literal IN over the
+    partition column → PartitionFilters), but its coarse quantizer is
+    the DETERMINISTIC q_sim_ivf rule (centroids = first-K corpus
+    vectors, cosine assignment, ties to the lower id) instead of trained
+    k-means — which is exactly what makes every stage SQL-expressible:
+    cell assignment (q_sim_ivf's oracle idiom), PQ codes (_PQ_ORACLE),
+    ADC scoring (q_sim_pq_adc's fold), the rerank-20 cut
+    (row_number over bit-exact ADC doubles), exact-L2 re-rank, and the
+    final integer hits join. The driver therefore value-hashes the
+    ENTIRE stored-index query path, nprobe=2 < K=8
+    partial probing included — recall here is genuinely < 1.0 when a
+    true neighbor lives in an unprobed cell, and both engines must
+    agree on exactly which. (The fixture embeddings are isotropic, so
+    measured recall sits near the nprobe/K = 0.25 chance floor — the
+    contract under test is bit-exact agreement on the probe/ADC/rerank
+    pipeline, not clustering quality of random vectors; real corpora
+    with cluster structure are what lift IVF recall above chance.)
+
+    Scale: identical to q_sim_ivfpq_index — the probe reads nprobe/K of
+    the corpus via partition pruning, ADC reads codes only (~3% of the
+    vector bytes — the codes-only stage is _det_recall_kept, whose scan
+    ReadSchema provably excludes `embedding`), and only rerank
+    survivors touch float vectors via a vec_id-pushed point fetch.
+    """
+    kept, path, probe_cells = _det_recall_kept(spark, sf_dir)
+    # rerank survivors: a bounded collect (≤ |queries|×rerank = 60 rows)
+    # whose vec_ids drive a SECOND, point-lookup scan of the index for
+    # the float vectors (PartitionFilters on cell + PushedFilters on
+    # vec_id) — the exact re-rank reads ≤ rerank vectors per query, not
+    # every probed row. Doubles round-trip bit-exactly through
+    # collect/createDataFrame, so adc_dist reattachment is hash-safe.
+    surv_rows = kept.select("q_id", "q_emb", "vec_id", "adc_dist").collect()
+    surv_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["q_id"], list(r["q_emb"]), r["vec_id"], r["adc_dist"])
+                for r in surv_rows
+            ],
+            "q_id long, q_emb array<double>, vec_id long, adc_dist double",
+        )
+    )
+    surv_ids = sorted({r["vec_id"] for r in surv_rows})
+    fetched = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("cell").isin(*probe_cells) & F.col("vec_id").isin(surv_ids)
+        )
+        .select("vec_id", "embedding")
+    )
     ew = Window.partitionBy("q_id").orderBy(
         F.col("exact_dist").asc(), F.col("vec_id").asc()
     )
     ann = (
-        kept.withColumn(
+        fetched.join(surv_df, "vec_id")
+        .withColumn(
             "exact_dist", _l2(F.col("q_emb"), F.col("embedding"))
         )
         .withColumn("rnk", F.row_number().over(ew))
@@ -1636,6 +1678,46 @@ def _adc_dist_to(qcol: Column) -> Column:
     return adc
 
 
+def _probe_adc_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    q_emb: list[float],
+    nprobe: int,
+    rerank: int,
+):
+    """The lazy codes-only ADC stage of the parameterized probe: route
+    the literal query to its top-nprobe cells (a K-row job), scan ONLY
+    those cells (PartitionFilters), score codes against the query, and
+    cut to the top ``rerank``. Projects (vec_id, cell, adc_dist) —
+    never ``embedding`` — so the scan is code-sized; ReadSchema
+    asserted in tests/test_ivfpq.py. Returns (df, path, probe_cells)."""
+    path = _det_ivfpq_index_for(spark, sf_dir)
+    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _IVF_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            _cos(qcol, F.col("embedding")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe_cells = sorted(r["centroid_id"] for r in cents)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probe_cells))
+    stage = (
+        idx.select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            _adc_dist_to(qcol).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    return stage, path, probe_cells
+
+
 def ivfpq_probe(
     spark: SparkSession,
     sf_dir: str,
@@ -1660,33 +1742,40 @@ def ivfpq_probe(
 
     Returns (rnk, vec_id, cell, adc_dist, exact_dist).
     """
-    path = _det_ivfpq_index_for(spark, sf_dir)
-    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
-    cents = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < _IVF_K)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            _cos(qcol, F.col("embedding")).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-        .limit(nprobe)
-        .collect()
+    # codes-only ADC stage (no `embedding` in the projection → the
+    # probed-cell scan reads code bytes only; ReadSchema asserted in
+    # tests/test_ivfpq.py), then a bounded ≤ rerank-row collect whose
+    # ids drive a vec_id-pushed point fetch of the float vectors —
+    # exact re-rank reads ≤ rerank vectors, never every probed row.
+    adc_stage, path, probe_cells = _probe_adc_stage(
+        spark, sf_dir, q_emb, nprobe, rerank
     )
-    probe_cells = sorted(r["centroid_id"] for r in cents)
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probe_cells))
-    kept = (
-        idx.select(
-            "vec_id",
-            F.col("cell").cast("long").alias("cell"),
-            "embedding",
-            _adc_dist_to(qcol).alias("adc_dist"),
+    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    surv_rows = adc_stage.collect()
+    if not surv_rows:
+        return spark.createDataFrame(
+            [],
+            "rnk int, vec_id long, cell long, adc_dist double,"
+            " exact_dist double",
         )
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(rerank)
+    surv_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["vec_id"], r["cell"], r["adc_dist"]) for r in surv_rows],
+            "vec_id long, cell long, adc_dist double",
+        )
+    )
+    fetched = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("cell").isin(*probe_cells)
+            & F.col("vec_id").isin([r["vec_id"] for r in surv_rows])
+        )
+        .select("vec_id", "embedding")
     )
     topk = (
-        kept.withColumn("exact_dist", _l2(qcol, F.col("embedding")))
+        fetched.join(surv_df, "vec_id")
+        .withColumn("exact_dist", _l2(qcol, F.col("embedding")))
+        .select("vec_id", "cell", "adc_dist", "exact_dist")
         .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
