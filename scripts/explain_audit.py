@@ -426,11 +426,14 @@ AUDITED = (
     ),
     (
         "q_sim_ivfpq_probe_param",
-        "Arbitrary-vector stored-index probe. Read: the index scan's "
-        "PartitionFilters carry the literal probed-cell IN list (pruned "
-        "directories never listed); ADC runs over the codes column only; "
-        "both cuts are TakeOrderedAndProject (distributed top-k), the "
-        "rank Window input is <= k rows.",
+        "Arbitrary-vector stored-index probe — TWO scans since r8. The "
+        "ADC stage (runs eagerly; plan pinned in tests/test_ivfpq.py) "
+        "reads codes-only behind the probed-cell PartitionFilter and "
+        "cuts to <= rerank via TakeOrderedAndProject; the plan shown "
+        "HERE is the re-rank fetch: PartitionFilters on cell plus the "
+        "survivor vec_id IN-list in PushedFilters (row-group skipping), "
+        "so float bytes are read for <= rerank rows. Rank Window input "
+        "is <= k rows.",
     ),
     (
         "q_bm25_serving",

@@ -29,7 +29,7 @@ per-candidate row-group lookups, not probed-cell scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.layout import write_partitioned
@@ -151,6 +151,29 @@ def fetch_vectors(
     )
 
 
+# The point-fetch serving plan collects the ADC survivors to the driver
+# to build the vec_id IN-list; that is only sane while the survivor set
+# is lookup-sized. Past this bound (brute-force-convergence calls pass
+# rerank = corpus) the query stays fully lazy/distributed instead:
+# survivors broadcast-join back onto the probed scan for exact re-rank.
+_COLLECT_RERANK_MAX = 1024
+
+
+def _exact_dist_to(q_emb: list[float]) -> Column:
+    """Exact squared-L2 of the stored ``embedding`` to the literal
+    query — the shared re-rank expression of both serving plans."""
+    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            q_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def query_ivfpq(
     spark: SparkSession,
     path: str,
@@ -172,10 +195,30 @@ def query_ivfpq(
     are re-fetched by a vec_id-pushed point scan (fetch_vectors) for
     exact scoring, so float-vector bytes are read for ≤ rerank rows
     total, never for every probed row.
+
+    When ``rerank`` exceeds _COLLECT_RERANK_MAX the survivor set is no
+    longer lookup-sized and the driver round-trip would itself be the
+    bottleneck, so the plan stays lazy: the ADC cut broadcast-joins back
+    onto the probed scan for a distributed exact re-rank (the pre-point-
+    fetch shape; reads probed-cell float bytes, never materializes the
+    corpus on the driver).
     """
     probes = _probe_cells(q_emb, cents, nprobe)
     table = _adc_table(q_emb)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
+
+    if rerank > _COLLECT_RERANK_MAX:
+        cand = adc_candidates(idx, table, rerank)
+        return (
+            idx.select("vec_id", "embedding")
+            .join(F.broadcast(cand), "vec_id")
+            .select(
+                "vec_id", "cell", "adc_dist",
+                _exact_dist_to(q_emb).alias("exact_dist"),
+            )
+            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+            .limit(k)
+        )
 
     survivors = adc_candidates(idx, table, rerank).collect()
     if not survivors:
@@ -194,19 +237,12 @@ def query_ivfpq(
     fetched = fetch_vectors(
         spark, path, probes, [r["vec_id"] for r in survivors]
     )
-    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
-    exact = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            q_arr,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         fetched.join(surv_df, "vec_id")
-        .select("vec_id", "cell", "adc_dist", exact.alias("exact_dist"))
+        .select(
+            "vec_id", "cell", "adc_dist",
+            _exact_dist_to(q_emb).alias("exact_dist"),
+        )
         .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )

@@ -1567,35 +1567,43 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every probed row. Doubles round-trip bit-exactly through
     # collect/createDataFrame, so adc_dist reattachment is hash-safe.
     surv_rows = kept.select("q_id", "q_emb", "vec_id", "adc_dist").collect()
-    surv_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (r["q_id"], list(r["q_emb"]), r["vec_id"], r["adc_dist"])
-                for r in surv_rows
-            ],
-            "q_id long, q_emb array<double>, vec_id long, adc_dist double",
+    if not surv_rows:
+        # same guard as query_ivfpq / ivfpq_probe: with zero ADC
+        # survivors there is nothing to fetch — the ANN side is empty
+        # and every truth q_id reports recall 0 below.
+        ann = spark.createDataFrame([], "q_id long, vec_id long")
+    else:
+        surv_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["q_id"], list(r["q_emb"]), r["vec_id"], r["adc_dist"])
+                    for r in surv_rows
+                ],
+                "q_id long, q_emb array<double>, vec_id long,"
+                " adc_dist double",
+            )
         )
-    )
-    surv_ids = sorted({r["vec_id"] for r in surv_rows})
-    fetched = (
-        spark.read.parquet(path)
-        .filter(
-            F.col("cell").isin(*probe_cells) & F.col("vec_id").isin(surv_ids)
+        surv_ids = sorted({r["vec_id"] for r in surv_rows})
+        fetched = (
+            spark.read.parquet(path)
+            .filter(
+                F.col("cell").isin(*probe_cells)
+                & F.col("vec_id").isin(surv_ids)
+            )
+            .select("vec_id", "embedding")
         )
-        .select("vec_id", "embedding")
-    )
-    ew = Window.partitionBy("q_id").orderBy(
-        F.col("exact_dist").asc(), F.col("vec_id").asc()
-    )
-    ann = (
-        fetched.join(surv_df, "vec_id")
-        .withColumn(
-            "exact_dist", _l2(F.col("q_emb"), F.col("embedding"))
+        ew = Window.partitionBy("q_id").orderBy(
+            F.col("exact_dist").asc(), F.col("vec_id").asc()
         )
-        .withColumn("rnk", F.row_number().over(ew))
-        .filter(F.col("rnk") <= 5)
-        .select("q_id", "vec_id")
-    )
+        ann = (
+            fetched.join(surv_df, "vec_id")
+            .withColumn(
+                "exact_dist", _l2(F.col("q_emb"), F.col("embedding"))
+            )
+            .withColumn("rnk", F.row_number().over(ew))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "vec_id")
+        )
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS)).select(
@@ -1751,6 +1759,33 @@ def ivfpq_probe(
         spark, sf_dir, q_emb, nprobe, rerank
     )
     qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    # Past the lookup-sized bound (brute-force-convergence callers pass
+    # rerank = corpus) the driver round-trip would be the bottleneck:
+    # stay lazy and broadcast-join the ADC cut back onto the probed scan
+    # for a distributed exact re-rank instead of a point fetch.
+    from streaming_data_ingestion_spark.ml.ivfpq import _COLLECT_RERANK_MAX
+
+    if rerank > _COLLECT_RERANK_MAX:
+        idx = spark.read.parquet(path).filter(
+            F.col("cell").isin(*probe_cells)
+        )
+        topk = (
+            idx.select("vec_id", "embedding")
+            .join(F.broadcast(adc_stage), "vec_id")
+            .withColumn("exact_dist", _l2(qcol, F.col("embedding")))
+            .select("vec_id", "cell", "adc_dist", "exact_dist")
+            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        return topk.select(
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "vec_id",
+            "cell",
+            "adc_dist",
+            "exact_dist",
+        )
+
     surv_rows = adc_stage.collect()
     if not surv_rows:
         return spark.createDataFrame(
