@@ -217,6 +217,10 @@ EXTENDED = (
     "q_winsorized_mean",     # per-type clamped robust mean + cut values
     "q_group_linreg",        # per-type daily-volume OLS trend
     "q_length_histogram",    # digit-magnitude doc-length histogram
+    "q_bucketed_join",       # shuffle-free big-big join via stored buckets
+    "q_sim_ivfpq_probe_b2",  # 2nd ANN probe binding (nprobe=3, k=7)
+    "q_bm25_search_b2",      # 2nd fresh-stats retrieval binding (4 terms)
+    "q_bm25_serving_b2",     # 2nd stored-stats binding incl. absent term
 )
 
 

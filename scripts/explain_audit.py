@@ -425,6 +425,15 @@ AUDITED = (
         "product — never a re-derived norm, never a cartesian.",
     ),
     (
+        "q_bucketed_join",
+        "Co-bucketed big-big join through stored bucketed tables. Read: "
+        "at fixture scale AQE may still broadcast the small side, but "
+        "with broadcast disabled the plan is a SortMergeJoin with ZERO "
+        "hashpartitioning exchanges below the 5-group aggregate "
+        "(asserted on these fixtures in tests/test_layout.py) — the "
+        "write-time bucket shuffle is the only one ever paid.",
+    ),
+    (
         "q_sim_ivfpq_probe_param",
         "Arbitrary-vector stored-index probe — TWO scans since r8. The "
         "ADC stage (runs eagerly; plan pinned in tests/test_ivfpq.py) "

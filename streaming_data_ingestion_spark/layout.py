@@ -43,8 +43,12 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Write a hash-bucketed (optionally sorted) managed table.
+    """Write a hash-bucketed (optionally sorted) table — managed by
+    default, external at ``path`` when given (bucketing metadata needs a
+    catalog entry either way; ``path`` keeps the FILES under the repo's
+    pid-scoped artifact discipline instead of spark-warehouse).
 
     Joins and aggregations on ``bucket_cols`` between tables bucketed the
     same way plan with zero Exchange operators — the write-time shuffle is
@@ -53,6 +57,8 @@ def write_bucketed(
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table, format="parquet")
 
 

@@ -1830,14 +1830,23 @@ def ivfpq_probe(
 # arithmetic + one IEEE subtract/divide), NOT a corpus vector — the
 # point is that the probe input is arbitrary.
 _PARAM_Q = [((i * 37) % 19 - 9) / 9.0 for i in range(_DIM)]
+_PARAM_Q_SQL = "(CAST((i * 37) % 19 AS DOUBLE) - 9.0) / 9.0"
+# second binding: a different closed-form vector AND different
+# (nprobe, rerank, k), so no constant folded for the first binding can
+# hash-match both (round-7 gap #4 for the ANN serving entry)
+_PARAM_Q2 = [((i * 53) % 23 - 11) / 11.0 for i in range(_DIM)]
+_PARAM_Q2_SQL = "(CAST((i * 53) % 23 AS DOUBLE) - 11.0) / 11.0"
+_B2_NPROBE, _B2_RERANK, _B2_K = 3, 12, 7
 
 
-@query(
-    "q_sim_ivfpq_probe_param",
-    oracle=f"""
+def _ivfpq_probe_oracle(q_sql: str, nprobe: int, rerank: int, k: int) -> str:
+    """The stored-index probe oracle as a function of the binding
+    (query-vector generator expression + nprobe/rerank/k) — shared by
+    every registered instance of ivfpq_probe."""
+    return f"""
 WITH q AS (
   SELECT list_transform(range(0, {_DIM}),
-         i -> (CAST((i * 37) % 19 AS DOUBLE) - 9.0) / 9.0) AS q_emb
+         i -> {q_sql}) AS q_emb
 ),
 cents AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
@@ -1849,7 +1858,7 @@ routed AS (
            ROW_NUMBER() OVER (ORDER BY {_sql_cos("q.q_emb", "c.c_emb")} DESC,
                               c.centroid_id ASC) AS crn
     FROM cents c CROSS JOIN q
-  ) WHERE crn <= {_IVF_NPROBE}
+  ) WHERE crn <= {nprobe}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1876,7 +1885,7 @@ kept AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS arn
     FROM cand
-  ) WHERE arn <= {_RERANK}
+  ) WHERE arn <= {rerank}
 )
 SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, cell, adc_dist, exact_dist
 FROM (
@@ -1885,9 +1894,14 @@ FROM (
          ROW_NUMBER() OVER (ORDER BY {_sql_l2("q_emb", "embedding")} ASC,
                             vec_id ASC) AS rnk
   FROM kept
-) WHERE rnk <= 5
+) WHERE rnk <= {k}
 ORDER BY rnk
-""",
+"""
+
+
+@query(
+    "q_sim_ivfpq_probe_param",
+    oracle=_ivfpq_probe_oracle(_PARAM_Q_SQL, _IVF_NPROBE, _RERANK, 5),
     tags=("llm", "similarity", "ann", "index", "serving"),
 )
 def q_sim_ivfpq_probe_param(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,6 +1918,33 @@ def q_sim_ivfpq_probe_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the only windows run over ≤ k rows.
     """
     return ivfpq_probe(spark, sf_dir, _PARAM_Q)
+
+
+@query(
+    "q_sim_ivfpq_probe_b2",
+    oracle=_ivfpq_probe_oracle(_PARAM_Q2_SQL, _B2_NPROBE, _B2_RERANK, _B2_K),
+    tags=("llm", "similarity", "ann", "index", "serving"),
+)
+def q_sim_ivfpq_probe_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second hash-certified binding of ivfpq_probe: a different
+    closed-form query vector AND different (nprobe=3, rerank=12, k=7).
+    Two bindings through the SAME builder and oracle template close the
+    round-7 "serving entry certified at one example binding" gap for the
+    ANN leg — a wider probe (3 of 8 cells) also certifies the routing
+    cut at a boundary the first binding never exercises.
+
+    Scale shape: identical to q_sim_ivfpq_probe_param — PartitionFilters
+    prune to nprobe/K of the corpus, the ADC stage reads codes only,
+    float bytes are fetched for ≤ rerank survivor ids.
+    """
+    return ivfpq_probe(
+        spark,
+        sf_dir,
+        _PARAM_Q2,
+        nprobe=_B2_NPROBE,
+        k=_B2_K,
+        rerank=_B2_RERANK,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1581,17 +1581,25 @@ def bm25_search(
 
 _BM25_SEARCH_TERMS = ("merge", "scan", "filter")
 _BM25_SEARCH_K = 10
+# second driver-hashed binding: different arity (4 terms exercises the
+# positional tf/df column machinery beyond the shape the first binding
+# compiled), different k — certifying the entry is genuinely
+# parameterized, not one lucky constant fold (round-7 gap #4)
+_BM25_SEARCH_TERMS_B2 = ("window", "vector", "stream", "sort")
+_BM25_SEARCH_K_B2 = 5
 
 
-@query(
-    "q_bm25_search",
-    oracle=f"""
+def _bm25_search_oracle(terms: tuple[str, ...], k: int) -> str:
+    """The fresh-aggregation BM25 oracle as a function of the binding —
+    shared by every registered (terms, k) instance so a second binding
+    is one registration, not a second hand-derived SQL string."""
+    return f"""
 WITH d AS (
   SELECT doc_id,
          CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl,
          {", ".join(
            f"CAST(len(list_filter({_SQL_TOKENS}, x -> x = '{t}')) AS BIGINT)"
-           f" AS tf_{i}" for i, t in enumerate(_BM25_SEARCH_TERMS)
+           f" AS tf_{i}" for i, t in enumerate(terms)
          )}
   FROM documents
 ),
@@ -1600,7 +1608,7 @@ stats AS (
          CAST(SUM(dl) AS BIGINT) AS sum_dl,
          {", ".join(
            f"CAST(count_if(tf_{i} > 0) AS BIGINT) AS df_{i}"
-           for i in range(len(_BM25_SEARCH_TERMS))
+           for i in range(len(terms))
          )}
   FROM d
 ),
@@ -1613,17 +1621,22 @@ scored AS (
         f" / (CAST(tf_{i} AS DOUBLE)"
         f"    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
         f"                            / (CAST(sum_dl AS DOUBLE) / n_docs))))"
-        for i in range(len(_BM25_SEARCH_TERMS))
+        for i in range(len(terms))
       )}, 6) AS bm25
   FROM d CROSS JOIN stats
-  WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_SEARCH_TERMS)))} > 0
+  WHERE {" + ".join(f"tf_{i}" for i in range(len(terms)))} > 0
 )
 SELECT CAST(rank AS INTEGER) AS rank, doc_id, dl, bm25 FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
   FROM scored
-) WHERE rank <= {_BM25_SEARCH_K}
+) WHERE rank <= {k}
 ORDER BY rank
-""",
+"""
+
+
+@query(
+    "q_bm25_search",
+    oracle=_bm25_search_oracle(_BM25_SEARCH_TERMS, _BM25_SEARCH_K),
     tags=("llm", "text", "serving"),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1635,3 +1648,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     any term list at call time.
     """
     return bm25_search(spark, sf_dir, _BM25_SEARCH_TERMS, _BM25_SEARCH_K)
+
+
+@query(
+    "q_bm25_search_b2",
+    oracle=_bm25_search_oracle(_BM25_SEARCH_TERMS_B2, _BM25_SEARCH_K_B2),
+    tags=("llm", "text", "serving"),
+)
+def q_bm25_search_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second hash-certified binding of bm25_search — 4 query terms
+    (one more positional tf/df column than the first binding ever
+    compiled) and a different k. Two independent bindings through the
+    SAME builder and the SAME oracle template close the round-7
+    "each serving entry certified at exactly one example binding" gap:
+    a constant accidentally baked into the plan for one binding cannot
+    hash-match both.
+
+    Scale shape: identical to q_bm25_search — one corpus-stats row
+    broadcasts onto a single document scan; top-k via orderBy+limit.
+    """
+    return bm25_search(
+        spark, sf_dir, _BM25_SEARCH_TERMS_B2, _BM25_SEARCH_K_B2
+    )

@@ -568,10 +568,13 @@ def bm25_serve(
     return _bm25_rank_topk(base, stats, len(terms), k)
 
 
-def _bm25_serving_oracle() -> str:
+def _bm25_serving_oracle(
+    terms: tuple[str, ...] = None, k: int = None
+) -> str:
     from streaming_data_ingestion_spark.queries.llm_text import _SQL_TOKENS
 
-    terms, k = _BM25_SERVE_TERMS, _BM25_SERVE_K
+    terms = _BM25_SERVE_TERMS if terms is None else terms
+    k = _BM25_SERVE_K if k is None else k
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -636,3 +639,32 @@ def q_bm25_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     via orderBy+limit; rank window over ≤ k rows.
     """
     return bm25_serve(spark, sf_dir, _BM25_SERVE_TERMS, _BM25_SERVE_K)
+
+
+# second driver-hashed binding — and the harder contract: one query term
+# ("quantile") that exists NOWHERE in the corpus, so the stored-stats
+# lookup must read df=0 through the coalesce path and score it exactly
+# like the oracle's fresh count_if(...)=0, with a different k
+_BM25_SERVE_TERMS_B2 = ("spark", "query", "quantile")
+_BM25_SERVE_K_B2 = 8
+
+
+@query(
+    "q_bm25_serving_b2",
+    oracle=_bm25_serving_oracle(_BM25_SERVE_TERMS_B2, _BM25_SERVE_K_B2),
+    tags=("llm", "text", "serving"),
+)
+def q_bm25_serving_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second hash-certified binding of bm25_serve, including an
+    absent-from-corpus term: the stored stats table has no df row for
+    it, the serve path must surface df=0 (the coalesce branch
+    tests/test_round7_props.py checks row-wise), and the driver hash now
+    pins that the ABSENT-term idf contribution is bit-identical to a
+    fresh aggregation's. Closes the one-binding-per-serving-entry gap
+    (round-7 #4) for the stored-stats leg.
+
+    Scale shape: identical to q_bm25_serving — the vocab-sized store
+    collapses to one exact-integer row that broadcasts onto a single
+    document scan.
+    """
+    return bm25_serve(spark, sf_dir, _BM25_SERVE_TERMS_B2, _BM25_SERVE_K_B2)

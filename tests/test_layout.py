@@ -67,6 +67,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_registered_bucketed_join_no_shuffle(spark):
+    """The REGISTERED q_bucketed_join read path (stored co-bucketed sf
+    fixtures, not toy frames): with broadcast disabled so layout decides
+    the plan, the orderkey join itself must plan with zero Exchange —
+    the only exchange in the whole query is the 5-group aggregation
+    above it."""
+    from streaming_data_ingestion_spark.queries.layout_q import (
+        bucketed_pair_tables,
+    )
+
+    lt, ot = bucketed_pair_tables(spark, SF_DIR)
+    li, od = spark.table(lt), spark.table(ot)
+    with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        plan = _plan(joined)  # formatted mode: exchanges show up as
+        #                       "Arguments: hashpartitioning(...)"
+        assert "SortMergeJoin" in plan
+        assert plan.count("Arguments: hashpartitioning") == 0, plan
+        # the registered aggregate adds exactly ONE exchange (the
+        # group-by), never one per join side
+        agg_plan = _plan(
+            joined.groupBy("o_orderpriority").count()
+        )
+        assert agg_plan.count("Arguments: hashpartitioning") == 1, agg_plan
+        # co-bucketed + sorted read: correct row multiplicity end-to-end
+        want = (
+            load(spark, SF_DIR, "lineitem")
+            .join(
+                load(spark, SF_DIR, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be invisible in the result: same rows as the plain
     equi-join, just distributed over n_salts× more reducers."""

@@ -536,8 +536,10 @@ _CARTESIAN_OK = {
     "q_mix_temperature",   # 1-row token/sqrt-mass totals broadcast onto
     #                        the sources-sized relation
     "q_bm25_search",       # 1-row corpus-stats broadcast (the q_bm25 shape)
+    "q_bm25_search_b2",    # same shape, second binding (4 terms)
     "q_bm25_serving",      # 1-row STORED-stats broadcast (the q_bm25 shape
     #                        with the aggregation read from the store)
+    "q_bm25_serving_b2",   # same stored shape, second binding (absent term)
     "q_ivfpq_cell_stats",  # 1-row total broadcast onto the K-row cell
     #                        occupancy relation
     "q_type_corr_matrix",  # dense calendar×|types| grid build (bounded
@@ -576,6 +578,7 @@ _SWEEP_SKIP = {
     "q_dedup_clusters",
     "q_sim_ivfpq_recall",
     "q_sim_ivfpq_probe_param",
+    "q_sim_ivfpq_probe_b2",
 }
 
 
