@@ -48,6 +48,8 @@ HOSTILE_CHECKED = (
     "q_theil_sen",  # to_date buckets + datediff day gaps in slopes
     "q_group_linreg",  # datediff against a DATE literal origin
     "q_winsorized_mean",  # global-rank cuts must not depend on shuffle width
+    "q_bucketed_join",  # 8-bucket stored layout vs a 3-partition session:
+    #                     bucketed-scan parallelism must not change sums
 )
 
 

@@ -1,0 +1,105 @@
+"""Round-9 cross-path properties.
+
+Each test pins that two INDEPENDENT implementations of the same answer
+agree bit-exactly — the house discipline for changes that add a second
+physical path to an existing logical result (point-fetch vs lazy probe,
+stored stats vs fresh aggregation, bucketed vs raw layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.registry import all_queries
+from streaming_data_ingestion_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_ivfpq_probe_lazy_path_matches_point_fetch(spark, monkeypatch):
+    """The registered probe binding answered through BOTH serving plans:
+    the default bounded-collect point fetch and (bound forced to 0) the
+    distributed lazy broadcast-join re-rank. Same rows, same doubles —
+    the fallback is a physical-plan choice, never a semantic one."""
+    import streaming_data_ingestion_spark.ml.ivfpq as ivfpq_mod
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _PARAM_Q2,
+        _B2_K,
+        _B2_NPROBE,
+        _B2_RERANK,
+        ivfpq_probe,
+    )
+
+    want = ivfpq_probe(
+        spark, SF_DIR, _PARAM_Q2, nprobe=_B2_NPROBE, k=_B2_K,
+        rerank=_B2_RERANK,
+    ).collect()
+    monkeypatch.setattr(ivfpq_mod, "_COLLECT_RERANK_MAX", 0)
+    got = ivfpq_probe(
+        spark, SF_DIR, _PARAM_Q2, nprobe=_B2_NPROBE, k=_B2_K,
+        rerank=_B2_RERANK,
+    ).collect()
+    assert got == want and len(got) == _B2_K
+
+
+def test_bm25_stored_stats_match_fresh_aggregation_b2(spark):
+    """bm25_serve (stored streaming-maintained stats, absent term
+    included) must equal bm25_search (fresh corpus aggregation) row for
+    row at the b2 binding — the maintain→store→serve contract stated as
+    a direct frame equality, not just through the oracle hash."""
+    from streaming_data_ingestion_spark.queries.llm_text import bm25_search
+    from streaming_data_ingestion_spark.queries.serving import (
+        _BM25_SERVE_K_B2,
+        _BM25_SERVE_TERMS_B2,
+        bm25_serve,
+    )
+
+    served = bm25_serve(
+        spark, SF_DIR, _BM25_SERVE_TERMS_B2, _BM25_SERVE_K_B2
+    ).collect()
+    fresh = bm25_search(
+        spark, SF_DIR, _BM25_SERVE_TERMS_B2, _BM25_SERVE_K_B2
+    ).collect()
+    assert served == fresh and len(served) == _BM25_SERVE_K_B2
+    # the binding's point: one term has no df row in the store at all
+    docs = load(spark, SF_DIR, "documents")
+    absent = _BM25_SERVE_TERMS_B2[-1]
+    assert (
+        docs.filter(
+            F.array_contains(
+                F.split(F.trim(F.col("text")), " "), absent
+            )
+        ).count()
+        == 0
+    ), f"fixture drift: {absent!r} now appears in the corpus"
+
+
+def test_bucketed_join_matches_raw_layout(spark):
+    """q_bucketed_join THROUGH the stored co-bucketed tables must equal
+    the identical aggregation over the raw parquet loads bit-exactly —
+    the layout may only change the plan, never a value."""
+    from streaming_data_ingestion_spark.compat import dsum
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["sum_qty"], r["revenue"])
+        for r in all_queries()["q_bucketed_join"].fn(spark, SF_DIR).collect()
+    }
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["sum_qty"], r["revenue"])
+        for r in (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                dsum("l_quantity", "sum_qty"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    "revenue",
+                ),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) >= 2
