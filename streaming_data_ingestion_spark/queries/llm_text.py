@@ -1517,7 +1517,15 @@ def _bm25_rank_topk(base: DataFrame, stats: DataFrame, n_terms: int, k: int) -> 
     dl, bm25). Ranking uses the round(6) score (ln is libm; raw doubles
     could ULP-flip near-ties across engines) with doc_id as the
     total-order tie-break; top-k is orderBy+limit (distributed
-    TakeOrderedAndProject), the rank window runs over ≤ k rows."""
+    TakeOrderedAndProject), the rank window runs over ≤ k rows.
+
+    An empty term list matches nothing by definition (the any_tf > 0
+    gate would exclude every document) — return the empty typed frame
+    instead of letting the fold produce None columns."""
+    if n_terms == 0:
+        return base.sparkSession.createDataFrame(
+            [], "rank int, doc_id long, dl long, bm25 double"
+        )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     score = None
     any_tf = None

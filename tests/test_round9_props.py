@@ -74,6 +74,21 @@ def test_bm25_stored_stats_match_fresh_aggregation_b2(spark):
     ), f"fixture drift: {absent!r} now appears in the corpus"
 
 
+def test_bm25_entry_points_handle_degenerate_queries(spark):
+    """Serving APIs take caller input: an EMPTY term list matches
+    nothing (typed empty frame, not a None-column TypeError), and an
+    all-absent term list returns zero rows through both the fresh and
+    the stored-stats path."""
+    from streaming_data_ingestion_spark.queries.llm_text import bm25_search
+    from streaming_data_ingestion_spark.queries.serving import bm25_serve
+
+    for fn in (bm25_search, bm25_serve):
+        empty = fn(spark, SF_DIR, (), 5)
+        assert empty.columns == ["rank", "doc_id", "dl", "bm25"]
+        assert empty.count() == 0
+        assert fn(spark, SF_DIR, ("quantile", "zzznope"), 5).count() == 0
+
+
 def test_bucketed_join_matches_raw_layout(spark):
     """q_bucketed_join THROUGH the stored co-bucketed tables must equal
     the identical aggregation over the raw parquet loads bit-exactly —
