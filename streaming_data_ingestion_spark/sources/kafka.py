@@ -11,6 +11,10 @@ These builders only *configure* plans; executing them needs a broker and
 the spark-sql-kafka package on the classpath (not present in the test
 image — the test suite exercises the same pipeline through the file-based
 JSON source instead, which shares every downstream operator).
+tests/test_live_connectors.py carries the GATED live round-trip
+(SDI_KAFKA_BOOTSTRAP + connector jar → publish, read back through this
+exact option set, decode with the shared ingest flatten); it skips with
+an instructive reason wherever the environment can't run it.
 """
 
 from __future__ import annotations
