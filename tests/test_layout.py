@@ -107,6 +107,53 @@ def test_registered_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
 
 
+def test_bucketed_layout_survives_incremental_append(spark, tmp_path):
+    """The 100 TB growth story: NEW data appended with the same bucket
+    spec lands in the existing hash space — no corpus re-bucketing — and
+    the co-located join stays exchange-free over old + new rows with the
+    right multiplicity."""
+    from streaming_data_ingestion_spark.tables import artifact_path
+
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    try:
+        write_bucketed(
+            li.filter(F.col("l_orderkey") % 2 == 0),
+            "li_grow", ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+            path=artifact_path("li_grow"),
+        )
+        # epoch 2: the other half, appended with the SAME spec
+        write_bucketed(
+            li.filter(F.col("l_orderkey") % 2 == 1),
+            "li_grow", ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+            mode="append", path=artifact_path("li_grow"),
+        )
+        write_bucketed(
+            od, "od_grow", ["o_orderkey"], 4, path=artifact_path("od_grow")
+        )
+        t = spark.table("li_grow")
+        assert t.count() == li.count()
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.join(
+                spark.table("od_grow"),
+                t["l_orderkey"] == F.col("o_orderkey"),
+            )
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert plan.count("Arguments: hashpartitioning") == 0
+            want = li.join(
+                od, li["l_orderkey"] == od["o_orderkey"]
+            ).count()
+            assert j.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_grow")
+        spark.sql("DROP TABLE IF EXISTS od_grow")
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be invisible in the result: same rows as the plain
     equi-join, just distributed over n_salts× more reducers."""
