@@ -74,6 +74,72 @@ def test_bm25_stored_stats_match_fresh_aggregation_b2(spark):
     ), f"fixture drift: {absent!r} now appears in the corpus"
 
 
+def test_ivfpq_probe_b2_matches_pure_python_replica(spark):
+    """Third, engine-independent derivation of the q_sim_ivfpq_probe_b2
+    answer: route/ADC/rerank/re-rank recomputed in plain python over the
+    stored index rows. The oracle pins Spark == DuckDB; this pins both
+    == the algorithm as written on paper (partial probe included)."""
+    import math
+
+    from streaming_data_ingestion_spark.ml.ivfpq import _adc_table
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _PARAM_Q2,
+        _B2_K,
+        _B2_NPROBE,
+        _B2_RERANK,
+        _IVF_K,
+        _det_ivfpq_index_for,
+        ivfpq_probe,
+    )
+
+    path = _det_ivfpq_index_for(spark, SF_DIR)
+    idx = spark.read.parquet(path).collect()
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return dot / (na * nb)
+
+    # route: top-nprobe of the first-K corpus vectors by cosine
+    routed = sorted(
+        ((-cos(_PARAM_Q2, emb[c]), c) for c in range(_IVF_K))
+    )[:_B2_NPROBE]
+    cells = {c for _, c in routed}
+    # ADC over probed rows, rerank cut, exact re-rank, top-k
+    table = _adc_table(_PARAM_Q2)
+    cand = []
+    for r in idx:
+        if int(r["cell"]) in cells:
+            adc = sum(table[s][code] for s, code in enumerate(r["codes"]))
+            cand.append((adc, r["vec_id"], int(r["cell"])))
+    kept = sorted(cand)[:_B2_RERANK]
+
+    def l2(a, b):
+        return sum(
+            (float(x) - float(y)) * (float(x) - float(y))
+            for x, y in zip(a, b)
+        )
+
+    want = sorted(
+        ((l2(_PARAM_Q2, emb[v]), v, c, adc) for adc, v, c in kept)
+    )[:_B2_K]
+
+    got = ivfpq_probe(
+        spark, SF_DIR, _PARAM_Q2, nprobe=_B2_NPROBE, k=_B2_K,
+        rerank=_B2_RERANK,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [v for _, v, _, _ in want]
+    for r, (d, _v, c, adc) in zip(got, want):
+        assert r["cell"] == c
+        assert math.isclose(r["exact_dist"], d, rel_tol=1e-9)
+        assert math.isclose(r["adc_dist"], adc, rel_tol=1e-9)
+
+
 def test_bm25_entry_points_handle_degenerate_queries(spark):
     """Serving APIs take caller input: an EMPTY term list matches
     nothing (typed empty frame, not a None-column TypeError), and an
