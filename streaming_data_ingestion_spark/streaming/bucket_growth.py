@@ -1,0 +1,83 @@
+"""Streaming growth of a bucketed fact table — facts land ALREADY
+co-bucketed on their join key, epoch by epoch.
+
+The batch layout (layout.write_bucketed, registered read path
+q_bucketed_join) pays the bucket shuffle once at write time so every
+later orderkey join is exchange-free. This maintainer extends that to
+ingestion: each micro-batch appends into the SAME bucket hash space
+under its own ``epoch=N`` hive partition, so
+
+- the join guarantee never degrades as the corpus grows (Spark unions a
+  bucket's files across epoch partitions; scans stay hash-distributed
+  on the bucket key — pinned in tests/test_layout.py);
+- replay is deterministic: an epoch is exactly one partition directory,
+  so a crashed/retried micro-batch REPLACES its directory instead of
+  double-appending.
+
+Replay protocol (the house `_merge_idempotent` contract, adapted to
+append-only facts): a completed epoch leaves a marker file; a replay of
+a completed epoch is a no-op, and a replay of an UNMARKED epoch first
+deletes the partial ``epoch=N`` directory (crash debris), then appends
+the batch whole. NEVER use ``insertInto`` here: on a bucketed catalog
+table it can silently bypass the bucket spec and (with mode=overwrite)
+truncate sibling partitions — files that lie about their bucket id make
+the exchange-free merge join return WRONG rows while the plan still
+looks correct.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPOCH_PART = "epoch"
+
+
+def bucketed_growth_writer(
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    run_ns: str = "default",
+):
+    """Return a ``write_batch(batch_df, epoch_id)`` callable (the
+    foreachBatch shape) that appends each epoch into ``table`` —
+    partitioned by epoch, bucketed ``n_buckets`` ways on
+    ``bucket_cols`` — idempotently under micro-batch replay."""
+
+    marker_dir = os.path.join(path, "_epoch_markers")
+
+    def _marker(epoch_id: int) -> str:
+        return os.path.join(marker_dir, f"{run_ns}-{int(epoch_id)}.done")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(_marker(epoch_id)):
+            return  # completed-epoch replay: no-op
+        spark = batch_df.sparkSession
+        part_dir = os.path.join(path, f"{_EPOCH_PART}={int(epoch_id)}")
+        if os.path.exists(part_dir):
+            # unmarked partial write from a crashed attempt: the epoch
+            # owns its directory, so replace it whole
+            shutil.rmtree(part_dir)
+            spark.sql(f"REFRESH TABLE {table}")
+        mode = (
+            "append" if spark.catalog.tableExists(table) else "overwrite"
+        )
+        w = (
+            batch_df.withColumn(_EPOCH_PART, F.lit(int(epoch_id)))
+            .write.mode(mode)
+            .partitionBy(_EPOCH_PART)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", path).saveAsTable(table, format="parquet")
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(_marker(epoch_id), "w", encoding="utf-8") as f:
+            f.write("done\n")
+
+    return write_batch

@@ -154,6 +154,80 @@ def test_bucketed_layout_survives_incremental_append(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS od_grow")
 
 
+def test_bucketed_growth_writer_replay_idempotent(spark):
+    """streaming/bucket_growth.py: incremental epochs PLUS a replay of
+    the final epoch (crash-recovery's actual shape) must equal the
+    one-shot bucketed build row-for-row, the crash-debris path (unmarked
+    partial partition dir) must replace rather than double-append, and
+    the grown table must still join exchange-free."""
+    import os
+    import shutil
+
+    from streaming_data_ingestion_spark.streaming.bucket_growth import (
+        bucketed_growth_writer,
+    )
+    from streaming_data_ingestion_spark.tables import artifact_path
+
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    path = artifact_path("li_growth")
+    try:
+        wb = bucketed_growth_writer(
+            "li_growth", path, ["l_orderkey"], 4,
+            sort_cols=["l_orderkey"], run_ns="t",
+        )
+        for e in range(3):
+            wb(li.filter(F.col("l_orderkey") % 3 == e), e)
+        wb(li.filter(F.col("l_orderkey") % 3 == 2), 2)  # completed replay
+        t = spark.table("li_growth")
+        assert t.count() == li.count()
+        assert t.select("l_orderkey").distinct().count() == (
+            li.select("l_orderkey").distinct().count()
+        )
+
+        # crash shape: epoch 3's data landed but no marker — the next
+        # attempt must replace the partial directory, not append to it
+        (li.filter(F.col("l_orderkey") % 3 == 0).limit(7)
+         .withColumn("epoch", F.lit(3))
+         .write.mode("append").partitionBy("epoch")
+         .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+         .option("path", path).saveAsTable("li_growth", format="parquet"))
+        assert os.path.exists(os.path.join(path, "epoch=3"))
+        wb(li.filter(F.col("l_orderkey") % 3 == 0), 3)
+        spark.sql("REFRESH TABLE li_growth")
+        n0 = li.filter(F.col("l_orderkey") % 3 == 0).count()
+        t = spark.table("li_growth")
+        assert t.filter(F.col("epoch") == 3).count() == n0
+
+        # the grown, multi-epoch table keeps the exchange-free join
+        write_bucketed(
+            od, "od_growth", ["o_orderkey"], 4, path=artifact_path("od_growth")
+        )
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.join(
+                spark.table("od_growth"),
+                t["l_orderkey"] == F.col("o_orderkey"),
+            )
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert plan.count("Arguments: hashpartitioning") == 0
+            want = (
+                li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+                + li.filter(F.col("l_orderkey") % 3 == 0)
+                .join(od, li["l_orderkey"] == od["o_orderkey"])
+                .count()
+            )
+            assert j.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_growth")
+        spark.sql("DROP TABLE IF EXISTS od_growth")
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must be invisible in the result: same rows as the plain
     equi-join, just distributed over n_salts× more reducers."""
