@@ -26,13 +26,33 @@ sequence of micro-batches with replays injected anywhere, the stored
 index holds EXACTLY the rows a one-shot build over the cumulative
 vector set would hold (same cells, same codes, same vectors) — so any
 probe result is identical to probing a freshly-built index.
+
+Reader/writer race: a probe that lists the index directory while an
+epoch write is in flight could observe a TORN epoch — some cell
+partitions already renamed into place, others still pending (Spark's
+per-partition commit is not atomic across partitions, and there is no
+table-format transaction log under plain parquet). The fix is the
+minimal version-log discipline: the writer drops a driver-side commit
+marker ``_commits/epoch=E`` only AFTER the whole epoch's parquet write
+returns, and consistent readers go through ``read_committed_index``,
+which pins ``__epoch <= last_committed_epoch(path)`` — a partition
+filter, so the in-flight epoch's files are pruned without being read.
+A probe therefore sees either the pre-epoch or the post-epoch index,
+never a mix; and because a replayed epoch is a pure function of its
+input, re-running the interrupted epoch heals any torn slices via the
+dynamic partition overwrite (pinned by
+tests/test_streaming.py::test_ann_fold_in_probe_never_sees_torn_epoch).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+_COMMITS_DIR = "_commits"  # leading "_" => invisible to parquet readers
 
 
 def assign_to_centroids(
@@ -92,8 +112,47 @@ def fold_in_writer(
             .partitionBy("cell", "__epoch")
             .parquet(index_path)
         )
+        mark_epoch_committed(index_path, int(epoch_id))
 
     return write_batch
+
+
+def mark_epoch_committed(index_path: str, epoch_id: int) -> None:
+    """Drop the epoch's commit marker. Called only after the epoch's
+    parquet write has fully returned, so the marker's existence implies
+    every cell slice of the epoch is renamed into place."""
+    commits = os.path.join(index_path, _COMMITS_DIR)
+    os.makedirs(commits, exist_ok=True)
+    open(os.path.join(commits, f"epoch={epoch_id}"), "w").close()
+
+
+def last_committed_epoch(index_path: str) -> int:
+    """Highest epoch with a commit marker; -1 when none committed yet."""
+    commits = os.path.join(index_path, _COMMITS_DIR)
+    try:
+        names = os.listdir(commits)
+    except OSError:
+        return -1
+    epochs = [
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith("epoch=") and n.split("=", 1)[1].isdigit()
+    ]
+    return max(epochs, default=-1)
+
+
+def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Consistent snapshot of the folded index: only rows of committed
+    epochs. ``__epoch`` is a partition column, so the bound is a
+    PartitionFilter — an in-flight (torn) epoch's directories are pruned
+    before any of its files are opened. Columns match what the batch
+    probes read: (vec_id, cell, codes, embedding)."""
+    cap = last_committed_epoch(index_path)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("__epoch") <= F.lit(cap))
+        .select("vec_id", "cell", "codes", "embedding")
+    )
 
 
 def maintain_ann_index(

@@ -2076,3 +2076,97 @@ def test_streaming_ann_index_fold_in_equals_one_shot(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_ann_fold_in_probe_never_sees_torn_epoch(spark, tmp_path):
+    """A probe racing a mid-epoch fold-in write must see either the
+    pre-epoch or the post-epoch index — never a torn mix. The torn state
+    is injected deterministically: epoch 2's parquet slices land for
+    only ONE cell (simulating per-partition commit renames caught
+    half-way) plus in-flight `_temporary` task output, and NO commit
+    marker. `read_committed_index` must pin `__epoch <= 1` as a
+    partition filter and return exactly the two committed epochs, while
+    a raw directory read provably observes the torn rows. Replaying the
+    interrupted epoch through the normal writer then heals the tear
+    (dynamic partition overwrite replaces the partial slices)."""
+    import os
+    import shutil
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        assign_to_centroids,
+        fold_in_writer,
+        last_committed_epoch,
+        read_committed_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    idx_path = str(tmp_path / "ann_idx")
+    n = emb.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+
+    def wave(i):
+        return emb.filter(
+            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+        )
+
+    wb = fold_in_writer(idx_path, cents)
+    wb(wave(0), 0)
+    wb(wave(1), 1)
+    assert last_committed_epoch(idx_path) == 1
+    committed_want = assign_to_centroids(
+        emb.filter(F.col("vec_id") < cuts[2]), cents
+    )
+
+    # ---- inject the torn epoch-2 state: one cell's slice renamed into
+    # place, the rest still absent, task output under _temporary ----
+    stage = str(tmp_path / "stage_e2")
+    (
+        assign_to_centroids(wave(2), cents)
+        .withColumn("__epoch", F.lit(2))
+        .write.partitionBy("cell", "__epoch")
+        .parquet(stage)
+    )
+    torn_cells = sorted(
+        d for d in os.listdir(stage) if d.startswith("cell=")
+    )
+    assert len(torn_cells) >= 2, "need >=2 populated cells to tear"
+    src_slice = os.path.join(stage, torn_cells[0], "__epoch=2")
+    dst_slice = os.path.join(idx_path, torn_cells[0], "__epoch=2")
+    shutil.copytree(src_slice, dst_slice)
+    tmp_task = os.path.join(idx_path, "_temporary", "0", "task_000")
+    os.makedirs(tmp_task)
+    with open(os.path.join(tmp_task, "part-inflight.parquet"), "w") as fh:
+        fh.write("NOT A PARQUET FILE")  # never opened by any reader
+
+    # no marker for epoch 2 => the snapshot cap stays at 1
+    assert last_committed_epoch(idx_path) == 1
+
+    # the race is real: a raw listing-based read DOES see torn rows
+    raw = spark.read.parquet(idx_path)
+    assert raw.count() > committed_want.count()
+
+    # ...but the committed reader sees exactly the pre-epoch index,
+    # and the epoch bound is partition pruning, not a post-scan filter
+    snap = read_committed_index(spark, idx_path)
+    plan = snap._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "__epoch#" in pf, pf
+    cast = lambda df: df.withColumn("codes", F.col("codes").cast("array<int>"))  # noqa: E731
+    assert snap.count() == committed_want.count()
+    assert cast(snap).exceptAll(cast(committed_want)).count() == 0
+
+    # replaying the interrupted epoch heals the torn slices exactly
+    wb(wave(2), 2)
+    assert last_committed_epoch(idx_path) == 2
+    healed = read_committed_index(spark, idx_path)
+    full_want = assign_to_centroids(emb, cents)
+    assert healed.count() == n
+    assert cast(healed).exceptAll(cast(full_want)).count() == 0
