@@ -1,0 +1,204 @@
+"""Per-key source digests — the guard on the re-verify guard.
+
+Round 8 shipped a rewrite of three already-green keys without stamping
+them into ``reverify_queue.json``; the rotation therefore kept treating
+their OLD driver greens as certifying the NEW plans (VERDICT r8 "What's
+wrong" #2). The queue was only as good as the builder remembering to
+stamp it. This module makes forgetting impossible:
+
+* each registered key gets a content digest over the TRANSITIVE source
+  of its implementing function — the function itself plus every
+  package-local function/class reachable through its globals, closures,
+  and module-attribute references — concatenated with its oracle SQL.
+  Module-level transitivity is the point: the r8 edit changed helpers
+  (``ml/ivfpq.py``, ``_probe_adc_stage``) that several keys call, and a
+  digest of only the registered function body would have missed it;
+* ``registry_digests.json`` stores ``{key: {digest, round}}`` where
+  ``round`` is the round in which that source was last changed;
+* ``tests/test_keydigest.py`` fails when any live digest drifts from
+  the stored one (the only sanctioned repair is
+  ``scripts/update_digests.py``, which re-stamps BOTH files), and fails
+  when a key whose recorded change-round is newer than its last
+  driver-green round is missing from ``reverify_queue.json`` — so an
+  edited green key cannot dodge driver re-certification.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+from types import FunctionType, ModuleType
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIGESTS_PATH = os.path.join(HERE, "registry_digests.json")
+PKG_PREFIX = "streaming_data_ingestion_spark"
+
+
+def _in_pkg(obj, pkg_prefix: str) -> bool:
+    mod = getattr(obj, "__module__", None) or ""
+    return mod == pkg_prefix or mod.startswith(pkg_prefix + ".")
+
+
+def reachable_sources(
+    fn, pkg_prefix: str = PKG_PREFIX
+) -> dict[tuple[str, str], str]:
+    """Transitive closure of package-local callables reachable from
+    ``fn``: the function's own source plus every package function or
+    class it can name — via its globals, its closure cells, or
+    attribute access on a package module it holds — recursively.
+    Keyed by (module, qualname); values are ``inspect.getsource`` text,
+    so ANY edit inside the call graph changes some value."""
+    seen: dict[tuple[str, str], str] = {}
+    stack = [inspect.unwrap(fn)]
+    while stack:
+        f = stack.pop()
+        if isinstance(f, type):
+            if not _in_pkg(f, pkg_prefix):
+                continue
+            key = (f.__module__, f.__qualname__)
+            if key in seen:
+                continue
+            try:
+                seen[key] = inspect.getsource(f)
+            except (OSError, TypeError):
+                seen[key] = repr(f)
+            # follow methods so helper edits inside a class count too
+            for name in sorted(vars(f)):
+                v = inspect.getattr_static(f, name)
+                if isinstance(v, (staticmethod, classmethod)):
+                    v = v.__func__
+                if isinstance(v, FunctionType):
+                    stack.append(v)
+            continue
+        code = getattr(f, "__code__", None)
+        if code is None or not _in_pkg(f, pkg_prefix):
+            continue
+        key = (f.__module__, f.__qualname__)
+        if key in seen:
+            continue
+        try:
+            seen[key] = inspect.getsource(f)
+        except (OSError, TypeError):
+            seen[key] = repr(f)
+
+        names = sorted(set(code.co_names))
+        g = getattr(f, "__globals__", {})
+        candidates = [g.get(n) for n in names]
+        # referenced module-level CONSTANTS are semantics too (e.g. a
+        # serving key's bound query vector / term list): digest their
+        # reprs so editing a binding literal flags the key even though
+        # no function body changed
+        consts = {
+            n: repr(g[n])
+            for n in names
+            if n in g
+            and isinstance(g[n], (bool, int, float, str, bytes, tuple, list, dict))
+            and not isinstance(g[n], ModuleType)
+        }
+        if consts:
+            seen[(f.__module__, f.__qualname__ + "#consts")] = json.dumps(
+                consts, sort_keys=True
+            )
+        # module-attribute references: `mod.helper(...)` puts both `mod`
+        # and `helper` in co_names — resolve every name against every
+        # package module the function holds, too
+        pkg_mods = [
+            v
+            for v in candidates
+            if isinstance(v, ModuleType)
+            and (v.__name__ == pkg_prefix or v.__name__.startswith(pkg_prefix + "."))
+        ]
+        for m in pkg_mods:
+            candidates.extend(m.__dict__.get(n) for n in names)
+        # closure cells: decorators / factories passing helpers inward
+        for cell in getattr(f, "__closure__", None) or ():
+            try:
+                candidates.append(cell.cell_contents)
+            except ValueError:
+                pass
+        for v in candidates:
+            v = inspect.unwrap(v) if callable(v) else v
+            if isinstance(v, FunctionType) and _in_pkg(v, pkg_prefix):
+                stack.append(v)
+            elif isinstance(v, type) and _in_pkg(v, pkg_prefix):
+                stack.append(v)
+    return seen
+
+
+def key_digest(spec, pkg_prefix: str = PKG_PREFIX) -> str:
+    """sha256 over the key's reachable sources + its oracle SQL."""
+    fn = inspect.unwrap(spec.fn)
+    sources = reachable_sources(fn, pkg_prefix)
+    payload = json.dumps(
+        {
+            "sources": [
+                [m, q, s] for (m, q), s in sorted(sources.items())
+            ],
+            "oracle": spec.oracle,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def all_key_digests() -> dict[str, str]:
+    import sys
+
+    sys.path.insert(0, HERE)
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    return {name: key_digest(spec) for name, spec in all_queries().items()}
+
+
+def load_digests() -> dict[str, dict]:
+    try:
+        return json.load(open(DIGESTS_PATH))
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def last_green_rounds() -> dict[str, int]:
+    """key -> latest round whose CORRECTNESS row satisfied the contract
+    (same predicate as __spark_entry__._satisfied)."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rno = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is True
+                )
+            if ok:
+                out[k] = max(out.get(k, 0), rno)
+    return out
+
+
+def current_round() -> int:
+    """Round number of the build in progress, from PROGRESS.jsonl."""
+    rno = 0
+    try:
+        with open(os.path.join(HERE, "PROGRESS.jsonl")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rno = max(rno, int(json.loads(line).get("round", 0)))
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    return rno
