@@ -43,6 +43,60 @@ def _in_pkg(obj, pkg_prefix: str) -> bool:
     return mod == pkg_prefix or mod.startswith(pkg_prefix + ".")
 
 
+_MODULE_INITIALIZERS: dict[str, dict[str, str]] = {}
+
+
+def _module_initializers(module: ModuleType) -> dict[str, str]:
+    """name -> source text of the module-level assignment that created
+    it. Used for MUTABLE constants (lists/dicts): their live repr is
+    runtime state (memo caches fill up as queries run), but their
+    initializer text is the semantics — stable no matter what ran."""
+    import ast
+
+    name = module.__name__
+    if name not in _MODULE_INITIALIZERS:
+        out: dict[str, str] = {}
+        try:
+            src = inspect.getsource(module)
+            tree = ast.parse(src)
+            for node in tree.body:
+                targets = []
+                if isinstance(node, ast.Assign):
+                    targets = [
+                        t.id for t in node.targets if isinstance(t, ast.Name)
+                    ]
+                elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name
+                ):
+                    targets = [node.target.id]
+                if targets:
+                    seg = ast.get_source_segment(src, node) or ""
+                    for t in targets:
+                        out[t] = seg
+        except (OSError, TypeError, SyntaxError):
+            pass
+        _MODULE_INITIALIZERS[name] = out
+    return _MODULE_INITIALIZERS[name]
+
+
+def _const_repr(value, module: ModuleType, name: str) -> str | None:
+    """Stable digest text for a referenced module constant, or None to
+    skip it. Immutable primitives digest by live repr (exact); mutable
+    containers digest by their module-level initializer text so runtime
+    mutation (memo caches) cannot make the digest run-order-dependent."""
+    if isinstance(value, (bool, int, float, str, bytes)):
+        return repr(value)
+    if isinstance(value, tuple):
+        if all(
+            isinstance(x, (bool, int, float, str, bytes)) for x in value
+        ):
+            return repr(value)
+        return _module_initializers(module).get(name)
+    if isinstance(value, (list, dict)):
+        return _module_initializers(module).get(name)
+    return None
+
+
 def reachable_sources(
     fn, pkg_prefix: str = PKG_PREFIX
 ) -> dict[tuple[str, str], str]:
@@ -89,16 +143,19 @@ def reachable_sources(
         g = getattr(f, "__globals__", {})
         candidates = [g.get(n) for n in names]
         # referenced module-level CONSTANTS are semantics too (e.g. a
-        # serving key's bound query vector / term list): digest their
-        # reprs so editing a binding literal flags the key even though
-        # no function body changed
-        consts = {
-            n: repr(g[n])
-            for n in names
-            if n in g
-            and isinstance(g[n], (bool, int, float, str, bytes, tuple, list, dict))
-            and not isinstance(g[n], ModuleType)
-        }
+        # serving key's bound query vector / term list): digest them so
+        # editing a binding literal flags the key even though no
+        # function body changed
+        import sys as _sys
+
+        own_mod = _sys.modules.get(f.__module__)
+        consts = {}
+        for n in names:
+            if n not in g or isinstance(g[n], ModuleType) or own_mod is None:
+                continue
+            rep = _const_repr(g[n], own_mod, n)
+            if rep is not None:
+                consts[n] = rep
         if consts:
             seen[(f.__module__, f.__qualname__ + "#consts")] = json.dumps(
                 consts, sort_keys=True
