@@ -46,6 +46,7 @@ tests/test_streaming.py::test_ann_fold_in_probe_never_sees_torn_epoch).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -175,3 +176,221 @@ def maintain_ann_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Index generations — the rare OPTIMIZE-style rebuild the fold-in docs
+# promise. Fold-ins keep the quantizer frozen; after enough drift the
+# corpus deserves retrained centroids. A rebuild must not disturb
+# concurrent probes, so generations are immutable directories
+# (`gen=N/`) under one index root, with a `_latest` pointer file
+# published by os.replace — POSIX-atomic, so a reader resolves either
+# the old generation or the new one, never a mix, and the old
+# generation stays intact (readable by in-flight probes) until a later
+# vacuum. This is the minimal slice of snapshot isolation a table
+# format would provide, implemented with two primitives (immutable dirs
+# + one atomic rename), which is exactly what survives on any
+# rename-atomic filesystem at 100 TB.
+# ---------------------------------------------------------------------------
+
+_LATEST = "_latest"
+_CENTROIDS = "_centroids.json"
+
+
+def _generation_path(index_root: str, gen: int) -> str:
+    return os.path.join(index_root, f"gen={gen}")
+
+
+def latest_generation(index_root: str) -> int:
+    """Published generation number; -1 when nothing is published yet
+    (a gen directory without the pointer is an unpublished rebuild)."""
+    try:
+        with open(os.path.join(index_root, _LATEST)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def publish_generation(index_root: str, gen: int) -> None:
+    """Atomically flip `_latest` to ``gen`` (write-temp + os.replace)."""
+    tmp = os.path.join(index_root, _LATEST + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(int(gen)))
+    os.replace(tmp, os.path.join(index_root, _LATEST))
+
+
+def resolve_index(index_root: str) -> str:
+    """Directory of the current published generation."""
+    gen = latest_generation(index_root)
+    if gen < 0:
+        raise FileNotFoundError(f"no published generation under {index_root}")
+    return _generation_path(index_root, gen)
+
+
+def load_centroids(gen_path: str) -> list[tuple[int, list[float]]]:
+    """The generation's frozen quantizer, persisted beside its rows so
+    writers and probes can never disagree about the routing table."""
+    with open(os.path.join(gen_path, _CENTROIDS)) as fh:
+        return [(int(c), [float(x) for x in v]) for c, v in json.load(fh)]
+
+
+def _write_base_epoch(
+    vectors: DataFrame,
+    gen_path: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    rows = assign_to_centroids(vectors, centroids).withColumn(
+        "__epoch", F.lit(0)
+    )
+    rows.write.partitionBy("cell", "__epoch").parquet(gen_path)
+    with open(os.path.join(gen_path, _CENTROIDS), "w") as fh:
+        json.dump([[c, v] for c, v in centroids], fh)
+    mark_epoch_committed(gen_path, 0)
+
+
+def bootstrap_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    index_root: str,
+    k_cells: int = 4,
+    n_iters: int = 3,
+) -> int:
+    """Train the first quantizer over ``vectors`` and publish gen 0.
+    Subsequent growth goes through fold_in_writer(resolve_index(root))."""
+    from streaming_data_ingestion_spark.ml.kmeans import kmeans_fit
+
+    cents, _ = kmeans_fit(vectors, k=k_cells, n_iters=n_iters)
+    pairs = [(i, c) for i, c in enumerate(cents)]
+    gen = latest_generation(index_root) + 1
+    os.makedirs(index_root, exist_ok=True)
+    _write_base_epoch(vectors, _generation_path(index_root, gen), pairs)
+    publish_generation(index_root, gen)
+    return gen
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    index_root: str,
+    k_cells: int = 4,
+    n_iters: int = 3,
+) -> int:
+    """The OPTIMIZE: retrain the coarse quantizer over the CURRENT
+    committed corpus, re-assign and re-encode everything into a fresh
+    generation (one corpus pass — assignment and PQ encode are narrow
+    maps; training costs n_iters centroid-sized shuffles), then publish
+    atomically. Probes racing the rebuild keep reading the old
+    generation until the single pointer rename; a crashed rebuild
+    leaves an unpublished gen directory that a retry simply overwrites.
+    The cumulative-epoch history is compacted away: the new generation
+    is ONE base epoch, so cell directories regain large files (the
+    compaction half of OPTIMIZE) while replay markers start clean."""
+    from streaming_data_ingestion_spark.ml.kmeans import kmeans_fit
+
+    vecs = read_committed_index(spark, resolve_index(index_root)).select(
+        "vec_id", "embedding"
+    )
+    cents, _ = kmeans_fit(vecs, k=k_cells, n_iters=n_iters)
+    pairs = [(i, c) for i, c in enumerate(cents)]
+    gen = latest_generation(index_root) + 1
+    gen_path = _generation_path(index_root, gen)
+    if os.path.isdir(gen_path):  # crashed prior attempt — never published
+        import shutil
+
+        shutil.rmtree(gen_path)
+    _write_base_epoch(vecs, gen_path, pairs)
+    publish_generation(index_root, gen)
+    return gen
+
+
+def probe_generation(
+    spark: SparkSession,
+    index_root: str,
+    q_emb: list[float],
+    nprobe: int = 2,
+    k: int = 5,
+    rerank: int = 20,
+) -> DataFrame:
+    """Serve top-k from the published generation, reading only committed
+    epochs: cell routing uses the generation's own frozen quantizer
+    (same cosine/tie rule as assign_to_centroids, so the query's true
+    cell is always probeable), and both the codes-only ADC stage and the
+    point fetch ride the stored-index plans of ml/ivfpq.py with the
+    committed-epoch partition bound composed in."""
+    from streaming_data_ingestion_spark.ml.ivfpq import (
+        _adc_table,
+        adc_candidates,
+        fetch_vectors,
+        _exact_dist_to,
+    )
+
+    gen_path = resolve_index(index_root)
+    centroids = load_centroids(gen_path)
+
+    def _cos_py(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(y * y for y in b) ** 0.5
+        return num / (da * db) if da and db else 0.0
+
+    ranked = sorted(
+        ((-_cos_py(q_emb, v), c) for c, v in centroids)
+    )[:nprobe]
+    probes = [c for _, c in ranked]
+
+    cap = last_committed_epoch(gen_path)
+    idx = (
+        spark.read.parquet(gen_path)
+        .filter(
+            F.col("cell").isin(*probes) & (F.col("__epoch") <= F.lit(cap))
+        )
+    )
+    survivors = adc_candidates(idx, _adc_table(q_emb), rerank).collect()
+    if not survivors:
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, adc_dist double, exact_dist double"
+        )
+    surv_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in survivors],
+            "vec_id long, cell long, adc_dist double",
+        )
+    )
+    fetched = fetch_vectors(
+        spark, gen_path, probes, [r["vec_id"] for r in survivors]
+    )
+    return (
+        fetched.join(surv_df, "vec_id")
+        .select(
+            "vec_id", "cell", "adc_dist",
+            _exact_dist_to(q_emb).alias("exact_dist"),
+        )
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def vacuum_index(index_root: str, keep: int = 1) -> list[int]:
+    """Delete generations older than the newest ``keep`` published ones
+    plus any unpublished debris NEWER than the published pointer (a
+    crashed rebuild). Returns the deleted generation numbers.
+
+    The published generation itself is never touched, so vacuum is safe
+    to run while probes are live — the retention window (``keep`` > 1)
+    exists for long-running probes that resolved an older pointer and
+    are still scanning it, the same reader-lease reasoning behind
+    table-format VACUUM retention periods."""
+    import shutil
+
+    latest = latest_generation(index_root)
+    if latest < 0:
+        return []
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_root)
+        if d.startswith("gen=") and d.split("=", 1)[1].isdigit()
+    )
+    cutoff = latest - max(1, int(keep)) + 1
+    doomed = [g for g in gens if g < cutoff or g > latest]
+    for g in doomed:
+        shutil.rmtree(_generation_path(index_root, g))
+    return doomed

@@ -30,10 +30,11 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _EPOCH_PART = "epoch"
+_MARKER_DIR = "_epoch_markers"
 
 
 def bucketed_growth_writer(
@@ -49,7 +50,7 @@ def bucketed_growth_writer(
     partitioned by epoch, bucketed ``n_buckets`` ways on
     ``bucket_cols`` — idempotently under micro-batch replay."""
 
-    marker_dir = os.path.join(path, "_epoch_markers")
+    marker_dir = os.path.join(path, _MARKER_DIR)
 
     def _marker(epoch_id: int) -> str:
         return os.path.join(marker_dir, f"{run_ns}-{int(epoch_id)}.done")
@@ -81,3 +82,39 @@ def bucketed_growth_writer(
             f.write("done\n")
 
     return write_batch
+
+
+def last_committed_epoch(path: str, run_ns: str = "default") -> int:
+    """Highest epoch whose marker exists for this run namespace; -1 when
+    none. A marker is written only after ``saveAsTable`` fully returns,
+    so it implies the epoch's whole partition directory is in place."""
+    marker_dir = os.path.join(path, _MARKER_DIR)
+    prefix = f"{run_ns}-"
+    try:
+        names = os.listdir(marker_dir)
+    except OSError:
+        return -1
+    epochs = [
+        int(n[len(prefix):-len(".done")])
+        for n in names
+        if n.startswith(prefix)
+        and n.endswith(".done")
+        and n[len(prefix):-len(".done")].isdigit()
+    ]
+    return max(epochs, default=-1)
+
+
+def read_committed_facts(
+    spark: SparkSession, table: str, path: str, run_ns: str = "default"
+) -> DataFrame:
+    """Consistent snapshot of the growing bucketed fact table: only rows
+    of marker-committed epochs. The same torn-read hazard as the ANN
+    fold-in (streaming/ann_stream.py) applies here — crash debris or an
+    in-flight append leaves an unmarked ``epoch=N`` directory that a
+    raw ``spark.table`` read would include. ``epoch`` is the partition
+    column, so the bound is a PartitionFilter (the torn directory is
+    pruned unread), and filtering a partition column does NOT disturb
+    the bucket-hash distribution on the join key — joins through this
+    view stay exchange-free (pinned in tests/test_layout.py)."""
+    cap = last_committed_epoch(path, run_ns)
+    return spark.table(table).filter(F.col(_EPOCH_PART) <= F.lit(cap))

@@ -723,3 +723,84 @@ def test_zorder_optimize_scan_read_path_skips(spark):
                 and s_lo <= _OPT_SUPP_HI and s_hi >= _OPT_SUPP_LO):
             hit += 1
     assert hit < len(files), (hit, len(files))
+
+
+def test_bucketed_growth_committed_read_excludes_torn_epoch(spark):
+    """A reader racing an in-flight (or crashed) epoch append must not
+    see the torn epoch: read_committed_facts pins epoch <= last marker
+    as a PartitionFilter, a join through the committed view stays
+    exchange-free, and the writer's next attempt heals the debris."""
+    import os
+    import shutil
+
+    from streaming_data_ingestion_spark.streaming.bucket_growth import (
+        bucketed_growth_writer,
+        last_committed_epoch,
+        read_committed_facts,
+    )
+    from streaming_data_ingestion_spark.tables import artifact_path
+
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    path = artifact_path("li_torn")
+    try:
+        wb = bucketed_growth_writer(
+            "li_torn", path, ["l_orderkey"], 4,
+            sort_cols=["l_orderkey"], run_ns="t",
+        )
+        wb(li.filter(F.col("l_orderkey") % 3 == 0), 0)
+        wb(li.filter(F.col("l_orderkey") % 3 == 1), 1)
+        assert last_committed_epoch(path, "t") == 1
+        n01 = li.filter(F.col("l_orderkey") % 3 != 2).count()
+
+        # torn epoch 2: rows landed (job committed) but NO marker —
+        # the writer crashed between saveAsTable and the marker write
+        (li.filter(F.col("l_orderkey") % 3 == 2).limit(11)
+         .withColumn("epoch", F.lit(2))
+         .write.mode("append").partitionBy("epoch")
+         .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+         .option("path", path).saveAsTable("li_torn", format="parquet"))
+        assert os.path.exists(os.path.join(path, "epoch=2"))
+        assert last_committed_epoch(path, "t") == 1
+
+        raw = spark.table("li_torn")
+        assert raw.count() == n01 + 11  # the race is real
+
+        snap = read_committed_facts(spark, "li_torn", path, "t")
+        assert snap.count() == n01
+        plan = _plan(snap)
+        pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+        assert "epoch#" in pf, pf
+
+        # the committed view joins exchange-free, same as the raw table
+        write_bucketed(
+            od, "od_torn", ["o_orderkey"], 4, path=artifact_path("od_torn")
+        )
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = snap.join(
+                spark.table("od_torn"),
+                snap["l_orderkey"] == F.col("o_orderkey"),
+            )
+            jplan = _plan(j)
+            assert "SortMergeJoin" in jplan
+            assert jplan.count("Arguments: hashpartitioning") == 0
+            want = (
+                li.filter(F.col("l_orderkey") % 3 != 2)
+                .join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+            )
+            assert j.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+
+        # the next real attempt replaces the debris and commits
+        wb(li.filter(F.col("l_orderkey") % 3 == 2), 2)
+        assert last_committed_epoch(path, "t") == 2
+        healed = read_committed_facts(spark, "li_torn", path, "t")
+        assert healed.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_torn")
+        spark.sql("DROP TABLE IF EXISTS od_torn")
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(artifact_path("od_torn"), ignore_errors=True)

@@ -2170,3 +2170,127 @@ def test_ann_fold_in_probe_never_sees_torn_epoch(spark, tmp_path):
     full_want = assign_to_centroids(emb, cents)
     assert healed.count() == n
     assert cast(healed).exceptAll(cast(full_want)).count() == 0
+
+
+def test_ann_generation_rebuild_is_atomic_and_exact(spark, tmp_path):
+    """The OPTIMIZE half of the index lifecycle: bootstrap gen 0, fold
+    two epochs in, then rebuild — the retrained generation must be
+    published atomically (probes racing the rebuild resolve the OLD
+    generation until the single pointer rename), must compact the epoch
+    history into one base epoch holding exactly the cumulative vector
+    set, and a full-probe/full-rerank probe through the published
+    generation must equal brute-force exact search before AND after the
+    swap."""
+    import os
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        fold_in_writer,
+        last_committed_epoch,
+        latest_generation,
+        load_centroids,
+        probe_generation,
+        read_committed_index,
+        rebuild_ann_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    root = str(tmp_path / "ann_root")
+
+    base = emb.filter(F.col("vec_id") < n // 2)
+    gen0 = bootstrap_index(spark, base, root, k_cells=3, n_iters=2)
+    assert gen0 == 0 and latest_generation(root) == 0
+
+    # grow the published generation through the normal fold-in path
+    wb = fold_in_writer(
+        resolve_index(root), load_centroids(resolve_index(root))
+    )
+    wb(emb.filter((F.col("vec_id") >= n // 2) & (F.col("vec_id") < 3 * n // 4)), 1)
+    wb(emb.filter(F.col("vec_id") >= 3 * n // 4), 2)
+    assert read_committed_index(spark, resolve_index(root)).count() == n
+
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+
+    def brute_top5():
+        q_arr = F.array(*[F.lit(float(x)) for x in q])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), q_arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return [
+            r["vec_id"]
+            for r in emb.select("vec_id", d.alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            .limit(5).collect()
+        ]
+
+    want = brute_top5()
+    pre = probe_generation(spark, root, list(q), nprobe=3, k=5, rerank=n)
+    assert [r["vec_id"] for r in pre.collect()] == want
+
+    # rebuild: retrained quantizer, fresh generation, atomic publish
+    gen1 = rebuild_ann_index(spark, root, k_cells=4, n_iters=2)
+    assert gen1 == 1 and latest_generation(root) == 1
+    new_path = resolve_index(root)
+    assert new_path.endswith("gen=1")
+    # compacted: one base epoch, cumulative rows, old gen intact
+    assert last_committed_epoch(new_path) == 0
+    assert read_committed_index(spark, new_path).count() == n
+    assert read_committed_index(spark, os.path.join(root, "gen=0")).count() == n
+    post = probe_generation(spark, root, list(q), nprobe=4, k=5, rerank=n)
+    assert [r["vec_id"] for r in post.collect()] == want
+
+    # atomicity: an UNPUBLISHED rebuild directory must be invisible —
+    # resolve keeps answering gen=1 until the pointer flips
+    os.makedirs(os.path.join(root, "gen=2"))
+    with open(os.path.join(root, "gen=2", "part-halfwritten"), "w") as fh:
+        fh.write("junk")
+    assert resolve_index(root).endswith("gen=1")
+    mid = probe_generation(spark, root, list(q), nprobe=4, k=5, rerank=n)
+    assert [r["vec_id"] for r in mid.collect()] == want
+    # a retried rebuild overwrites the crashed attempt and publishes it
+    gen2 = rebuild_ann_index(spark, root, k_cells=3, n_iters=2)
+    assert gen2 == 2 and resolve_index(root).endswith("gen=2")
+    final = probe_generation(spark, root, list(q), nprobe=3, k=5, rerank=n)
+    assert [r["vec_id"] for r in final.collect()] == want
+
+
+def test_ann_vacuum_keeps_published_and_reader_lease(spark, tmp_path):
+    """vacuum_index must never touch the published generation, must
+    honor the keep-window (reader lease), and must sweep crashed
+    unpublished rebuild debris."""
+    import os
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        probe_generation,
+        rebuild_ann_index,
+        resolve_index,
+        vacuum_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 64
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb, root, k_cells=3, n_iters=2)
+    rebuild_ann_index(spark, root, k_cells=3, n_iters=2)
+    rebuild_ann_index(spark, root, k_cells=4, n_iters=2)  # published: gen=2
+    os.makedirs(os.path.join(root, "gen=7"))  # crashed future attempt
+
+    # keep=2: gen 1 survives (lease), gen 0 and the debris go
+    assert vacuum_index(root, keep=2) == [0, 7]
+    gens = {d for d in os.listdir(root) if d.startswith("gen=")}
+    assert gens == {"gen=1", "gen=2"}
+    assert resolve_index(root).endswith("gen=2")
+
+    # keep=1: only the published generation remains, probes unaffected
+    assert vacuum_index(root, keep=1) == [1]
+    q = emb.first()["embedding"]
+    got = probe_generation(spark, root, list(q), nprobe=4, k=3, rerank=64)
+    assert got.count() == 3
