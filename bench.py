@@ -221,6 +221,7 @@ EXTENDED = (
     "q_sim_ivfpq_probe_b2",  # 2nd ANN probe binding (nprobe=3, k=7)
     "q_bm25_search_b2",      # 2nd fresh-stats retrieval binding (4 terms)
     "q_bm25_serving_b2",     # 2nd stored-stats binding incl. absent term
+    "q_ann_gen_probe",       # generation-lifecycle serve (pointer→probe)
 )
 
 

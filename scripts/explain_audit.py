@@ -452,6 +452,16 @@ AUDITED = (
         "is a single pass with row-side tf computation, top-k via "
         "TakeOrderedAndProject.",
     ),
+    (
+        "q_ann_gen_probe",
+        "Generation-lifecycle serve — same two-scan shape as the ivfpq "
+        "probes, routed through the _latest pointer and the committed-"
+        "epoch bound. The ADC stage runs eagerly (bounded by the <=512-"
+        "row sampled corpus; codes-only + PartitionFilters pinned in "
+        "tests/test_streaming.py's stage guards); the plan shown HERE "
+        "is the re-rank fetch with the survivor vec_id IN-list in "
+        "PushedFilters, then a <=10-row rank Window.",
+    ),
 )
 
 

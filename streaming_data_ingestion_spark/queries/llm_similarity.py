@@ -1948,6 +1948,107 @@ def q_sim_ivfpq_probe_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_ann_gen_probe — the generation-lifecycle serve path, driver-hashed.
+# streaming/ann_stream.py's bootstrap_index → probe_generation is the
+# production shape (kmeans-trained quantizer persisted beside the rows,
+# _latest pointer resolution, committed-epoch reads); probing ALL cells
+# with rerank = corpus makes the result exactly brute-force L2 top-k,
+# which DuckDB can replicate — so the hash certifies the whole lifecycle
+# plumbing end-to-end, not just the deterministic-quantizer twin.
+# --------------------------------------------------------------------------
+
+_GEN_ROOT_MEMO: dict[str, str] = {}
+_GEN_CORPUS_MAX = 512  # sampled corpus => the full-rerank collect is bounded
+_GEN_Q_ID = 7
+
+
+def _gen_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """One published generation per (session, sf_dir): kmeans quantizer
+    trained over the ≤512-row sampled corpus, written and published by
+    bootstrap_index (gen=0, base epoch committed, _latest pointer)."""
+    if sf_dir not in _GEN_ROOT_MEMO:
+        from streaming_data_ingestion_spark.streaming.ann_stream import (
+            bootstrap_index,
+        )
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        root = artifact_path(f"ann_gen_{tag}")
+        vecs = (
+            load(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .filter(F.col("vec_id") < _GEN_CORPUS_MAX)
+        )
+        bootstrap_index(spark, vecs, root, k_cells=4, n_iters=2)
+        _GEN_ROOT_MEMO[sf_dir] = root
+    return _GEN_ROOT_MEMO[sf_dir]
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Squared L2 as the same sequential double fold Spark's
+    ml/ivfpq._exact_dist_to runs (zip_with diff-square, left fold) —
+    bit-identical, no tolerance needed."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_DIM + 1}), i -> {diff} * {diff})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q_ann_gen_probe",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_GEN_Q_ID}
+),
+scored AS (
+  SELECT e.vec_id, {_sql_l2("e.embedding", "q.q_emb")} AS exact_dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id < {_GEN_CORPUS_MAX}
+)
+SELECT vec_id, exact_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY exact_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+    tags=("llm", "similarity", "ann", "index", "serving", "streaming"),
+)
+def q_ann_gen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by exact L2 served THROUGH a published index generation:
+    `_latest` pointer resolution → the generation's persisted quantizer
+    → committed-epoch partition bound → codes-only ADC → vec_id-pushed
+    exact re-rank (streaming/ann_stream.probe_generation). Probing all
+    4 cells with rerank = corpus disables both approximation sources, so
+    the result must be exactly brute-force L2 top-k — which the oracle
+    computes directly. The ADC stage's mid-plan collect is bounded by
+    the ≤{512}-row sampled corpus by construction.
+
+    Scale: the registered binding fully probes a SAMPLED corpus to stay
+    oracle-exact; production parameters (nprobe << K, lookup-sized
+    rerank) ride the identical code path, whose pruning/projection
+    contracts are plan-asserted in tests/test_ivfpq.py and
+    tests/test_streaming.py."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        probe_generation,
+    )
+
+    root = _gen_index_for(spark, sf_dir)
+    q_emb = [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _GEN_Q_ID)
+        .first()["embedding"]
+    ]
+    res = probe_generation(
+        spark, root, q_emb, nprobe=4, k=10, rerank=_GEN_CORPUS_MAX
+    )
+    w = Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+    return res.select("vec_id", "exact_dist").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+
+
+# --------------------------------------------------------------------------
 # q_sim_pair_hist — cosine-similarity histogram over the IVF-cell candidate
 # pairs: the calibration readout behind q_emb_neardup/q_semdedup's 0.35
 # threshold (where does the pair distribution actually split?).

@@ -50,6 +50,9 @@ HOSTILE_CHECKED = (
     "q_winsorized_mean",  # global-rank cuts must not depend on shuffle width
     "q_bucketed_join",  # 8-bucket stored layout vs a 3-partition session:
     #                     bucketed-scan parallelism must not change sums
+    "q_ann_gen_probe",  # full-probe/full-rerank through a published
+    #                     generation: exact top-k must be independent of
+    #                     the trained quantizer AND the shuffle width
 )
 
 

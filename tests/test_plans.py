@@ -579,6 +579,10 @@ _SWEEP_SKIP = {
     "q_sim_ivfpq_recall",
     "q_sim_ivfpq_probe_param",
     "q_sim_ivfpq_probe_b2",
+    # eager bounded-collect serving path like the probes above; its ADC
+    # stage plan contracts are asserted directly in tests/test_ivfpq.py
+    # and tests/test_streaming.py (generation lifecycle)
+    "q_ann_gen_probe",
 }
 
 

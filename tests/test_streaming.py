@@ -2294,3 +2294,55 @@ def test_ann_vacuum_keeps_published_and_reader_lease(spark, tmp_path):
     q = emb.first()["embedding"]
     got = probe_generation(spark, root, list(q), nprobe=4, k=3, rerank=64)
     assert got.count() == 3
+
+
+def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
+    """The q_ann_gen_probe / probe_generation ADC stage, pinned at the
+    plan level exactly like the batch probes in tests/test_ivfpq.py:
+    the probed generation scan reads (vec_id, cell, codes) behind BOTH
+    the cell PartitionFilter and the committed-__epoch bound — never the
+    float `embedding` column — and the re-rank fetch pushes the survivor
+    vec_id IN-list into the reader."""
+    from streaming_data_ingestion_spark.ml.ivfpq import (
+        _adc_table,
+        adc_candidates,
+        fetch_vectors,
+    )
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        last_committed_epoch,
+        load_centroids,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 128
+    )
+    root = str(tmp_path / "gen_root")
+    bootstrap_index(spark, emb, root, k_cells=3, n_iters=2)
+    gen_path = resolve_index(root)
+    cells = [c for c, _ in load_centroids(gen_path)][:2]
+    cap = last_committed_epoch(gen_path)
+    q = emb.first()["embedding"]
+
+    def _fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # the exact frame probe_generation scores: probed cells + epoch cap
+    idx = spark.read.parquet(gen_path).filter(
+        F.col("cell").isin(*cells) & (F.col("__epoch") <= F.lit(cap))
+    )
+    plan = _fmt(adc_candidates(idx, _adc_table(list(q)), 20))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
+    assert schemas and all("embedding" not in ln for ln in schemas), schemas
+    assert any("codes" in ln for ln in schemas), schemas
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell#" in pf and "__epoch#" in pf, pf
+
+    fplan = _fmt(fetch_vectors(spark, gen_path, cells, [1, 2, 3]))
+    pushed = fplan.split("PushedFilters:")[1].split("\n")[0]
+    assert "In(vec_id" in pushed, pushed
