@@ -97,6 +97,56 @@ def _const_repr(value, module: ModuleType, name: str) -> str | None:
     return None
 
 
+def _local_import_targets(f, pkg_prefix: str) -> list:
+    """Objects named by import statements INSIDE the function body.
+    House style defers package imports into function bodies to break
+    cycles (`from ...ann_stream import probe_generation` at call time);
+    those names are locals, invisible to co_names/globals resolution,
+    so the digest would miss the imported helper entirely without this
+    pass. Returns resolved objects (functions/classes/modules) from
+    package modules only."""
+    import ast
+    import importlib
+    import sys
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if not node.module or not (
+                node.module == pkg_prefix
+                or node.module.startswith(pkg_prefix + ".")
+            ):
+                continue
+            try:
+                mod = sys.modules.get(node.module) or importlib.import_module(
+                    node.module
+                )
+            except ImportError:
+                continue
+            for alias in node.names:
+                v = getattr(mod, alias.name, None)
+                if v is not None:
+                    out.append(v)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name == pkg_prefix or alias.name.startswith(
+                    pkg_prefix + "."
+                ):
+                    try:
+                        out.append(
+                            sys.modules.get(alias.name)
+                            or importlib.import_module(alias.name)
+                        )
+                    except ImportError:
+                        pass
+    return out
+
+
 def reachable_sources(
     fn, pkg_prefix: str = PKG_PREFIX
 ) -> dict[tuple[str, str], str]:
@@ -142,6 +192,7 @@ def reachable_sources(
         names = sorted(set(code.co_names))
         g = getattr(f, "__globals__", {})
         candidates = [g.get(n) for n in names]
+        candidates.extend(_local_import_targets(f, pkg_prefix))
         # referenced module-level CONSTANTS are semantics too (e.g. a
         # serving key's bound query vector / term list): digest them so
         # editing a binding literal flags the key even though no

@@ -315,8 +315,16 @@ def probe_generation(
     (same cosine/tie rule as assign_to_centroids, so the query's true
     cell is always probeable), and both the codes-only ADC stage and the
     point fetch ride the stored-index plans of ml/ivfpq.py with the
-    committed-epoch partition bound composed in."""
+    committed-epoch partition bound composed in.
+
+    Same serving contract as ml/ivfpq.query_ivfpq: the point-fetch plan
+    collects the ≤ rerank ADC survivors to drive the vec_id IN-list,
+    which is only sane while the survivor set is lookup-sized; past
+    _COLLECT_RERANK_MAX the plan stays lazy/distributed — the ADC cut
+    broadcast-joins back onto the probed scan for exact re-rank instead
+    of materializing the probed corpus on the driver."""
     from streaming_data_ingestion_spark.ml.ivfpq import (
+        _COLLECT_RERANK_MAX,
         _adc_table,
         adc_candidates,
         fetch_vectors,
@@ -344,6 +352,19 @@ def probe_generation(
             F.col("cell").isin(*probes) & (F.col("__epoch") <= F.lit(cap))
         )
     )
+    if rerank > _COLLECT_RERANK_MAX:
+        cand = adc_candidates(idx, _adc_table(q_emb), rerank)
+        return (
+            idx.select("vec_id", "embedding")
+            .join(F.broadcast(cand), "vec_id")
+            .select(
+                "vec_id", "cell", "adc_dist",
+                _exact_dist_to(q_emb).alias("exact_dist"),
+            )
+            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+            .limit(k)
+        )
+
     survivors = adc_candidates(idx, _adc_table(q_emb), rerank).collect()
     if not survivors:
         return spark.createDataFrame(

@@ -117,6 +117,26 @@ def test_digest_reaches_transitive_helpers_and_constants():
     )
 
 
+def test_digest_reaches_function_local_imports():
+    """House style defers package imports into function bodies to break
+    cycles; those helpers are locals, invisible to co_names/globals —
+    the digest must reach them through the AST import pass, or a whole
+    maintainer rewrite (probe_generation) would never flag the keys
+    built on it."""
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    fn = inspect.unwrap(all_queries()["q_ann_gen_probe"].fn)
+    quals = {q for _, q in reachable_sources(fn)}
+    for helper in (
+        "probe_generation",   # imported inside q_ann_gen_probe
+        "bootstrap_index",    # imported inside _gen_index_for
+        "kmeans_fit",         # imported inside bootstrap_index
+        "adc_candidates",     # imported inside probe_generation
+        "fetch_vectors",
+    ):
+        assert helper in quals, f"{helper} not reached: {sorted(quals)}"
+
+
 def test_digest_is_sensitive_to_oracle_and_fn(live):
     """key_digest must move when the oracle SQL moves (same fn)."""
     from streaming_data_ingestion_spark.registry import all_queries

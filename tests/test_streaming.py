@@ -2346,3 +2346,34 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
     fplan = _fmt(fetch_vectors(spark, gen_path, cells, [1, 2, 3]))
     pushed = fplan.split("PushedFilters:")[1].split("\n")[0]
     assert "In(vec_id" in pushed, pushed
+
+
+def test_generation_probe_lazy_fallback_matches(spark, tmp_path, monkeypatch):
+    """Past _COLLECT_RERANK_MAX probe_generation must stay distributed
+    (no driver materialization of the probed corpus) and return EXACTLY
+    what the point-fetch plan returns — forced by dropping the bound to
+    0 and re-running the identical query (the query_ivfpq parity
+    contract, extended to the generation serve path)."""
+    import streaming_data_ingestion_spark.ml.ivfpq as ivfpq_mod
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        probe_generation,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 128
+    )
+    root = str(tmp_path / "gen_root")
+    bootstrap_index(spark, emb, root, k_cells=3, n_iters=2)
+    q = [float(x) for x in emb.first()["embedding"]]
+
+    want = probe_generation(spark, root, q, nprobe=2, k=5, rerank=20).collect()
+    monkeypatch.setattr(ivfpq_mod, "_COLLECT_RERANK_MAX", 0)
+    lazy_df = probe_generation(spark, root, q, nprobe=2, k=5, rerank=20)
+    plan = lazy_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [" in plan
+    assert lazy_df.collect() == want
