@@ -142,13 +142,23 @@ def last_committed_epoch(index_path: str) -> int:
     return max(epochs, default=-1)
 
 
-def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
+def read_committed_index(
+    spark: SparkSession, index_path: str, as_of_epoch: int | None = None
+) -> DataFrame:
     """Consistent snapshot of the folded index: only rows of committed
     epochs. ``__epoch`` is a partition column, so the bound is a
     PartitionFilter — an in-flight (torn) epoch's directories are pruned
     before any of its files are opened. Columns match what the batch
-    probes read: (vec_id, cell, codes, embedding)."""
+    probes read: (vec_id, cell, codes, embedding).
+
+    ``as_of_epoch`` is time travel: epochs are append-only and immutable
+    once committed, so capping the bound at an older epoch reproduces
+    the index exactly as it stood after that epoch — the zero-cost
+    replica of a table format's VERSION AS OF, for debugging and
+    repro at any scale (pinned in tests/test_streaming.py)."""
     cap = last_committed_epoch(index_path)
+    if as_of_epoch is not None:
+        cap = min(cap, int(as_of_epoch))
     return (
         spark.read.parquet(index_path)
         .filter(F.col("__epoch") <= F.lit(cap))
@@ -415,3 +425,40 @@ def vacuum_index(index_root: str, keep: int = 1) -> list[int]:
     for g in doomed:
         shutil.rmtree(_generation_path(index_root, g))
     return doomed
+
+
+def rebuild_due(
+    index_root: str,
+    spark: SparkSession | None = None,
+    max_epochs: int = 64,
+    max_cell_skew: float = 4.0,
+) -> bool:
+    """The OPTIMIZE scheduling policy: should the published generation
+    be rebuilt? True when either maintenance debt is over budget:
+
+    * **epoch count** — every fold-in adds one directory layer per cell;
+      past ``max_epochs`` the small-files tax on probes outweighs a
+      one-pass compaction (the same trigger logic as parquet OPTIMIZE);
+    * **cell skew** (needs ``spark``) — max/mean committed rows per cell;
+      a drifted corpus concentrates in few cells, degrading nprobe
+      pruning from nprobe/K of the bytes toward all of them. Retraining
+      the quantizer (rebuild_ann_index) restores balanced cells.
+
+    Driver-side metadata reads plus, for skew, one K-row aggregate —
+    cheap enough to evaluate after every fold-in batch."""
+    gen_path = resolve_index(index_root)
+    if last_committed_epoch(gen_path) + 1 > max_epochs:
+        return True
+    if spark is not None:
+        counts = [
+            r["n"]
+            for r in read_committed_index(spark, gen_path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        if counts:
+            mean = sum(counts) / len(counts)
+            if mean > 0 and max(counts) / mean > max_cell_skew:
+                return True
+    return False

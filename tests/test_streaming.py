@@ -2377,3 +2377,40 @@ def test_generation_probe_lazy_fallback_matches(spark, tmp_path, monkeypatch):
     )
     assert "PartitionFilters: [" in plan
     assert lazy_df.collect() == want
+
+
+def test_ann_time_travel_and_rebuild_policy(spark, tmp_path):
+    """as_of_epoch reads must reproduce the index exactly as it stood
+    after that epoch (append-only + immutable commits make this free),
+    and rebuild_due must fire on epoch-count debt, fire on cell skew,
+    and stay quiet on a fresh balanced generation."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        fold_in_writer,
+        load_centroids,
+        read_committed_index,
+        rebuild_due,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 96
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 32), root, k_cells=3, n_iters=2)
+    gen = resolve_index(root)
+    wb = fold_in_writer(gen, load_centroids(gen))
+    wb(emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") < 64)), 1)
+    wb(emb.filter(F.col("vec_id") >= 64), 2)
+
+    # time travel: the view as of epoch 1 is exactly epochs {0, 1}
+    asof = read_committed_index(spark, gen, as_of_epoch=1)
+    assert asof.count() == 64
+    assert asof.agg(F.max("vec_id")).first()[0] == 63
+    # and as_of beyond the committed cap clamps to the live view
+    assert read_committed_index(spark, gen, as_of_epoch=99).count() == 96
+
+    # policy: quiet when fresh, fires on epoch debt, fires on skew
+    assert rebuild_due(root, spark, max_epochs=64, max_cell_skew=1e9) is False
+    assert rebuild_due(root, max_epochs=2) is True
+    assert rebuild_due(root, spark, max_epochs=64, max_cell_skew=0.5) is True
