@@ -9,8 +9,11 @@ exactly how production IVF indexes ingest; re-training centroids is a
 separate, rare OPTIMIZE-style rebuild), PQ-encoded with the same
 deterministic codebooks, and appended into the cell partitions.
 
-Exactly-once: rows are appended under a ``cell=X/__epoch=E`` partition
-layout with per-write dynamic partition overwrite — a replayed epoch
+Exactly-once: rows are appended under a ``cell=X/__epoch=<run>-<E>``
+partition layout with per-write dynamic partition overwrite — the epoch
+value is namespaced by run because Spark epoch ids restart at 0 per
+checkpoint (two runs, or a run beside the bootstrap base, must never
+overwrite each other's slices) — and a replayed epoch
 re-delivers the identical assignment (frozen centroids + deterministic
 codes make the batch a pure function of its input), and the dynamic
 overwrite replaces exactly that epoch's slices instead of duplicating
@@ -33,10 +36,11 @@ partitions already renamed into place, others still pending (Spark's
 per-partition commit is not atomic across partitions, and there is no
 table-format transaction log under plain parquet). The fix is the
 minimal version-log discipline: the writer drops a driver-side commit
-marker ``_commits/epoch=E`` only AFTER the whole epoch's parquet write
-returns, and consistent readers go through ``read_committed_index``,
-which pins ``__epoch <= last_committed_epoch(path)`` — a partition
-filter, so the in-flight epoch's files are pruned without being read.
+marker (``_commits/<run>-<E>``, recording a total commit sequence) only
+AFTER the whole epoch's parquet write returns, and consistent readers
+go through ``read_committed_index``, which pins ``__epoch`` to the
+committed-token IN-list — a partition filter, so the in-flight epoch's
+files are pruned without being read.
 A probe therefore sees either the pre-epoch or the post-epoch index,
 never a mix; and because a replayed epoch is a pure function of its
 input, re-running the interrupted epoch heals any torn slices via the
@@ -96,16 +100,30 @@ def assign_to_centroids(
     )
 
 
+def _epoch_token(run_ns: str, epoch_id: int) -> str:
+    return f"{run_ns}-{int(epoch_id)}"
+
+
 def fold_in_writer(
-    index_path: str, centroids: list[tuple[int, list[float]]]
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+    run_ns: str = "default",
 ):
     """foreachBatch writer: assign + encode this batch against the
-    frozen quantizer and land it under cell=…/__epoch=… with dynamic
-    partition overwrite (replay-idempotent by construction)."""
+    frozen quantizer and land it under cell=…/__epoch=<ns>-<E> with
+    dynamic partition overwrite (replay-idempotent by construction).
+
+    The epoch partition value is NAMESPACED by ``run_ns``: Spark epoch
+    ids restart at 0 for every new checkpoint, so two successive streams
+    feeding the same index — or a stream landing next to the bootstrap
+    base epoch — would otherwise dynamic-OVERWRITE each other's slices
+    (silent data loss; caught by the e2e composition test). Distinct
+    namespaces can never collide; a replay of THIS run's epoch still
+    replaces exactly its own slices."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         rows = assign_to_centroids(batch_df, centroids).withColumn(
-            "__epoch", F.lit(int(epoch_id))
+            "__epoch", F.lit(_epoch_token(run_ns, epoch_id))
         )
         (
             rows.write.mode("overwrite")
@@ -113,57 +131,99 @@ def fold_in_writer(
             .partitionBy("cell", "__epoch")
             .parquet(index_path)
         )
-        mark_epoch_committed(index_path, int(epoch_id))
+        mark_epoch_committed(index_path, epoch_id, run_ns)
 
     return write_batch
 
 
-def mark_epoch_committed(index_path: str, epoch_id: int) -> None:
-    """Drop the epoch's commit marker. Called only after the epoch's
-    parquet write has fully returned, so the marker's existence implies
-    every cell slice of the epoch is renamed into place."""
+def mark_epoch_committed(
+    index_path: str, epoch_id: int, run_ns: str = "default"
+) -> int:
+    """Drop the epoch's commit marker and return its commit SEQUENCE.
+    Called only after the epoch's parquet write has fully returned, so
+    the marker's existence implies every cell slice of the epoch is
+    renamed into place. The marker file records a monotonically
+    increasing sequence number (single committing driver per index —
+    the same assumption the epoch discipline itself makes), which is
+    what gives multi-namespace indexes a total commit order for
+    snapshots and time travel."""
     commits = os.path.join(index_path, _COMMITS_DIR)
     os.makedirs(commits, exist_ok=True)
-    open(os.path.join(commits, f"epoch={epoch_id}"), "w").close()
+    token = _epoch_token(run_ns, epoch_id)
+    marker = os.path.join(commits, token)
+    if os.path.exists(marker):  # completed-epoch replay keeps its seq
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    seq = last_commit_seq(index_path) + 1
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(seq))
+    os.replace(tmp, marker)
+    return seq
 
 
-def last_committed_epoch(index_path: str) -> int:
-    """Highest epoch with a commit marker; -1 when none committed yet."""
+def committed_epochs(index_path: str) -> list[tuple[int, str]]:
+    """(seq, epoch_token) for every committed epoch, in commit order."""
     commits = os.path.join(index_path, _COMMITS_DIR)
     try:
         names = os.listdir(commits)
     except OSError:
-        return -1
-    epochs = [
-        int(n.split("=", 1)[1])
-        for n in names
-        if n.startswith("epoch=") and n.split("=", 1)[1].isdigit()
+        return []
+    out = []
+    for n in names:
+        if n.endswith(".tmp"):
+            continue
+        try:
+            with open(os.path.join(commits, n)) as fh:
+                out.append((int(fh.read().strip()), n))
+        except (OSError, ValueError):
+            continue
+    return sorted(out)
+
+
+def last_commit_seq(index_path: str) -> int:
+    """Highest commit sequence; -1 when nothing is committed yet."""
+    eps = committed_epochs(index_path)
+    return eps[-1][0] if eps else -1
+
+
+def last_committed_epoch(index_path: str, run_ns: str = "default") -> int:
+    """Highest committed epoch NUMBER within one run namespace; -1 when
+    that namespace has no commits (the per-run progress readout; global
+    snapshot order lives in the commit sequence)."""
+    prefix = run_ns + "-"
+    nums = [
+        int(tok[len(prefix):])
+        for _, tok in committed_epochs(index_path)
+        if tok.startswith(prefix) and tok[len(prefix):].lstrip("-").isdigit()
     ]
-    return max(epochs, default=-1)
+    return max(nums, default=-1)
 
 
 def read_committed_index(
-    spark: SparkSession, index_path: str, as_of_epoch: int | None = None
+    spark: SparkSession, index_path: str, as_of_seq: int | None = None
 ) -> DataFrame:
     """Consistent snapshot of the folded index: only rows of committed
-    epochs. ``__epoch`` is a partition column, so the bound is a
-    PartitionFilter — an in-flight (torn) epoch's directories are pruned
-    before any of its files are opened. Columns match what the batch
-    probes read: (vec_id, cell, codes, embedding).
+    epochs. ``__epoch`` is a partition column and the committed set is
+    a literal IN-list over it, so the bound is a PartitionFilter — an
+    in-flight (torn) epoch's directories are pruned before any of its
+    files are opened. The list length is the epoch count, which the
+    rebuild_due compaction budget keeps bounded. Columns match what the
+    batch probes read: (vec_id, cell, codes, embedding).
 
-    ``as_of_epoch`` is time travel: epochs are append-only and immutable
-    once committed, so capping the bound at an older epoch reproduces
-    the index exactly as it stood after that epoch — the zero-cost
-    replica of a table format's VERSION AS OF, for debugging and
-    repro at any scale (pinned in tests/test_streaming.py)."""
-    cap = last_committed_epoch(index_path)
-    if as_of_epoch is not None:
-        cap = min(cap, int(as_of_epoch))
-    return (
-        spark.read.parquet(index_path)
-        .filter(F.col("__epoch") <= F.lit(cap))
-        .select("vec_id", "cell", "codes", "embedding")
-    )
+    ``as_of_seq`` is time travel: epochs are append-only and immutable
+    once committed, so including only commit sequences ≤ the cap
+    reproduces the index exactly as it stood after that commit — the
+    zero-cost replica of a table format's VERSION AS OF, for debugging
+    and repro at any scale (pinned in tests/test_streaming.py)."""
+    tokens = [
+        tok
+        for seq, tok in committed_epochs(index_path)
+        if as_of_seq is None or seq <= as_of_seq
+    ]
+    base = spark.read.parquet(index_path)
+    bound = F.col("__epoch").isin(tokens) if tokens else F.lit(False)
+    return base.filter(bound).select("vec_id", "cell", "codes", "embedding")
 
 
 def maintain_ann_index(
@@ -249,13 +309,16 @@ def _write_base_epoch(
     gen_path: str,
     centroids: list[tuple[int, list[float]]],
 ) -> None:
+    # the base lives in its own "base" namespace: stream fold-ins start
+    # at epoch 0 for every new checkpoint, and a shared namespace would
+    # let the first micro-batch dynamic-overwrite the base slices
     rows = assign_to_centroids(vectors, centroids).withColumn(
-        "__epoch", F.lit(0)
+        "__epoch", F.lit(_epoch_token("base", 0))
     )
     rows.write.partitionBy("cell", "__epoch").parquet(gen_path)
     with open(os.path.join(gen_path, _CENTROIDS), "w") as fh:
         json.dump([[c, v] for c, v in centroids], fh)
-    mark_epoch_committed(gen_path, 0)
+    mark_epoch_committed(gen_path, 0, "base")
 
 
 def bootstrap_index(
@@ -355,12 +418,11 @@ def probe_generation(
     )[:nprobe]
     probes = [c for _, c in ranked]
 
-    cap = last_committed_epoch(gen_path)
+    tokens = [tok for _, tok in committed_epochs(gen_path)]
+    epoch_bound = F.col("__epoch").isin(tokens) if tokens else F.lit(False)
     idx = (
         spark.read.parquet(gen_path)
-        .filter(
-            F.col("cell").isin(*probes) & (F.col("__epoch") <= F.lit(cap))
-        )
+        .filter(F.col("cell").isin(*probes) & epoch_bound)
     )
     if rerank > _COLLECT_RERANK_MAX:
         cand = adc_candidates(idx, _adc_table(q_emb), rerank)
@@ -447,7 +509,7 @@ def rebuild_due(
     Driver-side metadata reads plus, for skew, one K-row aggregate —
     cheap enough to evaluate after every fold-in batch."""
     gen_path = resolve_index(index_root)
-    if last_committed_epoch(gen_path) + 1 > max_epochs:
+    if len(committed_epochs(gen_path)) > max_epochs:
         return True
     if spark is not None:
         counts = [

@@ -61,7 +61,29 @@ def bucketed_growth_writer(
         spark = batch_df.sparkSession
         part_dir = os.path.join(path, f"{_EPOCH_PART}={int(epoch_id)}")
         if os.path.exists(part_dir):
-            # unmarked partial write from a crashed attempt: the epoch
+            # the "crash debris" claim is only safe if the directory is
+            # OURS: epoch ids restart at 0 per checkpoint, so a second
+            # run (different run_ns) writing this table would land its
+            # epoch in the same directory — deleting it here would be
+            # silent data loss, not recovery. One epoch id, one owner.
+            try:
+                markers = os.listdir(marker_dir)
+            except OSError:
+                markers = []
+            suffix = f"-{int(epoch_id)}.done"
+            foreign = [
+                m
+                for m in markers
+                if m.endswith(suffix) and m != os.path.basename(_marker(epoch_id))
+            ]
+            if foreign:
+                raise ValueError(
+                    f"epoch {epoch_id} of table {table!r} is committed by "
+                    f"another run namespace ({foreign[0]}); refusing to "
+                    "replace it — use a fresh run_ns per logical stream, "
+                    "or a fresh table for an independent rebuild"
+                )
+            # unmarked partial write from OUR crashed attempt: the epoch
             # owns its directory, so replace it whole
             shutil.rmtree(part_dir)
             spark.sql(f"REFRESH TABLE {table}")

@@ -804,3 +804,45 @@ def test_bucketed_growth_committed_read_excludes_torn_epoch(spark):
         spark.sql("DROP TABLE IF EXISTS od_torn")
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(artifact_path("od_torn"), ignore_errors=True)
+
+
+def test_bucketed_growth_refuses_foreign_epoch_replacement(spark):
+    """Epoch ids restart at 0 per checkpoint, so a second logical run
+    writing the same table reuses the same epoch directories; treating
+    another run's committed epoch as 'our crash debris' and deleting it
+    would be silent data loss. The writer must refuse, loudly."""
+    import shutil
+
+    import pytest as _pytest
+
+    from streaming_data_ingestion_spark.streaming.bucket_growth import (
+        bucketed_growth_writer,
+    )
+    from streaming_data_ingestion_spark.tables import artifact_path
+
+    li = load(spark, SF_DIR, "lineitem")
+    path = artifact_path("li_foreign")
+    try:
+        wa = bucketed_growth_writer(
+            "li_foreign", path, ["l_orderkey"], 4, run_ns="run_a"
+        )
+        wa(li.filter(F.col("l_orderkey") % 3 == 0), 0)
+        n_a = spark.table("li_foreign").count()
+
+        wb = bucketed_growth_writer(
+            "li_foreign", path, ["l_orderkey"], 4, run_ns="run_b"
+        )
+        with _pytest.raises(ValueError, match="another run namespace"):
+            wb(li.filter(F.col("l_orderkey") % 3 == 1), 0)
+        # run A's epoch-0 rows are intact
+        spark.sql("REFRESH TABLE li_foreign")
+        assert spark.table("li_foreign").count() == n_a
+        # ...and run B proceeds fine at an epoch it owns
+        wb(li.filter(F.col("l_orderkey") % 3 == 1), 1)
+        spark.sql("REFRESH TABLE li_foreign")
+        assert spark.table("li_foreign").count() == (
+            li.filter(F.col("l_orderkey") % 3 != 2).count()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_foreign")
+        shutil.rmtree(path, ignore_errors=True)

@@ -2084,8 +2084,9 @@ def test_ann_fold_in_probe_never_sees_torn_epoch(spark, tmp_path):
     is injected deterministically: epoch 2's parquet slices land for
     only ONE cell (simulating per-partition commit renames caught
     half-way) plus in-flight `_temporary` task output, and NO commit
-    marker. `read_committed_index` must pin `__epoch <= 1` as a
-    partition filter and return exactly the two committed epochs, while
+    marker. `read_committed_index` must pin `__epoch` to the committed
+    token set as a partition filter and return exactly the two committed
+    epochs, while
     a raw directory read provably observes the torn rows. Replaying the
     interrupted epoch through the normal writer then heals the tear
     (dynamic partition overwrite replaces the partial slices)."""
@@ -2126,7 +2127,7 @@ def test_ann_fold_in_probe_never_sees_torn_epoch(spark, tmp_path):
     stage = str(tmp_path / "stage_e2")
     (
         assign_to_centroids(wave(2), cents)
-        .withColumn("__epoch", F.lit(2))
+        .withColumn("__epoch", F.lit("default-2"))
         .write.partitionBy("cell", "__epoch")
         .parquet(stage)
     )
@@ -2134,8 +2135,8 @@ def test_ann_fold_in_probe_never_sees_torn_epoch(spark, tmp_path):
         d for d in os.listdir(stage) if d.startswith("cell=")
     )
     assert len(torn_cells) >= 2, "need >=2 populated cells to tear"
-    src_slice = os.path.join(stage, torn_cells[0], "__epoch=2")
-    dst_slice = os.path.join(idx_path, torn_cells[0], "__epoch=2")
+    src_slice = os.path.join(stage, torn_cells[0], "__epoch=default-2")
+    dst_slice = os.path.join(idx_path, torn_cells[0], "__epoch=default-2")
     shutil.copytree(src_slice, dst_slice)
     tmp_task = os.path.join(idx_path, "_temporary", "0", "task_000")
     os.makedirs(tmp_task)
@@ -2239,7 +2240,8 @@ def test_ann_generation_rebuild_is_atomic_and_exact(spark, tmp_path):
     new_path = resolve_index(root)
     assert new_path.endswith("gen=1")
     # compacted: one base epoch, cumulative rows, old gen intact
-    assert last_committed_epoch(new_path) == 0
+    assert last_committed_epoch(new_path, "base") == 0
+    assert last_committed_epoch(new_path) == -1  # no stream epochs yet
     assert read_committed_index(spark, new_path).count() == n
     assert read_committed_index(spark, os.path.join(root, "gen=0")).count() == n
     post = probe_generation(spark, root, list(q), nprobe=4, k=5, rerank=n)
@@ -2310,7 +2312,7 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
     )
     from streaming_data_ingestion_spark.streaming.ann_stream import (
         bootstrap_index,
-        last_committed_epoch,
+        committed_epochs,
         load_centroids,
         resolve_index,
     )
@@ -2322,7 +2324,7 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
     bootstrap_index(spark, emb, root, k_cells=3, n_iters=2)
     gen_path = resolve_index(root)
     cells = [c for c, _ in load_centroids(gen_path)][:2]
-    cap = last_committed_epoch(gen_path)
+    tokens = [tok for _, tok in committed_epochs(gen_path)]
     q = emb.first()["embedding"]
 
     def _fmt(df):
@@ -2332,9 +2334,10 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
             )
         )
 
-    # the exact frame probe_generation scores: probed cells + epoch cap
+    # the exact frame probe_generation scores: probed cells + committed
+    # epoch tokens
     idx = spark.read.parquet(gen_path).filter(
-        F.col("cell").isin(*cells) & (F.col("__epoch") <= F.lit(cap))
+        F.col("cell").isin(*cells) & F.col("__epoch").isin(tokens)
     )
     plan = _fmt(adc_candidates(idx, _adc_table(list(q)), 20))
     schemas = [ln for ln in plan.splitlines() if "ReadSchema:" in ln]
@@ -2380,8 +2383,8 @@ def test_generation_probe_lazy_fallback_matches(spark, tmp_path, monkeypatch):
 
 
 def test_ann_time_travel_and_rebuild_policy(spark, tmp_path):
-    """as_of_epoch reads must reproduce the index exactly as it stood
-    after that epoch (append-only + immutable commits make this free),
+    """as_of_seq reads must reproduce the index exactly as it stood
+    after that commit (append-only + immutable commits make this free),
     and rebuild_due must fire on epoch-count debt, fire on cell skew,
     and stay quiet on a fresh balanced generation."""
     from streaming_data_ingestion_spark.streaming.ann_stream import (
@@ -2403,14 +2406,80 @@ def test_ann_time_travel_and_rebuild_policy(spark, tmp_path):
     wb(emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") < 64)), 1)
     wb(emb.filter(F.col("vec_id") >= 64), 2)
 
-    # time travel: the view as of epoch 1 is exactly epochs {0, 1}
-    asof = read_committed_index(spark, gen, as_of_epoch=1)
+    # time travel: the view as of commit seq 1 is base + first fold
+    asof = read_committed_index(spark, gen, as_of_seq=1)
     assert asof.count() == 64
     assert asof.agg(F.max("vec_id")).first()[0] == 63
     # and as_of beyond the committed cap clamps to the live view
-    assert read_committed_index(spark, gen, as_of_epoch=99).count() == 96
+    assert read_committed_index(spark, gen, as_of_seq=99).count() == 96
 
     # policy: quiet when fresh, fires on epoch debt, fires on skew
     assert rebuild_due(root, spark, max_epochs=64, max_cell_skew=1e9) is False
     assert rebuild_due(root, max_epochs=2) is True
     assert rebuild_due(root, spark, max_epochs=64, max_cell_skew=0.5) is True
+
+
+def test_streaming_corpus_to_ann_e2e(spark, tmp_path):
+    """Composition proof for the streaming vector-store lifecycle: a
+    documents STREAM is embedded per micro-batch (text_embed), folded
+    into a bootstrapped generation (frozen quantizer), and a probe
+    through the published generation then retrieves a late-arriving
+    document by its own content — i.e. ingest → embed → index → serve
+    compose without any batch re-build in the loop."""
+    import os
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        fold_in_writer,
+        load_centroids,
+        probe_generation,
+        read_committed_index,
+        resolve_index,
+    )
+    from streaming_data_ingestion_spark.text_embed import docs_to_embeddings
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 80
+    )
+    base = docs_to_embeddings(docs.filter(F.col("doc_id") < 40)).persist()
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, base, root, k_cells=3, n_iters=2)
+    base.unpersist()
+    gen = resolve_index(root)
+    cents = load_centroids(gen)
+
+    # stream the REMAINING docs in (embed inside the micro-batch)
+    src = tmp_path / "doc_src"
+    docs.filter(F.col("doc_id") >= 40).coalesce(2).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    inner = fold_in_writer(gen, cents)
+
+    def embed_and_fold(batch_df, epoch_id):
+        inner(docs_to_embeddings(batch_df), epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(embed_and_fold)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert read_committed_index(spark, gen).count() == 80
+
+    # serve: the query is a LATE-ARRIVING doc's own embedding — full
+    # probe, so it must come back rank-1 at distance 0
+    target = 67
+    q_emb = [
+        float(x)
+        for x in docs_to_embeddings(docs.filter(F.col("doc_id") == target))
+        .first()["embedding"]
+    ]
+    got = probe_generation(spark, root, q_emb, nprobe=3, k=3, rerank=80).collect()
+    assert got[0]["vec_id"] == target
+    assert got[0]["exact_dist"] == 0.0
