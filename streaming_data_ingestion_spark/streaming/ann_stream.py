@@ -524,3 +524,31 @@ def rebuild_due(
             if mean > 0 and max(counts) / mean > max_cell_skew:
                 return True
     return False
+
+
+def compact_generation(spark: SparkSession, index_root: str) -> int:
+    """The CHEAP half of OPTIMIZE: fold the committed epoch history into
+    one base epoch in a fresh generation, KEEPING the current quantizer
+    (centroids copied verbatim, so every row keeps its cell and codes —
+    the pass is a pure re-layout, no assignment or encoding math).
+    Use when rebuild_due fires on epoch-count debt but cell balance is
+    still fine; rebuild_ann_index is the expensive retrain for skew.
+    Same isolation as rebuild: immutable new directory, one atomic
+    pointer rename, crashed attempts are unpublished debris."""
+    gen_path = resolve_index(index_root)
+    centroids = load_centroids(gen_path)
+    rows = read_committed_index(spark, gen_path).withColumn(
+        "__epoch", F.lit(_epoch_token("base", 0))
+    )
+    gen = latest_generation(index_root) + 1
+    new_path = _generation_path(index_root, gen)
+    if os.path.isdir(new_path):  # crashed prior attempt — never published
+        import shutil
+
+        shutil.rmtree(new_path)
+    rows.write.partitionBy("cell", "__epoch").parquet(new_path)
+    with open(os.path.join(new_path, _CENTROIDS), "w") as fh:
+        json.dump([[c, v] for c, v in centroids], fh)
+    mark_epoch_committed(new_path, 0, "base")
+    publish_generation(index_root, gen)
+    return gen

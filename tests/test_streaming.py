@@ -2483,3 +2483,46 @@ def test_streaming_corpus_to_ann_e2e(spark, tmp_path):
     got = probe_generation(spark, root, q_emb, nprobe=3, k=3, rerank=80).collect()
     assert got[0]["vec_id"] == target
     assert got[0]["exact_dist"] == 0.0
+
+
+def test_ann_compact_generation_preserves_rows_and_quantizer(spark, tmp_path):
+    """compact_generation must fold the epoch history into one base
+    epoch with BIT-IDENTICAL rows (same cells, codes, vectors — no
+    re-assignment math), keep the quantizer verbatim, and publish
+    atomically; probes answer identically before and after."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        committed_epochs,
+        compact_generation,
+        fold_in_writer,
+        load_centroids,
+        probe_generation,
+        read_committed_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 96
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 32), root, k_cells=3, n_iters=2)
+    gen0 = resolve_index(root)
+    wb = fold_in_writer(gen0, load_centroids(gen0))
+    wb(emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") < 64)), 0)
+    wb(emb.filter(F.col("vec_id") >= 64), 1)
+    before = read_committed_index(spark, gen0)
+    q = [float(x) for x in emb.first()["embedding"]]
+    probe_before = probe_generation(spark, root, q, nprobe=3, k=5, rerank=96).collect()
+
+    gen = compact_generation(spark, root)
+    new_path = resolve_index(root)
+    assert new_path.endswith(f"gen={gen}")
+    # one base epoch, identical rows (cells + codes + vectors), same quantizer
+    assert [tok for _, tok in committed_epochs(new_path)] == ["base-0"]
+    after = read_committed_index(spark, new_path)
+    cast = lambda df: df.withColumn("codes", F.col("codes").cast("array<int>"))  # noqa: E731
+    assert after.count() == 96
+    assert cast(after).exceptAll(cast(before)).count() == 0
+    assert load_centroids(new_path) == load_centroids(gen0)
+    probe_after = probe_generation(spark, root, q, nprobe=3, k=5, rerank=96).collect()
+    assert probe_after == probe_before
