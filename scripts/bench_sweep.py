@@ -35,6 +35,10 @@ from streaming_data_ingestion_spark.tables import TABLES, load  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument(
+        "--no-write", action="store_true",
+        help="print only; skip the docs/BENCH_SWEEP_r{N}.json artifact",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,21 +66,34 @@ def main() -> int:
         for n, s in sorted(timings.items(), key=lambda kv: -kv[1])
         if s > args.threshold
     }
-    print(
-        json.dumps(
-            {
-                "metric": "bench_sweep",
-                "n": len(timings),
-                "sf": sf,
-                "total": round(sum(timings.values()), 3),
-                "threshold": args.threshold,
-                "slow": slow,
-                "queries": dict(
-                    sorted(timings.items(), key=lambda kv: -kv[1])
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_sweep",
+        "n": len(timings),
+        "sf": sf,
+        "total": round(sum(timings.values()), 3),
+        "threshold": args.threshold,
+        "slow": slow,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
+    }
+    print(json.dumps(payload))
+
+    # persist the per-round artifact so sweep diffs are mechanical
+    # (tests/test_bench.py pins this format); round = 1 + latest
+    # recorded CORRECTNESS round, the same convention the ledger uses
+    if not args.no_write:
+        import glob
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rounds = [
+            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
+        rno = (max(rounds) + 1) if rounds else 1
+        dest = os.path.join(here, "docs", f"BENCH_SWEEP_r{rno}.json")
+        with open(dest, "w") as fh:
+            json.dump(payload, fh)
+            fh.write("\n")
+        print(f"wrote {dest}", file=sys.stderr)
     spark.stop()
     return 0
 

@@ -66,3 +66,26 @@ def test_detail_line_precedes_compact():
     detail = json.loads(lines[0])
     assert detail["metric"] == "headline_query_total_runtime_detail"
     assert set(detail["queries"]) == set(_fake(5, "q"))
+
+
+def test_bench_sweep_artifact_format_is_pinned():
+    """Every per-round sweep artifact (docs/BENCH_SWEEP_r{N}.json,
+    written by scripts/bench_sweep.py) must carry the fields the
+    longitudinal diffs rely on, with internally consistent counts —
+    a format drift would silently break round-over-round comparison."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(here, "docs", "BENCH_SWEEP_r*.json")))
+    assert artifacts, "no sweep artifact recorded — run scripts/bench_sweep.py"
+    for path in artifacts:
+        d = json.load(open(path))
+        for field in ("metric", "n", "sf", "total", "threshold", "slow", "queries"):
+            assert field in d, f"{path} missing {field}"
+        assert d["metric"] == "bench_sweep"
+        assert d["n"] == len(d["queries"]), path
+        assert set(d["slow"]) <= set(d["queries"]), path
+        assert all(v > d["threshold"] for v in d["slow"].values()), path
+        assert abs(sum(d["queries"].values()) - d["total"]) < 0.01, path

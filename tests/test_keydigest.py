@@ -148,3 +148,25 @@ def test_digest_is_sensitive_to_oracle_and_fn(live):
         oracle = (spec.oracle or "") + " -- changed"
 
     assert key_digest(Tweaked) != live["q_agg_group"]
+
+
+def test_green_predicate_agrees_with_rotation():
+    """keydigest.last_green_rounds re-implements the satisfied-row
+    predicate the window rotation uses (__spark_entry__._satisfied);
+    if the two ever disagree on a recorded row, the re-verify doctrine
+    and the digest doctrine are enforcing different notions of 'green'.
+    Replay every recorded CORRECTNESS row through both."""
+    import glob
+    import json
+    import re
+
+    from __spark_entry__ import _satisfied
+
+    greens = last_green_rounds()
+    replay: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        rno = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for k, row in json.load(open(path)).items():
+            if isinstance(row, dict) and _satisfied(row):
+                replay[k] = max(replay.get(k, 0), rno)
+    assert replay == greens
