@@ -471,7 +471,12 @@ def vacuum_index(index_root: str, keep: int = 1) -> list[int]:
     to run while probes are live — the retention window (``keep`` > 1)
     exists for long-running probes that resolved an older pointer and
     are still scanning it, the same reader-lease reasoning behind
-    table-format VACUUM retention periods."""
+    table-format VACUUM retention periods. It is NOT safe concurrently
+    with a rebuild/compaction: an unpublished gen directory is
+    indistinguishable from crash debris while the rebuild is mid-write,
+    so maintenance operations (rebuild, compact, vacuum) are serialized
+    under the same single-maintainer assumption the commit sequence
+    already makes; probes need no such exclusion."""
     import shutil
 
     latest = latest_generation(index_root)
