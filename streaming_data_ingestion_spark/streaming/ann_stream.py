@@ -122,6 +122,15 @@ def fold_in_writer(
     replaces exactly its own slices."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # completed-epoch replay: no-op. The rows are already identical
+        # (pure function of input), and rewriting them would swap file
+        # names under any probe currently scanning the committed epoch
+        # — a stale-file-index failure the marker lets us avoid for free
+        marker = os.path.join(
+            index_path, _COMMITS_DIR, _epoch_token(run_ns, epoch_id)
+        )
+        if os.path.exists(marker):
+            return
         rows = assign_to_centroids(batch_df, centroids).withColumn(
             "__epoch", F.lit(_epoch_token(run_ns, epoch_id))
         )

@@ -2526,3 +2526,65 @@ def test_ann_compact_generation_preserves_rows_and_quantizer(spark, tmp_path):
     assert load_centroids(new_path) == load_centroids(gen0)
     probe_after = probe_generation(spark, root, q, nprobe=3, k=5, rerank=96).collect()
     assert probe_after == probe_before
+
+
+def test_ann_late_replay_keeps_commit_seq_and_rows(spark, tmp_path):
+    """A LATE replay (epoch 0 re-delivered after epoch 1 already
+    committed) must leave the index rows, the commit sequence, and any
+    as_of snapshot bit-identical. The marker makes the completed replay
+    a NO-OP (the rows are a pure function of the input, and rewriting
+    them would swap parquet file names under any probe mid-scan), so
+    time travel cannot be reordered and live readers cannot be broken
+    by replays. Pinned by asserting the epoch's files are untouched."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        committed_epochs,
+        fold_in_writer,
+        load_centroids,
+        read_committed_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 64
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 16), root, k_cells=3, n_iters=2)
+    gen = resolve_index(root)
+    wb = fold_in_writer(gen, load_centroids(gen))
+    w0 = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40))
+    w1 = emb.filter(F.col("vec_id") >= 40)
+    wb(w0, 0)
+    wb(w1, 1)
+    cast = lambda df: df.withColumn("codes", F.col("codes").cast("array<int>"))  # noqa: E731
+
+    def snap(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in cast(df).collect()
+        )
+
+    import glob as _glob
+    import os as _os
+
+    seq_before = committed_epochs(gen)
+    rows_before = snap(read_committed_index(spark, gen))
+    asof_before = read_committed_index(spark, gen, as_of_seq=1).count()
+    # a live reader built BEFORE the replay — its file index must stay valid
+    live_reader = read_committed_index(spark, gen)
+    files_before = sorted(
+        _glob.glob(_os.path.join(gen, "cell=*", "__epoch=default-0", "*.parquet"))
+    )
+
+    wb(w0, 0)  # late replay of an already-committed epoch
+
+    assert committed_epochs(gen) == seq_before
+    # no-op: the committed epoch's files are byte-for-byte untouched
+    files_after = sorted(
+        _glob.glob(_os.path.join(gen, "cell=*", "__epoch=default-0", "*.parquet"))
+    )
+    assert files_after == files_before
+    assert live_reader.count() == 64  # pre-replay handle still readable
+    after = read_committed_index(spark, gen)
+    assert after.count() == 64
+    assert snap(after) == rows_before
+    assert read_committed_index(spark, gen, as_of_seq=1).count() == asof_before
