@@ -222,6 +222,7 @@ EXTENDED = (
     "q_bm25_search_b2",      # 2nd fresh-stats retrieval binding (4 terms)
     "q_bm25_serving_b2",     # 2nd stored-stats binding incl. absent term
     "q_ann_gen_probe",       # generation-lifecycle serve (pointer→probe)
+    "q_ann_gen_probe_b2",    # 2nd gen-serve binding (non-corpus vector, k=7)
 )
 
 

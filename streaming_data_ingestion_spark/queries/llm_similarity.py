@@ -1983,18 +1983,6 @@ def _gen_index_for(spark: SparkSession, sf_dir: str) -> str:
     return _GEN_ROOT_MEMO[sf_dir]
 
 
-def _sql_l2(a: str, b: str) -> str:
-    """Squared L2 as the same sequential double fold Spark's
-    ml/ivfpq._exact_dist_to runs (zip_with diff-square, left fold) —
-    bit-identical, no tolerance needed."""
-    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-    return (
-        f"list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(1, {_DIM + 1}), i -> {diff} * {diff})), "
-        f"(acc, x) -> acc + x)"
-    )
-
-
 @query(
     "q_ann_gen_probe",
     oracle=f"""
@@ -2041,6 +2029,47 @@ def q_ann_gen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     res = probe_generation(
         spark, root, q_emb, nprobe=4, k=10, rerank=_GEN_CORPUS_MAX
+    )
+    w = Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+    return res.select("vec_id", "exact_dist").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+
+
+@query(
+    "q_ann_gen_probe_b2",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(range(0, {_DIM}), i -> {_PARAM_Q2_SQL}) AS q_emb
+),
+scored AS (
+  SELECT e.vec_id, {_sql_l2("e.embedding", "q.q_emb")} AS exact_dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id < {_GEN_CORPUS_MAX}
+)
+SELECT vec_id, exact_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY exact_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 7
+""",
+    tags=("llm", "similarity", "ann", "index", "serving", "streaming"),
+)
+def q_ann_gen_probe_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second hash-certified binding of the generation serve path: the
+    query is an ARBITRARY (non-corpus) closed-form vector — the same
+    token-identical generator both engines share for the ivfpq_probe
+    second binding — with a different k (7). The first binding's query
+    is a corpus row, so distance-0 self-match could mask a broken query
+    literal path; this binding cannot self-match, and no constant folded
+    for the first binding can hash-match both. Full probe + full rerank
+    over the sampled corpus keeps the answer exactly brute-force L2."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        probe_generation,
+    )
+
+    root = _gen_index_for(spark, sf_dir)
+    res = probe_generation(
+        spark, root, _PARAM_Q2, nprobe=4, k=7, rerank=_GEN_CORPUS_MAX
     )
     w = Window.orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
     return res.select("vec_id", "exact_dist").withColumn(

@@ -579,10 +579,11 @@ _SWEEP_SKIP = {
     "q_sim_ivfpq_recall",
     "q_sim_ivfpq_probe_param",
     "q_sim_ivfpq_probe_b2",
-    # eager bounded-collect serving path like the probes above; its ADC
-    # stage plan contracts are asserted directly in tests/test_ivfpq.py
+    # eager bounded-collect serving paths like the probes above; their
+    # ADC stage plan contracts are asserted directly in tests/test_ivfpq.py
     # and tests/test_streaming.py (generation lifecycle)
     "q_ann_gen_probe",
+    "q_ann_gen_probe_b2",
 }
 
 
