@@ -241,13 +241,19 @@ def maintain_ann_index(
     checkpoint_dir: str,
     centroids: list[tuple[int, list[float]]],
     available_now: bool = True,
+    run_ns: str = "default",
 ) -> StreamingQuery:
     """Continuously fold a vector stream into the stored IVFPQ index.
     Probe the result with queries/llm_similarity.ivfpq_probe-style
-    readers — ``cell`` stays the leading partition column."""
+    readers — ``cell`` stays the leading partition column.
+
+    ``run_ns`` MUST be distinct per logical stream (i.e. per checkpoint
+    directory): epoch ids restart at 0 for every new checkpoint, and the
+    namespace is what keeps a second stream from dynamic-overwriting the
+    first one's epoch slices."""
     writer = (
         vectors_stream.writeStream.foreachBatch(
-            fold_in_writer(index_path, centroids)
+            fold_in_writer(index_path, centroids, run_ns)
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
@@ -255,6 +261,19 @@ def maintain_ann_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_history(spark: SparkSession, index_path: str) -> DataFrame:
+    """DESCRIBE-HISTORY analog for one index directory: (seq, run_ns,
+    epoch, token) per committed epoch in commit order — the readable
+    face of the commit log that snapshots and time travel run on."""
+    rows = []
+    for seq, tok in committed_epochs(index_path):
+        ns, _, e = tok.rpartition("-")
+        rows.append((seq, ns, int(e), tok))
+    return spark.createDataFrame(
+        rows, "seq int, run_ns string, epoch int, token string"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2588,3 +2588,52 @@ def test_ann_late_replay_keeps_commit_seq_and_rows(spark, tmp_path):
     assert after.count() == 64
     assert snap(after) == rows_before
     assert read_committed_index(spark, gen, as_of_seq=1).count() == asof_before
+
+
+def test_two_streams_fold_into_one_index_without_collision(spark, tmp_path):
+    """Two SUCCESSIVE streams (fresh checkpoints, so both start at Spark
+    epoch 0) folding into the same index must never overwrite each
+    other: distinct run namespaces keep their epoch slices disjoint, the
+    committed view holds the union, and index_history shows both runs'
+    commits in one total order."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        index_history,
+        load_centroids,
+        maintain_ann_index,
+        read_committed_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 96
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 32), root, k_cells=3, n_iters=2)
+    gen = resolve_index(root)
+    cents = load_centroids(gen)
+
+    def run_stream(lo, hi, ns, ckpt):
+        src = tmp_path / f"src_{ns}"
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(src))
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        q = maintain_ann_index(
+            stream, gen, str(tmp_path / ckpt), cents, run_ns=ns
+        )
+        q.awaitTermination(120)
+
+    run_stream(32, 64, "runA", "ckptA")   # epochs start at 0
+    run_stream(64, 96, "runB", "ckptB")   # ...and so do these
+
+    got = read_committed_index(spark, gen)
+    assert got.count() == 96  # nothing overwritten
+    assert got.select("vec_id").distinct().count() == 96
+
+    hist = {
+        (r["run_ns"], r["epoch"]): r["seq"]
+        for r in index_history(spark, gen).collect()
+    }
+    assert ("base", 0) in hist and ("runA", 0) in hist and ("runB", 0) in hist
+    assert hist[("base", 0)] < hist[("runA", 0)] < hist[("runB", 0)]
