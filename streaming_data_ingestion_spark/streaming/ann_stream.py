@@ -53,11 +53,15 @@ from __future__ import annotations
 import json
 import os
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 _COMMITS_DIR = "_commits"  # leading "_" => invisible to parquet readers
+_COMMIT_MINT_LOCK = threading.Lock()  # serializes sequence minting
+_NS_CLAIM_PREFIX = "_ns."  # namespace → owner registration files
 
 
 def assign_to_centroids(
@@ -104,10 +108,42 @@ def _epoch_token(run_ns: str, epoch_id: int) -> str:
     return f"{run_ns}-{int(epoch_id)}"
 
 
+def _claim_namespace(index_path: str, run_ns: str, owner: str) -> None:
+    """Register ``owner`` (the stream's checkpoint dir) as the holder of
+    ``run_ns`` in this index, or raise if a DIFFERENT owner already
+    holds it. Without this, a second stream reusing a namespace would
+    find the first run's commit markers and silently no-op its own
+    batches — its checkpoint would record them as processed while their
+    rows never landed (unrecoverable silent data loss). The claim makes
+    namespace reuse fail loudly instead, mirroring the bucketed-fact
+    writer's foreign-epoch refusal."""
+    commits = os.path.join(index_path, _COMMITS_DIR)
+    os.makedirs(commits, exist_ok=True)
+    claim = os.path.join(commits, _NS_CLAIM_PREFIX + run_ns)
+    with _COMMIT_MINT_LOCK:
+        if os.path.exists(claim):
+            with open(claim) as fh:
+                holder = fh.read().strip()
+            if holder != owner:
+                raise ValueError(
+                    f"run namespace {run_ns!r} of index {index_path!r} is "
+                    f"owned by checkpoint {holder!r}; this stream "
+                    f"(checkpoint {owner!r}) must use a fresh run_ns — "
+                    "epoch ids restart at 0 per checkpoint, so reusing a "
+                    "namespace would silently drop this stream's batches"
+                )
+            return
+        tmp = claim + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(owner)
+        os.replace(tmp, claim)
+
+
 def fold_in_writer(
     index_path: str,
     centroids: list[tuple[int, list[float]]],
     run_ns: str = "default",
+    owner: str | None = None,
 ):
     """foreachBatch writer: assign + encode this batch against the
     frozen quantizer and land it under cell=…/__epoch=<ns>-<E> with
@@ -119,20 +155,24 @@ def fold_in_writer(
     base epoch — would otherwise dynamic-OVERWRITE each other's slices
     (silent data loss; caught by the e2e composition test). Distinct
     namespaces can never collide; a replay of THIS run's epoch still
-    replaces exactly its own slices."""
+    replaces exactly its own slices.
+
+    ``owner`` (set by maintain_ann_index to the checkpoint dir) claims
+    the namespace: a different stream reusing it fails loudly instead of
+    silently no-opping against the first run's commit markers."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if owner is not None:
+            _claim_namespace(index_path, run_ns, owner)
         # completed-epoch replay: no-op. The rows are already identical
         # (pure function of input), and rewriting them would swap file
         # names under any probe currently scanning the committed epoch
         # — a stale-file-index failure the marker lets us avoid for free
-        marker = os.path.join(
-            index_path, _COMMITS_DIR, _epoch_token(run_ns, epoch_id)
-        )
-        if os.path.exists(marker):
+        token = _epoch_token(run_ns, epoch_id)
+        if any(tok == token for _, tok in committed_epochs(index_path)):
             return
         rows = assign_to_centroids(batch_df, centroids).withColumn(
-            "__epoch", F.lit(_epoch_token(run_ns, epoch_id))
+            "__epoch", F.lit(token)
         )
         (
             rows.write.mode("overwrite")
@@ -151,28 +191,36 @@ def mark_epoch_committed(
     """Drop the epoch's commit marker and return its commit SEQUENCE.
     Called only after the epoch's parquet write has fully returned, so
     the marker's existence implies every cell slice of the epoch is
-    renamed into place. The marker file records a monotonically
-    increasing sequence number (single committing driver per index —
-    the same assumption the epoch discipline itself makes), which is
-    what gives multi-namespace indexes a total commit order for
-    snapshots and time travel."""
-    commits = os.path.join(index_path, _COMMITS_DIR)
-    os.makedirs(commits, exist_ok=True)
-    token = _epoch_token(run_ns, epoch_id)
-    marker = os.path.join(commits, token)
-    if os.path.exists(marker):  # completed-epoch replay keeps its seq
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    seq = last_commit_seq(index_path) + 1
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(seq))
-    os.replace(tmp, marker)
-    return seq
+    renamed into place.
+
+    The sequence is encoded IN the marker filename
+    (``<seq zero-padded>.<token>``), so reading the commit log is one
+    directory listing — no per-marker file reads, O(1) round-trips on
+    object storage regardless of history length. Minting is serialized
+    by a process-level lock: concurrent foreachBatch callbacks of two
+    streams folding into the same index (separate driver threads in one
+    Spark application — the supported concurrency) cannot mint duplicate
+    sequence numbers. Cross-PROCESS concurrent committers remain out of
+    contract, as documented on vacuum/rebuild."""
+    with _COMMIT_MINT_LOCK:
+        commits = os.path.join(index_path, _COMMITS_DIR)
+        os.makedirs(commits, exist_ok=True)
+        token = _epoch_token(run_ns, epoch_id)
+        for seq, tok in committed_epochs(index_path):
+            if tok == token:  # completed-epoch replay keeps its seq
+                return seq
+        seq = last_commit_seq(index_path) + 1
+        marker = os.path.join(commits, f"{seq:012d}.{token}")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        os.replace(tmp, marker)
+        return seq
 
 
 def committed_epochs(index_path: str) -> list[tuple[int, str]]:
-    """(seq, epoch_token) for every committed epoch, in commit order."""
+    """(seq, epoch_token) for every committed epoch, in commit order —
+    parsed from marker FILENAMES, one listdir total."""
     commits = os.path.join(index_path, _COMMITS_DIR)
     try:
         names = os.listdir(commits)
@@ -180,13 +228,11 @@ def committed_epochs(index_path: str) -> list[tuple[int, str]]:
         return []
     out = []
     for n in names:
-        if n.endswith(".tmp"):
+        if n.endswith(".tmp") or "." not in n:
             continue
-        try:
-            with open(os.path.join(commits, n)) as fh:
-                out.append((int(fh.read().strip()), n))
-        except (OSError, ValueError):
-            continue
+        seq_s, _, token = n.partition(".")
+        if seq_s.isdigit() and token:
+            out.append((int(seq_s), token))
     return sorted(out)
 
 
@@ -250,10 +296,14 @@ def maintain_ann_index(
     ``run_ns`` MUST be distinct per logical stream (i.e. per checkpoint
     directory): epoch ids restart at 0 for every new checkpoint, and the
     namespace is what keeps a second stream from dynamic-overwriting the
-    first one's epoch slices."""
+    first one's epoch slices. The namespace is CLAIMED by this stream's
+    checkpoint directory on first write, so accidental reuse fails
+    loudly instead of silently dropping batches."""
     writer = (
         vectors_stream.writeStream.foreachBatch(
-            fold_in_writer(index_path, centroids, run_ns)
+            fold_in_writer(
+                index_path, centroids, run_ns, owner=checkpoint_dir
+            )
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
@@ -364,7 +414,12 @@ def bootstrap_index(
     pairs = [(i, c) for i, c in enumerate(cents)]
     gen = latest_generation(index_root) + 1
     os.makedirs(index_root, exist_ok=True)
-    _write_base_epoch(vectors, _generation_path(index_root, gen), pairs)
+    gen_path = _generation_path(index_root, gen)
+    if os.path.isdir(gen_path):  # crashed prior attempt — never published
+        import shutil
+
+        shutil.rmtree(gen_path)
+    _write_base_epoch(vectors, gen_path, pairs)
     publish_generation(index_root, gen)
     return gen
 
@@ -428,7 +483,6 @@ def probe_generation(
         _COLLECT_RERANK_MAX,
         _adc_table,
         adc_candidates,
-        fetch_vectors,
         _exact_dist_to,
     )
 
@@ -476,8 +530,18 @@ def probe_generation(
             "vec_id long, cell long, adc_dist double",
         )
     )
-    fetched = fetch_vectors(
-        spark, gen_path, probes, [r["vec_id"] for r in survivors]
+    # the re-rank fetch carries the SAME committed-epoch bound as the
+    # ADC stage: without it the point fetch lists uncommitted (torn or
+    # in-flight) epoch directories — the exact hazard the commit markers
+    # exist to fence — and a replayed heal could swap its files mid-scan
+    fetched = (
+        spark.read.parquet(gen_path)
+        .filter(
+            F.col("cell").isin(*probes)
+            & epoch_bound
+            & F.col("vec_id").isin([r["vec_id"] for r in survivors])
+        )
+        .select("vec_id", "embedding")
     )
     return (
         fetched.join(surv_df, "vec_id")

@@ -84,9 +84,13 @@ def bucketed_growth_writer(
                     "or a fresh table for an independent rebuild"
                 )
             # unmarked partial write from OUR crashed attempt: the epoch
-            # owns its directory, so replace it whole
+            # owns its directory, so replace it whole. (The catalog
+            # entry may not exist yet if the very first epoch crashed
+            # between writing data files and registering the table —
+            # REFRESH would then raise and wedge the stream forever.)
             shutil.rmtree(part_dir)
-            spark.sql(f"REFRESH TABLE {table}")
+            if spark.catalog.tableExists(table):
+                spark.sql(f"REFRESH TABLE {table}")
         mode = (
             "append" if spark.catalog.tableExists(table) else "overwrite"
         )
@@ -106,37 +110,52 @@ def bucketed_growth_writer(
     return write_batch
 
 
+def _marked_epochs(path: str) -> dict[int, str]:
+    """epoch -> owning run namespace, parsed from every marker file.
+    One epoch id has exactly one owner (write_batch refuses foreign
+    replacements), so the union across namespaces is well-defined."""
+    marker_dir = os.path.join(path, _MARKER_DIR)
+    try:
+        names = os.listdir(marker_dir)
+    except OSError:
+        return {}
+    out: dict[int, str] = {}
+    for n in names:
+        if not n.endswith(".done"):
+            continue
+        stem = n[: -len(".done")]
+        ns, sep, e = stem.rpartition("-")
+        if sep and e.isdigit():
+            out[int(e)] = ns
+    return out
+
+
 def last_committed_epoch(path: str, run_ns: str = "default") -> int:
     """Highest epoch whose marker exists for this run namespace; -1 when
     none. A marker is written only after ``saveAsTable`` fully returns,
     so it implies the epoch's whole partition directory is in place."""
-    marker_dir = os.path.join(path, _MARKER_DIR)
-    prefix = f"{run_ns}-"
-    try:
-        names = os.listdir(marker_dir)
-    except OSError:
-        return -1
-    epochs = [
-        int(n[len(prefix):-len(".done")])
-        for n in names
-        if n.startswith(prefix)
-        and n.endswith(".done")
-        and n[len(prefix):-len(".done")].isdigit()
-    ]
-    return max(epochs, default=-1)
+    return max(
+        (e for e, ns in _marked_epochs(path).items() if ns == run_ns),
+        default=-1,
+    )
 
 
 def read_committed_facts(
-    spark: SparkSession, table: str, path: str, run_ns: str = "default"
+    spark: SparkSession, table: str, path: str
 ) -> DataFrame:
     """Consistent snapshot of the growing bucketed fact table: only rows
-    of marker-committed epochs. The same torn-read hazard as the ANN
-    fold-in (streaming/ann_stream.py) applies here — crash debris or an
-    in-flight append leaves an unmarked ``epoch=N`` directory that a
-    raw ``spark.table`` read would include. ``epoch`` is the partition
-    column, so the bound is a PartitionFilter (the torn directory is
+    of marker-committed epochs — across ALL run namespaces, so a reader
+    needs no knowledge of which stream wrote which epoch (a
+    namespace-scoped cap would silently return an empty snapshot to any
+    consumer guessing the wrong namespace). The same torn-read hazard as
+    the ANN fold-in (streaming/ann_stream.py) applies here — crash
+    debris or an in-flight append leaves an unmarked ``epoch=N``
+    directory that a raw ``spark.table`` read would include. ``epoch``
+    is the partition column and the committed set is a literal IN-list
+    over it, so the bound is a PartitionFilter (the torn directory is
     pruned unread), and filtering a partition column does NOT disturb
     the bucket-hash distribution on the join key — joins through this
     view stay exchange-free (pinned in tests/test_layout.py)."""
-    cap = last_committed_epoch(path, run_ns)
-    return spark.table(table).filter(F.col(_EPOCH_PART) <= F.lit(cap))
+    epochs = sorted(_marked_epochs(path))
+    bound = F.col(_EPOCH_PART).isin(epochs) if epochs else F.lit(False)
+    return spark.table(table).filter(bound)

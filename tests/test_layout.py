@@ -727,7 +727,7 @@ def test_zorder_optimize_scan_read_path_skips(spark):
 
 def test_bucketed_growth_committed_read_excludes_torn_epoch(spark):
     """A reader racing an in-flight (or crashed) epoch append must not
-    see the torn epoch: read_committed_facts pins epoch <= last marker
+    see the torn epoch: read_committed_facts pins epoch to the marked set
     as a PartitionFilter, a join through the committed view stays
     exchange-free, and the writer's next attempt heals the debris."""
     import os
@@ -766,7 +766,7 @@ def test_bucketed_growth_committed_read_excludes_torn_epoch(spark):
         raw = spark.table("li_torn")
         assert raw.count() == n01 + 11  # the race is real
 
-        snap = read_committed_facts(spark, "li_torn", path, "t")
+        snap = read_committed_facts(spark, "li_torn", path)
         assert snap.count() == n01
         plan = _plan(snap)
         pf = plan.split("PartitionFilters:")[1].split("\n")[0]
@@ -797,7 +797,7 @@ def test_bucketed_growth_committed_read_excludes_torn_epoch(spark):
         # the next real attempt replaces the debris and commits
         wb(li.filter(F.col("l_orderkey") % 3 == 2), 2)
         assert last_committed_epoch(path, "t") == 2
-        healed = read_committed_facts(spark, "li_torn", path, "t")
+        healed = read_committed_facts(spark, "li_torn", path)
         assert healed.count() == li.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS li_torn")

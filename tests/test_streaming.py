@@ -2304,11 +2304,12 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
     the probed generation scan reads (vec_id, cell, codes) behind BOTH
     the cell PartitionFilter and the committed-__epoch bound — never the
     float `embedding` column — and the re-rank fetch pushes the survivor
-    vec_id IN-list into the reader."""
+    vec_id IN-list into the reader AND carries the same committed-epoch
+    partition bound (a fetch without it would list torn in-flight epoch
+    directories, the code-review finding fixed in round 9)."""
     from streaming_data_ingestion_spark.ml.ivfpq import (
         _adc_table,
         adc_candidates,
-        fetch_vectors,
     )
     from streaming_data_ingestion_spark.streaming.ann_stream import (
         bootstrap_index,
@@ -2346,9 +2347,22 @@ def test_generation_probe_adc_stage_is_codes_only(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("\n")[0]
     assert "cell#" in pf and "__epoch#" in pf, pf
 
-    fplan = _fmt(fetch_vectors(spark, gen_path, cells, [1, 2, 3]))
+    # the re-rank fetch exactly as probe_generation builds it: epoch
+    # bound + cell pruning + the survivor vec_id IN-list pushed down
+    fetch = (
+        spark.read.parquet(gen_path)
+        .filter(
+            F.col("cell").isin(*cells)
+            & F.col("__epoch").isin(tokens)
+            & F.col("vec_id").isin([1, 2, 3])
+        )
+        .select("vec_id", "embedding")
+    )
+    fplan = _fmt(fetch)
     pushed = fplan.split("PushedFilters:")[1].split("\n")[0]
     assert "In(vec_id" in pushed, pushed
+    fpf = fplan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell#" in fpf and "__epoch#" in fpf, fpf
 
 
 def test_generation_probe_lazy_fallback_matches(spark, tmp_path, monkeypatch):
@@ -2637,3 +2651,54 @@ def test_two_streams_fold_into_one_index_without_collision(spark, tmp_path):
     }
     assert ("base", 0) in hist and ("runA", 0) in hist and ("runB", 0) in hist
     assert hist[("base", 0)] < hist[("runA", 0)] < hist[("runB", 0)]
+
+
+def test_ann_namespace_reuse_fails_loudly(spark, tmp_path):
+    """A second stream reusing a run namespace would find the first
+    run's commit markers and silently no-op its batches — checkpointed
+    as processed, rows never landed. The namespace claim (owner = the
+    checkpoint dir) must make that fail LOUDLY on the second stream's
+    first batch, while restarts of the SAME stream (same checkpoint)
+    keep working."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        load_centroids,
+        maintain_ann_index,
+        read_committed_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 64
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 16), root, k_cells=3, n_iters=2)
+    gen = resolve_index(root)
+    cents = load_centroids(gen)
+
+    src1 = tmp_path / "src1"
+    emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 40)).coalesce(
+        1
+    ).write.parquet(str(src1))
+    s1 = spark.readStream.schema(emb.schema).parquet(str(src1))
+    q1 = maintain_ann_index(s1, gen, str(tmp_path / "ckpt1"), cents, run_ns="r")
+    q1.awaitTermination(120)
+    assert read_committed_index(spark, gen).count() == 40
+
+    # same checkpoint restarted (same owner): allowed, no-ops replays
+    s1b = spark.readStream.schema(emb.schema).parquet(str(src1))
+    q1b = maintain_ann_index(s1b, gen, str(tmp_path / "ckpt1"), cents, run_ns="r")
+    q1b.awaitTermination(120)
+    assert read_committed_index(spark, gen).count() == 40
+
+    # DIFFERENT checkpoint, same namespace: must raise, not drop rows
+    src2 = tmp_path / "src2"
+    emb.filter(F.col("vec_id") >= 40).coalesce(1).write.parquet(str(src2))
+    s2 = spark.readStream.schema(emb.schema).parquet(str(src2))
+    q2 = maintain_ann_index(s2, gen, str(tmp_path / "ckpt2"), cents, run_ns="r")
+    with _pytest.raises(StreamingQueryException, match="fresh run_ns"):
+        q2.awaitTermination(120)
+    assert read_committed_index(spark, gen).count() == 40  # nothing lost/overwritten
