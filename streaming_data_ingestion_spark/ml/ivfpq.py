@@ -174,38 +174,31 @@ def _exact_dist_to(q_emb: list[float]) -> Column:
     )
 
 
-def query_ivfpq(
+def serve_topk(
     spark: SparkSession,
-    path: str,
-    cents: list[list[float]],
+    idx: DataFrame,
+    fetch_builder,
     q_emb: list[float],
-    nprobe: int = 2,
-    k: int = 5,
-    rerank: int = 20,
+    k: int,
+    rerank: int,
 ) -> DataFrame:
-    """Top-k neighbors of ``q_emb``: partition-pruned probe → codes-only
-    ADC lookup scoring → exact re-rank of the top ``rerank`` ADC
-    candidates.
+    """The shared ADC→exact-re-rank serve core behind every stored-index
+    probe (query_ivfpq here, the generation probe in
+    streaming/ann_stream.py). ``idx`` is the ALREADY-BOUNDED codes scan
+    (cell pruning, and any committed-epoch bound, composed in by the
+    caller); ``fetch_builder(vec_ids) -> DataFrame[(vec_id, embedding)]``
+    returns the float point-fetch under the SAME bounds. One
+    implementation means one place for the two-plan contract:
 
-    The cell filter is a literal IN-list over the partition column, so
-    it lands in PartitionFilters (asserted in tests/test_ivfpq.py) —
-    non-probed cells cost nothing. The ADC stage (adc_candidates) never
-    projects ``embedding``; its top-``rerank`` survivors (a bounded,
-    ≤ rerank-row collect — the serving call's answer is k rows anyway)
-    are re-fetched by a vec_id-pushed point scan (fetch_vectors) for
-    exact scoring, so float-vector bytes are read for ≤ rerank rows
-    total, never for every probed row.
-
-    When ``rerank`` exceeds _COLLECT_RERANK_MAX the survivor set is no
-    longer lookup-sized and the driver round-trip would itself be the
-    bottleneck, so the plan stays lazy: the ADC cut broadcast-joins back
-    onto the probed scan for a distributed exact re-rank (the pre-point-
-    fetch shape; reads probed-cell float bytes, never materializes the
-    corpus on the driver).
+    * lookup-sized ``rerank``: codes-only ADC cut → bounded ≤ rerank-row
+      collect → vec_id-pushed point fetch for exact scoring (float bytes
+      read for ≤ rerank rows total);
+    * ``rerank`` past _COLLECT_RERANK_MAX: stays lazy — the ADC cut
+      broadcast-joins back onto the probed scan, never materializing a
+      corpus-sized survivor set on the driver.
     """
-    probes = _probe_cells(q_emb, cents, nprobe)
     table = _adc_table(q_emb)
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
+    cell_t = idx.schema["cell"].dataType.simpleString()
 
     if rerank > _COLLECT_RERANK_MAX:
         cand = adc_candidates(idx, table, rerank)
@@ -224,19 +217,17 @@ def query_ivfpq(
     if not survivors:
         return spark.createDataFrame(
             [],
-            "vec_id long, cell int, adc_dist double, exact_dist double",
+            f"vec_id long, cell {cell_t}, adc_dist double, exact_dist double",
         )
     # doubles round-trip exactly through collect/createDataFrame (IEEE
     # bit patterns preserved), so re-attaching adc_dist is hash-safe
     surv_df = F.broadcast(
         spark.createDataFrame(
             [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in survivors],
-            "vec_id long, cell int, adc_dist double",
+            f"vec_id long, cell {cell_t}, adc_dist double",
         )
     )
-    fetched = fetch_vectors(
-        spark, path, probes, [r["vec_id"] for r in survivors]
-    )
+    fetched = fetch_builder([r["vec_id"] for r in survivors])
     return (
         fetched.join(surv_df, "vec_id")
         .select(
@@ -245,4 +236,36 @@ def query_ivfpq(
         )
         .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+def query_ivfpq(
+    spark: SparkSession,
+    path: str,
+    cents: list[list[float]],
+    q_emb: list[float],
+    nprobe: int = 2,
+    k: int = 5,
+    rerank: int = 20,
+) -> DataFrame:
+    """Top-k neighbors of ``q_emb``: partition-pruned probe → codes-only
+    ADC lookup scoring → exact re-rank of the top ``rerank`` ADC
+    candidates (the two-plan contract of serve_topk).
+
+    The cell filter is a literal IN-list over the partition column, so
+    it lands in PartitionFilters (asserted in tests/test_ivfpq.py) —
+    non-probed cells cost nothing. The ADC stage (adc_candidates) never
+    projects ``embedding``; float-vector bytes are read for ≤ rerank
+    rows total via the vec_id-pushed point scan (fetch_vectors), never
+    for every probed row.
+    """
+    probes = _probe_cells(q_emb, cents, nprobe)
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(*probes))
+    return serve_topk(
+        spark,
+        idx,
+        lambda ids: fetch_vectors(spark, path, probes, ids),
+        q_emb,
+        k,
+        rerank,
     )

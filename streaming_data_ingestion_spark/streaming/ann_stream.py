@@ -473,18 +473,13 @@ def probe_generation(
     point fetch ride the stored-index plans of ml/ivfpq.py with the
     committed-epoch partition bound composed in.
 
-    Same serving contract as ml/ivfpq.query_ivfpq: the point-fetch plan
-    collects the ≤ rerank ADC survivors to drive the vec_id IN-list,
-    which is only sane while the survivor set is lookup-sized; past
-    _COLLECT_RERANK_MAX the plan stays lazy/distributed — the ADC cut
-    broadcast-joins back onto the probed scan for exact re-rank instead
-    of materializing the probed corpus on the driver."""
-    from streaming_data_ingestion_spark.ml.ivfpq import (
-        _COLLECT_RERANK_MAX,
-        _adc_table,
-        adc_candidates,
-        _exact_dist_to,
-    )
+    Serving itself is ml/ivfpq.serve_topk — the ONE implementation of
+    the ADC→exact-re-rank contract (bounded collect + vec_id-pushed
+    point fetch for lookup-sized rerank; lazy broadcast-join past
+    _COLLECT_RERANK_MAX) — with this module composing the generation
+    bounds (probed cells AND committed epochs) into both the codes scan
+    and the float fetch it hands over."""
+    from streaming_data_ingestion_spark.ml.ivfpq import serve_topk
 
     gen_path = resolve_index(index_root)
     centroids = load_centroids(gen_path)
@@ -506,52 +501,23 @@ def probe_generation(
         spark.read.parquet(gen_path)
         .filter(F.col("cell").isin(*probes) & epoch_bound)
     )
-    if rerank > _COLLECT_RERANK_MAX:
-        cand = adc_candidates(idx, _adc_table(q_emb), rerank)
+
+    def fetch(vec_ids: list[int]) -> DataFrame:
+        # the re-rank fetch carries the SAME committed-epoch bound as
+        # the ADC stage: without it the point fetch would list
+        # uncommitted (torn or in-flight) epoch directories — the exact
+        # hazard the commit markers exist to fence
         return (
-            idx.select("vec_id", "embedding")
-            .join(F.broadcast(cand), "vec_id")
-            .select(
-                "vec_id", "cell", "adc_dist",
-                _exact_dist_to(q_emb).alias("exact_dist"),
+            spark.read.parquet(gen_path)
+            .filter(
+                F.col("cell").isin(*probes)
+                & epoch_bound
+                & F.col("vec_id").isin(vec_ids)
             )
-            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
-            .limit(k)
+            .select("vec_id", "embedding")
         )
 
-    survivors = adc_candidates(idx, _adc_table(q_emb), rerank).collect()
-    if not survivors:
-        return spark.createDataFrame(
-            [], "vec_id long, cell long, adc_dist double, exact_dist double"
-        )
-    surv_df = F.broadcast(
-        spark.createDataFrame(
-            [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in survivors],
-            "vec_id long, cell long, adc_dist double",
-        )
-    )
-    # the re-rank fetch carries the SAME committed-epoch bound as the
-    # ADC stage: without it the point fetch lists uncommitted (torn or
-    # in-flight) epoch directories — the exact hazard the commit markers
-    # exist to fence — and a replayed heal could swap its files mid-scan
-    fetched = (
-        spark.read.parquet(gen_path)
-        .filter(
-            F.col("cell").isin(*probes)
-            & epoch_bound
-            & F.col("vec_id").isin([r["vec_id"] for r in survivors])
-        )
-        .select("vec_id", "embedding")
-    )
-    return (
-        fetched.join(surv_df, "vec_id")
-        .select(
-            "vec_id", "cell", "adc_dist",
-            _exact_dist_to(q_emb).alias("exact_dist"),
-        )
-        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return serve_topk(spark, idx, fetch, q_emb, k, rerank)
 
 
 def vacuum_index(index_root: str, keep: int = 1) -> list[int]:
