@@ -184,3 +184,56 @@ def test_bucketed_join_matches_raw_layout(spark):
         )
     }
     assert got == want and len(got) >= 2
+
+
+# --------------------------------------------------------------------------
+# Commit-log properties (streaming/ann_stream.py): no Spark needed —
+# the marker protocol is pure filesystem, so hypothesis can hammer it.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["runA", "runB", "base", "x-y"]),  # ns may contain '-'
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_commit_log_total_order_properties(tmp_path_factory, ops):
+    """For ANY interleaving of epoch commits (namespaces reused, epochs
+    repeated = replays): sequence numbers are unique and dense from 0,
+    a replayed commit returns its ORIGINAL seq, committed_epochs is
+    sorted by seq and stable across calls, and per-namespace
+    last_committed_epoch tracks the max epoch of exactly that
+    namespace."""
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        committed_epochs,
+        last_commit_seq,
+        last_committed_epoch,
+        mark_epoch_committed,
+    )
+
+    root = str(tmp_path_factory.mktemp("commitlog"))
+    first_seq: dict[tuple[str, int], int] = {}
+    for ns, e in ops:
+        seq = mark_epoch_committed(root, e, ns)
+        if (ns, e) in first_seq:
+            assert seq == first_seq[(ns, e)]  # replay keeps its seq
+        else:
+            first_seq[(ns, e)] = seq
+
+    eps = committed_epochs(root)
+    seqs = [s for s, _ in eps]
+    assert seqs == sorted(seqs) == list(range(len(first_seq)))
+    assert eps == committed_epochs(root)  # stable re-read
+    assert last_commit_seq(root) == len(first_seq) - 1
+    for ns in {ns for ns, _ in ops}:
+        want = max((e for (n, e) in first_seq if n == ns), default=-1)
+        assert last_committed_epoch(root, ns) == want
