@@ -131,8 +131,8 @@ def test_digest_reaches_function_local_imports():
         "probe_generation",   # imported inside q_ann_gen_probe
         "bootstrap_index",    # imported inside _gen_index_for
         "kmeans_fit",         # imported inside bootstrap_index
-        "adc_candidates",     # imported inside probe_generation
-        "fetch_vectors",
+        "serve_topk",         # imported inside probe_generation
+        "adc_candidates",     # named inside serve_topk
     ):
         assert helper in quals, f"{helper} not reached: {sorted(quals)}"
 
