@@ -4,6 +4,14 @@ driver does: fresh import, entry() smoke, then every queries() entry vs its
 oracle_sql() on DuckDB with exact value comparison.
 
 Usage: python scripts/drive_contract.py [--sf sf0.01] [--only name1,name2]
+                                         [--hostile]
+
+--hostile builds the SparkSession the way an unhelpful caller would
+(America/New_York session timezone, 3 shuffle partitions) instead of
+the friendly defaults — every registered query must STILL hash-match,
+because the registry wrapper pins UTC per query and no plan may depend
+on shuffle width. This is the full-registry version of the curated
+tests/test_hostile_session.py list.
 """
 
 from __future__ import annotations
@@ -110,6 +118,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--hostile", action="store_true")
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
 
@@ -117,12 +126,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.hostile:
+        builder = builder.config(
+            "spark.sql.session.timeZone", "America/New_York"
+        ).config("spark.sql.shuffle.partitions", "3")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = mod.entry(spark).collect()
