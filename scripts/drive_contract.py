@@ -155,6 +155,16 @@ def main() -> int:
     failed = []
     for name in names:
         try:
+            if args.hostile:
+                # every query must survive a hostile session ON ITS OWN:
+                # the registry wrapper pins UTC when a query is built and
+                # the pin is sticky, so without this re-poisoning the
+                # first query would shield all later ones from the
+                # hostile timezone (the curated hostile tests re-set it
+                # per query for the same reason)
+                spark.conf.set(
+                    "spark.sql.session.timeZone", "America/New_York"
+                )
             sdf = qs[name](spark, sf_dir)
             if name not in oracles:
                 n = sdf.count()

@@ -198,7 +198,6 @@ def serve_topk(
       corpus-sized survivor set on the driver.
     """
     table = _adc_table(q_emb)
-    cell_t = idx.schema["cell"].dataType.simpleString()
 
     if rerank > _COLLECT_RERANK_MAX:
         cand = adc_candidates(idx, table, rerank)
@@ -213,6 +212,7 @@ def serve_topk(
             .limit(k)
         )
 
+    cell_t = idx.schema["cell"].dataType.simpleString()
     survivors = adc_candidates(idx, table, rerank).collect()
     if not survivors:
         return spark.createDataFrame(

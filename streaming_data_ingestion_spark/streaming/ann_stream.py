@@ -105,6 +105,11 @@ def assign_to_centroids(
 
 
 def _epoch_token(run_ns: str, epoch_id: int) -> str:
+    # a trailing '-' would make ns 'x-' epoch 5 parse as ns 'x' epoch
+    # '-5' in per-namespace readouts; '/' or NUL would break the marker
+    # filename; empty would collapse into the bare epoch number
+    if not run_ns or run_ns.endswith("-") or "/" in run_ns or "\x00" in run_ns:
+        raise ValueError(f"invalid run namespace: {run_ns!r}")
     return f"{run_ns}-{int(epoch_id)}"
 
 
@@ -250,7 +255,7 @@ def last_committed_epoch(index_path: str, run_ns: str = "default") -> int:
     nums = [
         int(tok[len(prefix):])
         for _, tok in committed_epochs(index_path)
-        if tok.startswith(prefix) and tok[len(prefix):].lstrip("-").isdigit()
+        if tok.startswith(prefix) and tok[len(prefix):].isdigit()
     ]
     return max(nums, default=-1)
 

@@ -220,7 +220,14 @@ def test_commit_log_total_order_properties(tmp_path_factory, ops):
         mark_epoch_committed,
     )
 
+    import pytest as _pytest
+
     root = str(tmp_path_factory.mktemp("commitlog"))
+    # namespaces that would corrupt per-namespace parsing are rejected
+    # at the token boundary, not mis-parsed later
+    for bad in ("", "x-", "a/b"):
+        with _pytest.raises(ValueError):
+            mark_epoch_committed(root, 0, bad)
     first_seq: dict[tuple[str, int], int] = {}
     for ns, e in ops:
         seq = mark_epoch_committed(root, e, ns)
