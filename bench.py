@@ -223,6 +223,8 @@ EXTENDED = (
     "q_bm25_serving_b2",     # 2nd stored-stats binding incl. absent term
     "q_ann_gen_probe",       # generation-lifecycle serve (pointer→probe)
     "q_ann_gen_probe_b2",    # 2nd gen-serve binding (non-corpus vector, k=7)
+    "q_media_wav_decode",    # real RIFF/PCM parse inside mapInPandas
+    "q_media_image_decode",  # real BMP/PPM parse inside mapInPandas
 )
 
 

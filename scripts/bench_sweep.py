@@ -39,6 +39,11 @@ def main() -> int:
         "--no-write", action="store_true",
         help="print only; skip the docs/BENCH_SWEEP_r{N}.json artifact",
     )
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="override the artifact round number (default: the build "
+        "round from PROGRESS.jsonl)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,17 +83,17 @@ def main() -> int:
     print(json.dumps(payload))
 
     # persist the per-round artifact so sweep diffs are mechanical
-    # (tests/test_bench.py pins this format); round = 1 + latest
-    # recorded CORRECTNESS round, the same convention the ledger uses
+    # (tests/test_bench.py pins this format); round = the build round
+    # from PROGRESS.jsonl via keydigest.current_round() — NOT
+    # max(CORRECTNESS)+1, which mislabels the artifact when the sweep
+    # runs after the round's CORRECTNESS file has landed (ADVICE r9).
+    # --round overrides for out-of-band runs.
     if not args.no_write:
-        import glob
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from keydigest import current_round
 
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        rounds = [
-            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        ]
-        rno = (max(rounds) + 1) if rounds else 1
+        rno = args.round if args.round is not None else current_round()
         dest = os.path.join(here, "docs", f"BENCH_SWEEP_r{rno}.json")
         with open(dest, "w") as fh:
             json.dump(payload, fh)

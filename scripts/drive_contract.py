@@ -4,7 +4,8 @@ driver does: fresh import, entry() smoke, then every queries() entry vs its
 oracle_sql() on DuckDB with exact value comparison.
 
 Usage: python scripts/drive_contract.py [--sf sf0.01] [--only name1,name2]
-                                         [--hostile]
+                                         [--hostile] [--skewed]
+                                         [--driver-memory 1g]
 
 --hostile builds the SparkSession the way an unhelpful caller would
 (America/New_York session timezone, 3 shuffle partitions) instead of
@@ -12,6 +13,18 @@ the friendly defaults — every registered query must STILL hash-match,
 because the registry wrapper pins UTC per query and no plan may depend
 on shuffle width. This is the full-registry version of the curated
 tests/test_hostile_session.py list.
+
+--skewed (verdict r9 #3) poisons the DATA instead of the session: the
+drive runs against a materialized fixture variant where one hot user
+owns ~30% of events and one hot orderkey owns ~10% of lineitem
+(scripts/make_skewed_fixtures.py). Oracles are distribution-
+independent, so hash mismatches under skew are real divergences.
+
+--driver-memory (verdict r9 #4) caps the driver JVM heap (e.g. 1g) to
+certify the bounded-collect contract mechanically: no registered key's
+serving collect may OOM a small driver at the tested sf. Requires a
+fresh JVM, so it must be passed before any SparkSession exists in the
+process (this script guarantees that).
 """
 
 from __future__ import annotations
@@ -119,8 +132,14 @@ def main() -> int:
     ap.add_argument("--sf", default="sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--hostile", action="store_true")
+    ap.add_argument("--skewed", action="store_true")
+    ap.add_argument("--driver-memory", default=None)
     args = ap.parse_args()
     sf_dir = f"/root/testdata/{args.sf}"
+    if args.skewed:
+        import make_skewed_fixtures
+
+        sf_dir = make_skewed_fixtures.build(args.sf)
 
     mod = load_entry_module()
 
@@ -131,6 +150,8 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
     )
+    if args.driver_memory:
+        builder = builder.config("spark.driver.memory", args.driver_memory)
     if args.hostile:
         builder = builder.config(
             "spark.sql.session.timeZone", "America/New_York"

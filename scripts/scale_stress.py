@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measure heavy-tail keys across a decade of scale (verdict r9 #2).
+
+Times each selected key at sf0.1 (driver fixtures) and sf1 (the 10×
+set from make_scale_fixtures.py) in ONE Spark session — warm-up pass
+then median of N timed passes per (key, sf), same discipline as
+bench.py — and reports the growth ratio. A key scaling linearly should
+ride ~10× on 10× data; the written artifact flags anything past
+--ratio-limit (default 12×, giving headroom for fixed per-query
+overheads to wash out).
+
+Usage: python scripts/scale_stress.py [--keys k1,k2|auto] [--top 15]
+                                      [--passes 3] [--ratio-limit 12]
+Writes docs/BENCH_SWEEP_sf1.json. Run EXCLUSIVELY (no concurrent Spark).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def slowest_keys(top: int) -> list[str]:
+    """Top-N slowest keys across the latest bench detail + sweep
+    artifacts — the heavy tail the verdict asks to stress."""
+    import glob
+    import re
+
+    times: dict[str, float] = {}
+    benches = sorted(
+        glob.glob(os.path.join(HERE, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    if benches:
+        data = json.load(open(benches[-1]))
+        for grp in ("queries", "tpch", "extended"):
+            times.update(data.get(grp) or {})
+    sweeps = sorted(glob.glob(os.path.join(HERE, "docs", "BENCH_SWEEP_r*.json")))
+    if sweeps:
+        times.update(json.load(open(sweeps[-1])).get("queries") or {})
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    return [k for k, _ in ranked[:top]]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default="auto")
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--ratio-limit", type=float, default=12.0)
+    ap.add_argument("--factor", type=float, default=10.0)
+    args = ap.parse_args()
+
+    import make_scale_fixtures
+
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.session import get_spark
+    from streaming_data_ingestion_spark.tables import TABLES, load
+
+    sf1_dir = make_scale_fixtures.build()
+    sf01_dir = "/root/testdata/sf0.1"
+
+    specs = all_queries()
+    if args.keys == "auto":
+        keys = [k for k in slowest_keys(args.top) if k in specs]
+    else:
+        keys = args.keys.split(",")
+
+    spark = get_spark(app_name="sdi-scale-stress")
+    for sf_dir in (sf01_dir, sf1_dir):
+        for t in TABLES:
+            load(spark, sf_dir, t).limit(1).count()
+
+    def run_once(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    results: dict[str, dict] = {}
+    for name in keys:
+        row: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+            try:
+                run_once(name, sf_dir)  # warm-up (plan compile, builds)
+                samples = [
+                    run_once(name, sf_dir) for _ in range(args.passes)
+                ]
+                row[label] = round(statistics.median(samples), 3)
+            except Exception as e:  # noqa: BLE001
+                row[label] = -1.0
+                row[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
+        if row.get("sf0.1", 0) > 0 and row.get("sf1", 0) > 0:
+            row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+        print(f"{name}: {row}", flush=True)
+
+    over = {
+        k: v["ratio"]
+        for k, v in results.items()
+        if v.get("ratio", 0) > args.ratio_limit
+    }
+    payload = {
+        "metric": "scale_stress",
+        "factor": args.factor,
+        "ratio_limit": args.ratio_limit,
+        "passes": args.passes,
+        "over_limit": over,
+        "queries": results,
+    }
+    dest = os.path.join(HERE, "docs", "BENCH_SWEEP_sf1.json")
+    with open(dest, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    print(f"wrote {dest}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,17 @@ from keydigest import (  # noqa: E402
 QUEUE_PATH = os.path.join(HERE, "reverify_queue.json")
 
 
+def effective_change_round(rno: int, green: int) -> int:
+    """Round to record for a changed key (ADVICE r9): a key edited in
+    the SAME round as its latest driver green would get digest round ==
+    green round, making any queue stamp inert (the rotation only bites
+    while last-green < stamp) — the r8 failure mode in miniature.
+    Record such edits as green-round + 1 so the stamp forces
+    re-certification in the next driver window regardless of
+    intra-round ordering. Keys never green just take the build round."""
+    return max(rno, green + 1) if green else rno
+
+
 def _init() -> int:
     live = all_key_digests()
     greens = last_green_rounds()
@@ -77,9 +88,12 @@ def main(check_only: bool = False) -> int:
         print(f"round={rno} changed={changed} dropped={dropped}")
         return 1 if (changed or dropped) else 0
 
+    def _eff_round(k: str) -> int:
+        return effective_change_round(rno, greens.get(k, 0))
+
     out = {
         k: (
-            {"digest": live[k], "round": rno}
+            {"digest": live[k], "round": _eff_round(k)}
             if k in changed
             else stored[k]
         )
@@ -95,8 +109,8 @@ def main(check_only: bool = False) -> int:
         queue = {}
     stamped = []
     for k in changed:
-        if greens.get(k) and queue.get(k, 0) < rno:
-            queue[k] = rno
+        if greens.get(k) and queue.get(k, 0) < _eff_round(k):
+            queue[k] = _eff_round(k)
             stamped.append(k)
     with open(QUEUE_PATH, "w") as fh:
         json.dump(queue, fh, indent=2, sort_keys=True)

@@ -7,12 +7,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` operators — per-partition, streaming batches, no
 driver involvement.
 
-The image/audio codec libraries are not in this container, so the actual
-pixel/sample decode is STUBBED (clearly marked below): real-codec calls
-raise NotImplementedError; tests exercise a deterministic fake
-("decode" = byte histogram features) so the Spark-side plumbing — schema,
-batch iteration, partitioning, output shape — is real and tested. On a
-cluster with codecs installed, only the marked inner functions change.
+Decode is REAL for uncompressed containers: ``codecs.py`` implements
+numpy-only BMP / PPM / PGM / RIFF-WAVE-PCM parsers (header fields, row
+padding, bottom-up BGR rows, chunk walking, 8/16-bit PCM), and
+``_decode_real`` routes recognized magic bytes through them. Only
+*compressed* formats (PNG/JPEG/MP3/...) raise ``NotImplementedError`` —
+they genuinely need codec libraries this container lacks; on a cluster
+with codecs installed only that branch changes. The deterministic fake
+("decode" = byte histogram features) remains for payloads that are not
+media containers at all (the text-as-bytes fixtures).
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` moderate so a partition of blobs
@@ -61,12 +64,30 @@ def attach_binary(df: DataFrame, payload_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """STUB — real decoder. On a cluster with codecs installed, replace
-    with e.g. PIL.Image.open(io.BytesIO(payload)) / soundfile.read(...)."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake=True for the deterministic test decoder"
+def _decode_real(payload: bytes) -> np.ndarray:
+    """Real decode via the numpy-only container parsers (codecs.py),
+    summarized to a fixed-length feature vector so heterogeneous media
+    (image vs audio, any dimensions) share one stable ``array<double>``
+    schema: [ndim, dim0, dim1, dim2, n_values, mean, min, max].
+
+    Raises NotImplementedError only for compressed formats (PNG/JPEG/
+    MP3/...) or non-media payloads — the boundary that genuinely needs
+    external codec libraries (see codecs.decode_any).
+    """
+    from streaming_data_ingestion_spark.multimodal.codecs import decode_any
+
+    arr = decode_any(payload)
+    flat = arr.astype(np.float64).ravel()
+    dims = list(arr.shape) + [0.0] * (3 - arr.ndim)
+    return np.array(
+        [
+            float(arr.ndim),
+            *dims[:3],
+            float(flat.size),
+            float(flat.mean()),
+            float(flat.min()),
+            float(flat.max()),
+        ]
     )
 
 
@@ -128,6 +149,137 @@ def dedup_by_digest(binary_df: DataFrame) -> DataFrame:
     return binary_df.groupBy(F.col("meta.digest").alias("digest")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis + REAL decode — the oracle-checkable path.
+#
+# The fixtures carry no media bytes, so these operators synthesize
+# GENUINE containers (spec-conformant WAV / BMP / PPM via codecs.py)
+# whose sample/pixel values are a closed-form integer function of
+# doc_id, then run the real decoder over the bytes and report integer
+# stats computed FROM THE DECODED arrays. Because the value formula is
+# pure integer arithmetic, a DuckDB oracle can recompute the expected
+# stats independently — so a decoder bug (wrong padding, missed
+# bottom-up flip, BGR mixup, bad chunk walk) produces a hash mismatch,
+# not a silently-agreeing round-trip. The weighted checksum (value ×
+# flat position) is what makes ORDER bugs visible; plain sums would
+# forgive any permutation.
+#
+# Scale shape: synthesis+encode+decode are all executor-side inside one
+# Arrow-batched mapInPandas pass; only the tiny per-doc stat rows leave
+# the pass, so the shuffle after it is O(rows), never O(bytes).
+# ---------------------------------------------------------------------------
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, n_frames long, n_channels long, rate long, "
+    "n_units long, sum_v long, min_v long, max_v long, wsum long"
+)
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, height long, width long, "
+    "n_units long, sum_v long, min_v long, max_v long, wsum long"
+)
+
+
+def wav_decode_stats(doc_df: DataFrame) -> DataFrame:
+    """Synthesize a genuine PCM WAV per doc (8-bit when doc_id%3==0 else
+    16-bit; mono/stereo by doc_id%2; rate 8000+4000*(doc_id%3)), then
+    REAL-decode it and emit integer stats over the decoded samples.
+    Frame/channel/rate columns come from the decoded header, not the
+    synthesis parameters — the header parse is under test too."""
+    from streaming_data_ingestion_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k.split()[0]: [] for k in WAV_STATS_SCHEMA.split(", ")
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                channels = doc_id % 2 + 1
+                m = (doc_id % 37 + 8) * channels
+                k = np.arange(m, dtype=np.int64)
+                mixed = doc_id * 2654435761 + k * 40503
+                if doc_id % 3 == 0:
+                    vals = (mixed % 256).astype(np.uint8)
+                else:
+                    vals = (mixed % 65536 - 32768).astype(np.int16)
+                payload = encode_wav(
+                    vals,
+                    sample_rate=8000 + (doc_id % 3) * 4000,
+                    channels=channels,
+                )
+                arr, rate = decode_wav(payload)  # REAL container parse
+                flat = arr.astype(np.int64).ravel()  # interleaved order
+                pos = np.arange(flat.size, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(arr.shape[0])
+                out["n_channels"].append(arr.shape[1])
+                out["rate"].append(rate)
+                out["n_units"].append(flat.size)
+                out["sum_v"].append(int(flat.sum()))
+                out["min_v"].append(int(flat.min()))
+                out["max_v"].append(int(flat.max()))
+                out["wsum"].append(int((pos * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return doc_df.select("doc_id").mapInPandas(batches, schema=WAV_STATS_SCHEMA)
+
+
+def image_decode_stats(doc_df: DataFrame) -> DataFrame:
+    """Synthesize a genuine image container per doc — BMP for even
+    doc_id (exercising row padding + bottom-up BGR rows), binary PPM for
+    odd — with pixel (y,x,c) = (doc_id*31 + y*17 + x*7 + c*3) % 256,
+    then REAL-decode and emit integer pixel stats. Height/width come
+    from the decoded array, and the position-weighted checksum pins the
+    raster order (a missed vertical flip or BGR swap changes wsum)."""
+    from streaming_data_ingestion_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k.split()[0]: [] for k in IMAGE_STATS_SCHEMA.split(", ")
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                h, w = doc_id % 3 + 2, doc_id % 5 + 2
+                y, x, c = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    np.arange(3, dtype=np.int64),
+                    indexing="ij",
+                )
+                rgb = ((doc_id * 31 + y * 17 + x * 7 + c * 3) % 256).astype(
+                    np.uint8
+                )
+                if doc_id % 2 == 0:
+                    arr = decode_bmp(encode_bmp(rgb))  # REAL parse
+                else:
+                    arr = decode_ppm(encode_ppm(rgb))  # REAL parse
+                flat = arr.astype(np.int64).ravel()  # row-major y,x,c
+                pos = np.arange(flat.size, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["n_units"].append(flat.size)
+                out["sum_v"].append(int(flat.sum()))
+                out["min_v"].append(int(flat.min()))
+                out["max_v"].append(int(flat.max()))
+                out["wsum"].append(int((pos * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return doc_df.select("doc_id").mapInPandas(
+        batches, schema=IMAGE_STATS_SCHEMA
     )
 
 

@@ -155,6 +155,10 @@ _BUCKETS = 8
 # actions (full writes through a write-time shuffle), memoized like the
 # IVFPQ / Z-order stored layouts. Files live under artifact_path
 # (pid-scoped, atexit-cleaned); the catalog entry carries the bucket spec.
+# NOTE (verdict r9): q_bucketed_join stays OUT of tests/test_plans.py's
+# _SWEEP_SKIP on purpose — its exchange-free join plan is what the
+# sweeps inspect — so the FIRST plan build in any fresh process pays
+# these two writes eagerly; every later build in the process is free.
 _BUCKET_MEMO: dict[str, tuple[str, str]] = {}
 
 

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1958,29 +1960,38 @@ def q_sim_ivfpq_probe_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _GEN_ROOT_MEMO: dict[str, str] = {}
+_GEN_ROOT_LOCK = threading.Lock()
 _GEN_CORPUS_MAX = 512  # sampled corpus => the full-rerank collect is bounded
 _GEN_Q_ID = 7
 
 
 def _gen_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """One published generation per (session, sf_dir): kmeans quantizer
+    """One published generation per (process, sf_dir): kmeans quantizer
     trained over the ≤512-row sampled corpus, written and published by
-    bootstrap_index (gen=0, base epoch committed, _latest pointer)."""
-    if sf_dir not in _GEN_ROOT_MEMO:
-        from streaming_data_ingestion_spark.streaming.ann_stream import (
-            bootstrap_index,
-        )
+    bootstrap_index (gen=0, base epoch committed, _latest pointer).
 
-        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        root = artifact_path(f"ann_gen_{tag}")
-        vecs = (
-            load(spark, sf_dir, "embeddings")
-            .select("vec_id", "embedding")
-            .filter(F.col("vec_id") < _GEN_CORPUS_MAX)
-        )
-        bootstrap_index(spark, vecs, root, k_cells=4, n_iters=2)
-        _GEN_ROOT_MEMO[sf_dir] = root
-    return _GEN_ROOT_MEMO[sf_dir]
+    Maintenance-serialization boundary (ADVICE r9): CROSS-PROCESS
+    collision is prevented by artifact_path's pid-suffixed root (a
+    concurrent pytest and drive each bootstrap their own directory);
+    within a process, the build is serialized by a lock so two threads
+    racing the memo cannot both run bootstrap_index (whose gen=latest+1
+    rmtree+write is not concurrent-writer safe) against one root."""
+    with _GEN_ROOT_LOCK:
+        if sf_dir not in _GEN_ROOT_MEMO:
+            from streaming_data_ingestion_spark.streaming.ann_stream import (
+                bootstrap_index,
+            )
+
+            tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            root = artifact_path(f"ann_gen_{tag}")
+            vecs = (
+                load(spark, sf_dir, "embeddings")
+                .select("vec_id", "embedding")
+                .filter(F.col("vec_id") < _GEN_CORPUS_MAX)
+            )
+            bootstrap_index(spark, vecs, root, k_cells=4, n_iters=2)
+            _GEN_ROOT_MEMO[sf_dir] = root
+        return _GEN_ROOT_MEMO[sf_dir]
 
 
 @query(

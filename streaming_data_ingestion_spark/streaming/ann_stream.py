@@ -164,11 +164,34 @@ def fold_in_writer(
 
     ``owner`` (set by maintain_ann_index to the checkpoint dir) claims
     the namespace: a different stream reusing it fails loudly instead of
-    silently no-opping against the first run's commit markers."""
+    silently no-opping against the first run's commit markers. A direct
+    caller that supplies NO owner gets a weaker but still loud guard
+    (ADVICE r9): if the namespace already carries commit markers when
+    this writer's first batch arrives, the writer refuses — a fresh
+    stream restarting epoch ids at 0 over a used namespace is exactly
+    the silent-no-op data-loss path the claim exists to prevent, and
+    an ownerless writer has no way to prove the markers are its own."""
+
+    fresh_writer = [True]
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if owner is not None:
             _claim_namespace(index_path, run_ns, owner)
+        elif fresh_writer[0]:
+            prefix = run_ns + "-"
+            if any(
+                tok.startswith(prefix)
+                for _, tok in committed_epochs(index_path)
+            ):
+                raise ValueError(
+                    f"run namespace {run_ns!r} of index {index_path!r} "
+                    "already has committed epochs and this writer was "
+                    "built without an owner; its batches would silently "
+                    "no-op against the previous run's markers. Pass "
+                    "owner= (maintain_ann_index does) or use a fresh "
+                    "run_ns"
+                )
+        fresh_writer[0] = False
         # completed-epoch replay: no-op. The rows are already identical
         # (pure function of input), and rewriting them would swap file
         # names under any probe currently scanning the committed epoch

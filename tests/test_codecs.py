@@ -1,0 +1,263 @@
+"""Real media codec tests (multimodal/codecs.py).
+
+Three layers of evidence that the decoders are genuine parsers, not
+round-trip-agreeing fakes:
+
+* GOLDEN BYTES — hand-computed container bytes (header fields written
+  out field by field from the format specs) decode to the expected
+  arrays, so an encoder+decoder that shared a mirrored bug would still
+  fail here;
+* round-trip property tests across dimensions that exercise the format
+  edge cases (BMP row padding at every width mod 4, bottom-up vs
+  top-down rows, WAV 8 vs 16-bit, mono/stereo, extra RIFF chunks,
+  PNM comment headers);
+* adversarial payloads (truncated, compressed magics, wrong bpp) raise
+  the declared errors instead of returning garbage.
+
+The oracle-checked keys (q_media_wav_decode / q_media_image_decode)
+then prove the same decoders cell-exactly against DuckDB inside the
+distributed mapInPandas path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from streaming_data_ingestion_spark.multimodal.codecs import (
+    decode_any,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+# ---------------------------------------------------------------------------
+# Golden bytes — written from the specs, not from our encoders.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_golden_bytes():
+    """A 2x2 24-bit BMP with distinct RGB corners, bytes laid out by
+    hand: bottom-up rows, BGR order, 2 bytes of row padding (2*3=6 -> 8).
+    Expected decoded top-down RGB:
+        (0,0)=red (255,0,0)   (0,1)=green (0,255,0)
+        (1,0)=blue (0,0,255)  (1,1)=white (255,255,255)
+    """
+    pixel_rows = (
+        # bottom row first (y=1): blue pixel then white, BGR order + pad
+        b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00"
+        # top row (y=0): red then green, BGR order + pad
+        + b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00"
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_rows), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_rows), 2835, 2835, 0, 0
+    )
+    arr = decode_bmp(header + info + pixel_rows)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, expect)
+
+
+def test_wav_golden_bytes():
+    """A 44-byte-header mono 16-bit WAV with samples [1000, -1000, 32767],
+    every header field packed by hand from the RIFF/WAVE spec."""
+    data = struct.pack("<3h", 1000, -1000, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, rate = decode_wav(payload)
+    assert rate == 44100
+    assert arr.shape == (3, 1)
+    assert arr.ravel().tolist() == [1000, -1000, 32767]
+
+
+def test_ppm_golden_bytes():
+    payload = b"P6\n# comment line\n2 1\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    arr = decode_ppm(payload)
+    assert arr.shape == (1, 2, 3)
+    assert arr.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+
+def test_pgm_golden_bytes():
+    payload = b"P5\n3 2\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    arr = decode_ppm(payload)
+    assert arr.shape == (2, 3)
+    assert arr.tolist() == [[1, 2, 3], [4, 5, 6]]
+
+
+# ---------------------------------------------------------------------------
+# Round-trip properties over the format edge cases.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_every_padding_class():
+    """Widths 1..8 cover all four values of (3*w) % 4 — the row-padding
+    cases where a naive reshape mixes rows."""
+    rng = np.random.default_rng(7)
+    for w in range(1, 9):
+        for h in (1, 2, 5):
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(a)), a), (w, h)
+
+
+def test_bmp_topdown_negative_height():
+    """Spec allows negative biHeight = top-down row order; the decoder
+    must NOT flip those."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    bmp = bytearray(encode_bmp(a))
+    (h,) = struct.unpack_from("<i", bmp, 22)
+    struct.pack_into("<i", bmp, 22, -h)
+    off = struct.unpack_from("<I", bmp, 10)[0]
+    stride = (5 * 3 + 3) // 4 * 4
+    raw = (
+        np.frombuffer(bytes(bmp), np.uint8, stride * 3, off)
+        .reshape(3, stride)
+        .copy()
+    )
+    topdown = bytes(bmp[:off]) + raw[::-1].tobytes()
+    assert np.array_equal(decode_bmp(topdown), a)
+
+
+def test_wav_roundtrip_widths_and_channels():
+    rng = np.random.default_rng(13)
+    s16 = rng.integers(-32768, 32768, 24, dtype=np.int16)
+    for ch in (1, 2, 3):
+        arr, rate = decode_wav(encode_wav(s16, 12345, ch))
+        assert rate == 12345
+        assert arr.shape == (24 // ch, ch)
+        assert np.array_equal(arr.ravel(), s16[: (24 // ch) * ch])
+    s8 = rng.integers(0, 256, 13, dtype=np.uint8)
+    arr, _ = decode_wav(encode_wav(s8, 8000, 1))
+    assert arr.dtype == np.uint8 and np.array_equal(arr.ravel(), s8)
+
+
+def test_wav_chunk_walker_skips_extra_chunks():
+    """Real WAV files carry LIST/fact chunks; the parser must walk the
+    chunk list (with odd-size word alignment), not assume byte 44."""
+    s = np.array([7, -7, 9, -9], dtype=np.int16)
+    wav = encode_wav(s, 16000, 2)
+    # splice an odd-sized LIST chunk between WAVE and fmt
+    injected = (
+        wav[:12]
+        + b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+        + wav[12:]
+    )
+    injected = injected[:4] + struct.pack("<I", len(injected) - 8) + injected[8:]
+    arr, rate = decode_wav(injected)
+    assert rate == 16000
+    assert np.array_equal(arr.ravel(), s)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 256, (4, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(a)), a)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + adversarial payloads.
+# ---------------------------------------------------------------------------
+
+
+def test_decode_any_dispatch():
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    assert decode_any(encode_bmp(a)).shape == (2, 2, 3)
+    assert decode_any(encode_ppm(a)).shape == (2, 2, 3)
+    s = np.array([1, 2], dtype=np.int16)
+    assert decode_any(encode_wav(s)).shape == (2, 1)
+
+
+@pytest.mark.parametrize(
+    "payload,err,needle",
+    [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, NotImplementedError, "PNG"),
+        (b"\xff\xd8\xff\xe0" + b"\x00" * 64, NotImplementedError, "JPEG"),
+        (b"garbage!" * 8, NotImplementedError, "unrecognized"),
+        (b"BM" + b"\x00" * 10, ValueError, "BMP"),  # truncated header
+        (b"P6\n2 2\n255\n\x00", ValueError, "truncated"),  # short raster
+        (b"RIFF\x04\x00\x00\x00WAVE", ValueError, "fmt"),  # no chunks
+    ],
+)
+def test_bad_payloads_raise(payload, err, needle):
+    with pytest.raises(err, match=needle):
+        decode_any(payload)
+
+
+def test_compressed_bmp_and_nonpcm_wav_rejected():
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    bmp = bytearray(encode_bmp(a))
+    struct.pack_into("<I", bmp, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compressed"):
+        decode_bmp(bytes(bmp))
+    wav = bytearray(encode_wav(np.array([1], dtype=np.int16)))
+    struct.pack_into("<H", wav, 20, 3)  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(wav))
+
+
+# ---------------------------------------------------------------------------
+# The distributed decode-stat operators agree with a local recompute.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_decode_stats_match_local(spark):
+    from streaming_data_ingestion_spark.multimodal.binary_ops import (
+        wav_decode_stats,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").limit(40)
+    pdf = wav_decode_stats(docs).toPandas().set_index("doc_id")
+    for doc_id in pdf.index[:10]:
+        ch = doc_id % 2 + 1
+        m = (doc_id % 37 + 8) * ch
+        k = np.arange(m, dtype=np.int64)
+        mixed = doc_id * 2654435761 + k * 40503
+        vals = mixed % 256 if doc_id % 3 == 0 else mixed % 65536 - 32768
+        row = pdf.loc[doc_id]
+        assert row["n_channels"] == ch and row["n_units"] == m
+        assert row["rate"] == 8000 + (doc_id % 3) * 4000
+        assert row["sum_v"] == vals.sum()
+        assert row["wsum"] == (np.arange(m) * vals).sum()
+
+
+def test_image_decode_stats_match_local(spark):
+    from streaming_data_ingestion_spark.multimodal.binary_ops import (
+        image_decode_stats,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").limit(40)
+    pdf = image_decode_stats(docs).toPandas().set_index("doc_id")
+    for doc_id in pdf.index[:10]:
+        h, w = doc_id % 3 + 2, doc_id % 5 + 2
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        v = (doc_id * 31 + y * 17 + x * 7 + c * 3) % 256
+        flat = v.ravel()
+        row = pdf.loc[doc_id]
+        assert row["height"] == h and row["width"] == w
+        assert row["sum_v"] == flat.sum()
+        assert row["wsum"] == (np.arange(flat.size) * flat).sum()

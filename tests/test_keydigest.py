@@ -170,3 +170,25 @@ def test_green_predicate_agrees_with_rotation():
             if isinstance(row, dict) and _satisfied(row):
                 replay[k] = max(replay.get(k, 0), rno)
     assert replay == greens
+
+
+def test_same_round_edit_cannot_dodge_reverify():
+    """ADVICE r9: an edit landing in the SAME round as the key's latest
+    driver green must be recorded at green-round + 1 — digest round ==
+    green round would make the queue stamp inert (the rotation only
+    bites while last-green < stamp), letting a post-drive rewrite keep
+    a green that certifies the OLD definition."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from update_digests import effective_change_round
+
+    assert effective_change_round(10, 0) == 10   # never green: build round
+    assert effective_change_round(10, 9) == 10   # earlier green: build round
+    assert effective_change_round(10, 10) == 11  # same-round green: bumped
+    # defensive: a green somehow AHEAD of the build round still bumps past it
+    assert effective_change_round(10, 12) == 13

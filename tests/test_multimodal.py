@@ -55,9 +55,31 @@ def test_dedup_by_digest(spark):
     assert d.filter(F.col("n_copies") != 1).count() == 0
 
 
-def test_real_decode_is_marked_stub():
+def test_real_decode_boundary():
+    """_decode_real now really decodes uncompressed containers (BMP/PPM/
+    WAV via codecs.py); NotImplementedError is reserved for compressed
+    formats and non-media payloads — the round-9 verdict's boundary."""
+    import numpy as np
+
+    from streaming_data_ingestion_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    feat = _decode_real(encode_bmp(rgb))
+    # [ndim, dim0, dim1, dim2, n_values, mean, min, max]
+    assert list(feat[:5]) == [3.0, 2.0, 3.0, 3.0, 18.0]
+    assert feat[6] == 0.0 and feat[7] == 17.0
+
+    wav = encode_wav(np.array([5, -5, 7, -7], dtype=np.int16), channels=2)
+    feat = _decode_real(wav)
+    assert list(feat[:4]) == [2.0, 2.0, 2.0, 0.0]
+
     with pytest.raises(NotImplementedError):
-        _decode_real(b"\x00\x01")
+        _decode_real(b"\x00\x01")  # not a media container
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # compressed
 
 
 def test_sample_frames(spark):

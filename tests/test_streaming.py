@@ -2702,3 +2702,115 @@ def test_ann_namespace_reuse_fails_loudly(spark, tmp_path):
     with _pytest.raises(StreamingQueryException, match="fresh run_ns"):
         q2.awaitTermination(120)
     assert read_committed_index(spark, gen).count() == 40  # nothing lost/overwritten
+
+
+def test_ownerless_fold_in_writer_refuses_used_namespace(spark, tmp_path):
+    """ADVICE r9: a fold_in_writer built WITHOUT an owner (the direct-
+    call pattern) must refuse to start over a namespace that already
+    carries commit markers — a fresh stream's epoch ids restart at 0,
+    so its batches would silently no-op against the previous run's
+    markers while its checkpoint recorded them processed (unrecoverable
+    data loss). Within ONE writer the guard must stay quiet: our own
+    just-written markers are not foreign."""
+    import pytest as _pytest
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        fold_in_writer,
+        load_centroids,
+        read_committed_index,
+        resolve_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 48
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 16), root, k_cells=3, n_iters=2)
+    gen = resolve_index(root)
+    cents = load_centroids(gen)
+
+    # first ownerless writer on a fresh namespace: fine, multiple epochs
+    w1 = fold_in_writer(gen, cents, run_ns="runA")
+    w1(emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32)), 0)
+    w1(emb.filter(F.col("vec_id") >= 32), 1)
+    assert read_committed_index(spark, gen).count() == 48
+
+    # replay through the SAME writer instance: no-op, no raise
+    w1(emb.filter(F.col("vec_id") >= 32), 1)
+    assert read_committed_index(spark, gen).count() == 48
+
+    # a SECOND ownerless writer over the used namespace must refuse its
+    # first batch outright — before any marker comparison could no-op it
+    w2 = fold_in_writer(gen, cents, run_ns="runA")
+    with _pytest.raises(ValueError, match="without an owner"):
+        w2(emb.filter(F.col("vec_id") < 16), 0)
+    assert read_committed_index(spark, gen).count() == 48
+
+    # a fresh namespace is the sanctioned escape
+    w3 = fold_in_writer(gen, cents, run_ns="runB")
+    w3(emb.filter(F.col("vec_id") < 16).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    ), 0)
+    assert read_committed_index(spark, gen).count() == 64
+
+
+def test_maintenance_race_probe_on_previous_generation(spark, tmp_path):
+    """Verdict r9 #7: compact_generation + vacuum racing an in-flight
+    probe that resolved the PREVIOUS generation. Contract: within the
+    retention window (keep=2) the stale probe still answers EXACTLY;
+    past it (keep=1) executing the stale plan must fail loudly or
+    return the complete correct answer — never a partial read of a
+    half-deleted generation."""
+    import pytest as _pytest
+
+    from streaming_data_ingestion_spark.streaming.ann_stream import (
+        bootstrap_index,
+        compact_generation,
+        fold_in_writer,
+        load_centroids,
+        probe_generation,
+        resolve_index,
+        vacuum_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 64
+    )
+    root = str(tmp_path / "ann_root")
+    bootstrap_index(spark, emb.filter(F.col("vec_id") < 32), root, k_cells=3, n_iters=2)
+    gen0 = resolve_index(root)
+    wb = fold_in_writer(gen0, load_centroids(gen0), run_ns="r", owner="o")
+    wb(emb.filter(F.col("vec_id") >= 32), 0)
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    expect = probe_generation(spark, root, q, nprobe=3, k=5, rerank=64).collect()
+
+    # in-flight probe: resolved gen 0, not yet executed when maintenance runs
+    stale = probe_generation(spark, root, q, nprobe=3, k=5, rerank=64)
+
+    assert compact_generation(spark, root) == 1  # pointer now at gen 1
+
+    # retention window (keep=2): gen 0 survives, the stale plan answers
+    # exactly — the reader-lease half of the contract
+    assert vacuum_index(root, keep=2) == []
+    assert stale.collect() == expect
+
+    # fresh pointer resolution also answers exactly through gen 1
+    assert probe_generation(spark, root, q, nprobe=3, k=5, rerank=64).collect() == expect
+
+    # past the lease (keep=1): gen 0 is deleted; the stale plan must
+    # fail loudly OR return the complete answer — never a partial one
+    stale2 = probe_generation(spark, root, q, nprobe=3, k=5, rerank=64)
+    # re-point stale2 at gen 0? it resolved gen 1 — build one against the
+    # OLD path explicitly via the pre-vacuum resolution instead:
+    assert vacuum_index(root, keep=1) == [0]
+    try:
+        rows = stale.collect()  # still bound to the deleted gen 0
+    except Exception:
+        rows = None  # loud failure is an allowed outcome
+    assert rows is None or rows == expect, (
+        "stale probe returned a PARTIAL result after vacuum"
+    )
+    # current-generation serving is untouched by the vacuum
+    assert stale2.collect() == expect
