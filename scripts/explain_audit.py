@@ -219,6 +219,15 @@ AUDITED = (
         "corpus shuffle.",
     ),
     (
+        "q_media_wav_decode",
+        "Real container decode (numpy RIFF/PCM parse). Read: ONE "
+        "MapInPandas over a doc_id-only pruned scan — synthesis, "
+        "encode, and decode all live executor-side inside the Arrow "
+        "pass; only the 9-column per-doc stat rows reach the join and "
+        "the grouped aggregate, so the shuffle is O(docs), never "
+        "O(media bytes).",
+    ),
+    (
         "q_dup_substring",
         "Duplicated-span fraction. Read: 5-gram shingling, md5 hashing and "
         "array_distinct are all row-side before the ONE Generate; the "

@@ -20,9 +20,14 @@ DuckDB single-pass COPYs, no RNG, byte-stable across runs:
   ≈ 0), so dedup/LSH collision groups stay sf0.1-sized and the
   measured growth is the engine's scaling, not a synthetic 10-way
   duplicate blowup that no real corpus has;
-* ``embeddings``: 10 replicas, vec_id offset, a replica-dependent
-  deterministic offset added to two dimensions (keeps vectors spread
-  rather than 10-fold coincident, same reasoning as documents);
+* ``embeddings``: 10 replicas, vec_id offset, each replica's vector
+  ROTATED by 7·i positions (norm-preserving) plus a small offset on
+  its leading dims — replicas of one base vector decorrelate instead
+  of sitting coincident in embedding space. (The first cut used the
+  offset alone: 10 near-identical copies of every vector made the
+  near-dup cell sizes grow 10×, i.e. candidate PAIRS grew 100×, and
+  the sf1 stress measured that synthetic blowup instead of engine
+  scaling — no real corpus decade-steps by exact replication.);
 * dimension tables (region/nation/customer/supplier/part): copied.
 
 Usage: python scripts/make_scale_fixtures.py [--from sf0.1] [--factor 10]
@@ -120,10 +125,12 @@ def build(src_sf: str = "sf0.1", factor: int = 10, dest_name: str = "sf1") -> st
     con.execute(f"""
         COPY (
           SELECT vec_id + r.i * {vkey_span} AS vec_id,
-                 CAST(list_transform(embedding,
-                      (x, j) -> CASE WHEN j <= 2
-                                THEN CAST(x + r.i * 0.07 AS FLOAT)
-                                ELSE x END) AS FLOAT[]) AS embedding,
+                 CAST(list_transform(
+                   list_concat(embedding[(r.i * 7) % 64 + 1:],
+                               embedding[1:(r.i * 7) % 64]),
+                   (x, j) -> CASE WHEN j <= 2
+                             THEN CAST(x + r.i * 0.07 AS FLOAT)
+                             ELSE x END) AS FLOAT[]) AS embedding,
                  label
           FROM embeddings, {rep}
         ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)

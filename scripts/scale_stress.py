@@ -57,6 +57,13 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--ratio-limit", type=float, default=12.0)
     ap.add_argument("--factor", type=float, default=10.0)
+    ap.add_argument(
+        "--slow-cutoff", type=float, default=60.0,
+        help="if the warm-up pass exceeds this many seconds, record that "
+        "single measured pass instead of running the timed medians — the "
+        "measurement (a blowup) is already made; repeating it 3 more "
+        "times adds wall-clock, not information",
+    )
     args = ap.parse_args()
 
     import make_scale_fixtures
@@ -74,7 +81,13 @@ def main() -> int:
     else:
         keys = args.keys.split(",")
 
-    spark = get_spark(app_name="sdi-scale-stress")
+    # 10× data + ~50 back-to-back heavy passes in one session needs more
+    # than Spark's 1g default local heap (the first full run OOMed the
+    # shared driver/executor JVM on key #12)
+    spark = get_spark(
+        app_name="sdi-scale-stress",
+        extra_conf={"spark.driver.memory": "6g"},
+    )
     for sf_dir in (sf01_dir, sf1_dir):
         for t in TABLES:
             load(spark, sf_dir, t).limit(1).count()
@@ -91,7 +104,11 @@ def main() -> int:
         row: dict[str, float] = {}
         for label, sf_dir in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
             try:
-                run_once(name, sf_dir)  # warm-up (plan compile, builds)
+                warm = run_once(name, sf_dir)  # warm-up (compile, builds)
+                if warm > args.slow_cutoff:
+                    row[label] = round(warm, 3)
+                    row[f"{label}_note"] = "single pass (over slow-cutoff)"
+                    continue
                 samples = [
                     run_once(name, sf_dir) for _ in range(args.passes)
                 ]
@@ -104,9 +121,19 @@ def main() -> int:
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
+    dest = os.path.join(HERE, "docs", "BENCH_SWEEP_sf1.json")
+    # merge into an existing artifact so a targeted --keys rerun (e.g.
+    # after a session crash) fills gaps instead of erasing the record
+    merged = dict(results)
+    if os.path.exists(dest):
+        try:
+            prior = json.load(open(dest)).get("queries") or {}
+            merged = {**prior, **results}
+        except (OSError, json.JSONDecodeError):
+            pass
     over = {
         k: v["ratio"]
-        for k, v in results.items()
+        for k, v in merged.items()
         if v.get("ratio", 0) > args.ratio_limit
     }
     payload = {
@@ -115,9 +142,8 @@ def main() -> int:
         "ratio_limit": args.ratio_limit,
         "passes": args.passes,
         "over_limit": over,
-        "queries": results,
+        "queries": merged,
     }
-    dest = os.path.join(HERE, "docs", "BENCH_SWEEP_sf1.json")
     with open(dest, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")

@@ -17,6 +17,8 @@ the §2B/north-star analytical surface.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -170,7 +172,11 @@ def bucketed_pair_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if sf_dir not in _BUCKET_MEMO:
         from streaming_data_ingestion_spark.layout import write_bucketed
 
-        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        # catalog table names allow only [A-Za-z0-9_]: dots AND hyphens
+        # appear in fixture dir names (sf0.01, sf0.01-skew)
+        tag = re.sub(
+            r"[^0-9A-Za-z_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
         lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
         write_bucketed(
             load(spark, sf_dir, "lineitem"),

@@ -261,3 +261,51 @@ def test_image_decode_stats_match_local(spark):
         assert row["height"] == h and row["width"] == w
         assert row["sum_v"] == flat.sum()
         assert row["wsum"] == (np.arange(flat.size) * flat).sum()
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: round-trip holds for ARBITRARY shapes/contents, not just the
+# hand-picked cases above.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_bmp_ppm_roundtrip_property(w, h, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+        assert np.array_equal(decode_ppm(encode_ppm(a)), a)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=64),
+        ch=st.integers(min_value=1, max_value=4),
+        bits8=st.booleans(),
+        rate=st.integers(min_value=1, max_value=192000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, ch, bits8, rate, seed):
+        rng = np.random.default_rng(seed)
+        m = n * ch
+        if bits8:
+            s = rng.integers(0, 256, m, dtype=np.uint8)
+        else:
+            s = rng.integers(-32768, 32768, m, dtype=np.int16)
+        arr, got_rate = decode_wav(encode_wav(s, rate, ch))
+        assert got_rate == rate
+        assert arr.shape == (n, ch)
+        assert np.array_equal(arr.ravel(), s)
