@@ -4,8 +4,17 @@ driver does: fresh import, entry() smoke, then every queries() entry vs its
 oracle_sql() on DuckDB with exact value comparison.
 
 Usage: python scripts/drive_contract.py [--sf sf0.01] [--only name1,name2]
+                                         [--skip name1,name2]
                                          [--hostile] [--skewed]
-                                         [--driver-memory 1g]
+                                         [--driver-memory 1g] [--timings]
+
+--sf also accepts a PATH (anything containing a '/'), so the decade-step
+fixtures from make_scale_fixtures.py can be hash-certified, not just
+timed: `--sf .scale/sf1` (relative to the repo root) runs the full
+oracle gate against the 10x data. Use --skip to carve out keys whose
+cost at the target scale is already dispositioned (e.g. q_emb_neardup's
+quadratic-by-contract label cells at sf1), and --timings to print
+per-key Spark/DuckDB wall-clock so slow keys are attributable.
 
 --hostile builds the SparkSession the way an unhelpful caller would
 (America/New_York session timezone, 3 shuffle partitions) instead of
@@ -131,11 +140,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--skip", default=None)
     ap.add_argument("--hostile", action="store_true")
     ap.add_argument("--skewed", action="store_true")
     ap.add_argument("--driver-memory", default=None)
+    ap.add_argument("--timings", action="store_true")
     args = ap.parse_args()
-    sf_dir = f"/root/testdata/{args.sf}"
+    if "/" in args.sf:
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sf_dir = args.sf if os.path.isabs(args.sf) else os.path.join(repo, args.sf)
+    else:
+        sf_dir = f"/root/testdata/{args.sf}"
     if args.skewed:
         import make_skewed_fixtures
 
@@ -173,8 +190,16 @@ def main() -> int:
         )
 
     names = sorted(qs) if not args.only else args.only.split(",")
+    if args.skip:
+        skips = set(args.skip.split(","))
+        names = [n for n in names if n not in skips]
+        print(f"skipping by flag: {sorted(skips & set(qs))}")
     failed = []
+    import time as _time
+
     for name in names:
+        t0 = _time.monotonic()
+        t_spark = t_duck = 0.0
         try:
             if args.hostile:
                 # every query must survive a hostile session ON ITS OWN:
@@ -189,15 +214,23 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir)
             if name not in oracles:
                 n = sdf.count()
-                print(f"{name}: rows-only, {n} rows")
+                print(f"{name}: rows-only, {n} rows", flush=True)
                 continue
             sp = sdf.toPandas()
+            t_spark = _time.monotonic() - t0
             dp = con.execute(oracles[name]).df()
+            t_duck = _time.monotonic() - t0 - t_spark
             ok_cols, ok_rows, ok_vals, detail = compare(sp, dp)
             status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+            timing = (
+                f" [spark {t_spark:.1f}s duck {t_duck:.1f}s]"
+                if args.timings
+                else ""
+            )
             print(
                 f"{name}: cols={ok_cols} rowcount={ok_rows}({len(sp)}) "
-                f"values_exact={ok_vals} {status}{detail}"
+                f"values_exact={ok_vals} {status}{detail}{timing}",
+                flush=True,
             )
             if status == "FAIL":
                 failed.append(name)

@@ -484,6 +484,171 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_emb_neardup_lsh — embedding near-dup via BANDED hyperplane LSH: the
+# bounded-candidate production path for the near-dup problem q_emb_neardup
+# solves with fixture label cells.
+# --------------------------------------------------------------------------
+
+_NDL_ROWS = 10  # hyperplanes per band (bucket width = 2^10)
+_NDL_BANDS = 4  # bands (a pair is a candidate if ANY band collides)
+_NDL_THRESHOLD = 0.35  # same verify bound as q_emb_neardup
+
+
+def _sql_planes_cte(rows: int = _NDL_ROWS, bands: int = _NDL_BANDS) -> str:
+    """All bands' planes as VALUES rows (j, p DOUBLE[]) — the same
+    md5-parity signs _plane_vec computes, embedded as plan-time
+    constants. Rows (not per-element literals) so the oracle pays ONE
+    sequential fold per (vector, plane), the exact work the Spark side
+    does; an earlier literal-indexing formulation rebuilt the 64-float
+    list per element and was ~40× slower."""
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join("1.0" if v > 0 else "-1.0" for v in _plane_vec(j))
+        )
+        for j in range(rows * bands)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(j, p)"
+
+
+def emb_neardup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_band: int = _NDL_ROWS,
+    bands: int = _NDL_BANDS,
+    threshold: float = _NDL_THRESHOLD,
+) -> DataFrame:
+    """Parameterized builder — the registered binding fixes (10, 4, 0.35);
+    scale runs pick rows_per_band ≈ log2(n) + const so bucket population
+    stays bounded as the corpus grows (see docs/BENCH_NOTES.md)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("n"),
+    )
+    ad = _as_double(F.col("embedding"))
+    # Each band's bucket is ONE nested-HOF expression: transform over the
+    # band's array-of-planes literal marks bit j_in with weight 2^j_in when
+    # the sequential-fold dot (the house exactness idiom) is >= 0, then an
+    # integer aggregate sums the weights. Two earlier shapes lost: ~600
+    # chained when/add Column ops paid ~3 s of py4j round-trips per plan
+    # build, and a single all-bands transform re-evaluated every dot once
+    # per band slice (4x the fold work per row). This form is ~50 driver
+    # calls and exactly rows_per_band*bands folds per row.
+    band_cols = []
+    for l in range(bands):
+        planes_l = F.lit(
+            [_plane_vec(l * rows_per_band + j) for j in range(rows_per_band)]
+        )
+        weighted = F.transform(
+            planes_l,
+            lambda p, i: F.when(
+                _fold_sum(F.zip_with(ad, p, lambda x, y: x * y)) >= 0,
+                # 2^i: double pow is exact to 2^52, cast back to long
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        band_cols.append(
+            F.aggregate(
+                weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+        )
+    banded = e.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n").alias("n_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n").alias("n_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+@query(
+    "q_emb_neardup_lsh",
+    oracle=f"""
+WITH planes AS (
+  {_sql_planes_cte()}
+),
+dots AS (
+  SELECT e.vec_id, pl.j // {_NDL_ROWS} AS band, pl.j % {_NDL_ROWS} AS j_in,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {_DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])),
+           (acc, x) -> acc + x) AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+banded AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN d >= 0 THEN (1::BIGINT << j_in) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_sql_dot("a.embedding", "b.embedding")}
+         / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_sql_dot("a.embedding", "b.embedding")}
+    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= {_NDL_THRESHOLD}
+""",
+    tags=("llm", "similarity", "dedup", "lsh"),
+)
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with BANDED hyperplane-LSH candidates:
+    a pair is scored only if all 10 sign bits of SOME band agree; exact
+    cosine ≥ 0.35 verifies survivors.
+
+    This is the production scale path that q_emb_neardup's label cells
+    can't give (its cells are the fixture's 10 fixed labels, so pairs
+    grow quadratically — the 124.8× sf1 decomposition pinned in
+    docs/BENCH_NOTES.md). Here candidate population per band bucket is
+    controlled by the band WIDTH: hold rows_per_band ≈ log2(n) + c and
+    Σ n_bucket² stays O(n) as the corpus decade-steps — the same
+    signature-then-verify shape as the MinHash dedup family, applied to
+    the embedding column. Candidates are (id, id) pairs only; vectors
+    are re-fetched by two hash joins for the verify stage, so the
+    quadratic-width arrays never ride through the candidate shuffle.
+
+    Both engines derive identical planes (md5 parity, embedded as
+    plan-time literal arrays on BOTH sides) and fold dots sequentially
+    in double, so the sign bits, the bucket integers, and the verify
+    cosines are all bit-stable cross-engine.
+    """
+    return emb_neardup_lsh(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # q_sim_range — radius (threshold) search: everything within a cosine bound
 # of each query vector, the set-retrieval twin of top-k.
 # --------------------------------------------------------------------------

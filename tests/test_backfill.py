@@ -145,3 +145,54 @@ def test_upsert_is_idempotent(spark, tmp_path):
         map(tuple, spark.read.parquet(path).collect())
     )
     assert once == twice
+
+
+def test_upsert_replay_from_torn_partition_swap_converges(spark, tmp_path):
+    """upsert_partitioned is atomic PER PARTITION, not across them
+    (docs/SCALE.md isolation taxonomy): a crash can leave shard=0
+    swapped while shard=1 still holds pre-upsert rows. Replaying the
+    SAME upsert over that torn table must converge to the full target —
+    the property that makes the CDC apply loop's epoch replay safe."""
+    from streaming_data_ingestion_spark.backfill import upsert_partitioned
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 1)],
+        "k long, v string, shard long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", 0), (5, "e", 0), (3, "c2", 1), (6, "f", 1)],
+        "k long, v string, shard long",
+    )
+
+    # target = what one uncrashed full upsert produces (scratch copy)
+    scratch = str(tmp_path / "scratch")
+    base.write.partitionBy("shard").parquet(scratch)
+    upsert_partitioned(spark, scratch, updates, "k", "shard")
+    want = {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(scratch).collect()
+    }
+
+    # torn state: only shard=0's swap landed before the "crash"
+    table = str(tmp_path / "t")
+    base.write.partitionBy("shard").parquet(table)
+    upsert_partitioned(
+        spark, table, updates.filter("shard = 0"), "k", "shard"
+    )
+    mid = {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(table).collect()
+    }
+    assert mid != want
+    assert (3, "c", 1) in mid and (1, "a2", 0) in mid  # genuinely torn
+
+    # replay the WHOLE upsert over the torn table → converges
+    upsert_partitioned(spark, table, updates, "k", "shard")
+    got = {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(table).collect()
+    }
+    assert got == want
+
+    # and the converged state is a fixed point
+    upsert_partitioned(spark, table, updates, "k", "shard")
+    assert {
+        (r.k, r.v, r.shard) for r in spark.read.parquet(table).collect()
+    } == want

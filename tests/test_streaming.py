@@ -1444,6 +1444,77 @@ def test_cdc_apply_stream_maintains_table(spark, tmp_path):
     assert again == want
 
 
+def test_cdc_replay_after_crash_between_upsert_and_delete(spark, tmp_path):
+    """Fault injection for the CDC apply loop's documented guarantee
+    (streaming/cdc.py: "epoch replay converges"): crash AFTER a batch's
+    upserts land but BEFORE its deletes run. The checkpoint never
+    commits the batch, so a restart replays it whole; the replay
+    re-applies the upserts (key-replacement is idempotent) and completes
+    the deletes — the table converges to exactly what an uncrashed run
+    produces, including the upsert-then-tombstone-in-one-batch key that
+    the torn state leaves VISIBLE mid-crash."""
+    import streaming_data_ingestion_spark.streaming.cdc as cdc_mod
+    from streaming_data_ingestion_spark.streaming.cdc import apply_cdc_stream
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)],
+        "k long, v string, shard long",
+    ).write.partitionBy("shard").parquet(table)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "op string, k long, v string, shard long"
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"op": "upsert", "k": 1, "v": "a2", "shard": 0},  # update
+                {"op": "upsert", "k": 9, "v": "i", "shard": 1},   # insert
+                {"op": "delete", "k": 2, "v": None, "shard": 0},  # tombstone
+                # upsert then tombstone in the SAME batch → must end deleted
+                {"op": "upsert", "k": 5, "v": "e", "shard": 0},
+                {"op": "delete", "k": 5, "v": None, "shard": 0},
+            ]
+        )
+    )
+
+    real_delete = cdc_mod.delete_keys_partitioned
+    calls = {"n": 0}
+
+    def crashing_delete(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before deletes")
+        return real_delete(*a, **kw)
+
+    cdc_mod.delete_keys_partitioned = crashing_delete
+    try:
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = apply_cdc_stream(
+            stream, table, "k", "shard", str(tmp_path / "ckpt")
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(120)
+        # torn mid-crash state is observable and WRONG by design: the
+        # upserts landed (k=5 visible, k=1 updated) but no delete ran
+        mid = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+        assert mid[5] == "e" and mid[1] == "a2" and 2 in mid
+        # restart on the same checkpoint: the failed batch replays whole
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = apply_cdc_stream(
+            stream, table, "k", "shard", str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+    finally:
+        cdc_mod.delete_keys_partitioned = real_delete
+    assert calls["n"] >= 2  # the delete really re-ran on replay
+    got = {
+        r["k"]: (r["v"], r["shard"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: ("a2", 0), 3: ("c", 1), 9: ("i", 1)}
+
+
 def test_incremental_backlog_deltas(spark, tmp_path):
     """The incrementally-maintained sweep-line delta table must yield the
     SAME backlog curve as the batch q_backlog_curve after all orders
