@@ -145,10 +145,20 @@ def main() -> int:
     ap.add_argument("--skewed", action="store_true")
     ap.add_argument("--driver-memory", default=None)
     ap.add_argument("--timings", action="store_true")
+    ap.add_argument(
+        "--duck-mem", default=None,
+        help="cap DuckDB memory (e.g. 24GB) and its temp spill at 2x "
+        "that; an oracle that blows past the cap fails ITS key loudly "
+        "instead of thrashing the disk for hours (sf1-scale runs)",
+    )
     args = ap.parse_args()
     if "/" in args.sf:
         import os
 
+        if args.skewed:
+            ap.error("--skewed derives its fixture from a NAMED sf "
+                     "(e.g. --sf sf0.01); it does not compose with a "
+                     "path-form --sf")
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         sf_dir = args.sf if os.path.isabs(args.sf) else os.path.join(repo, args.sf)
     else:
@@ -184,6 +194,20 @@ def main() -> int:
     assert set(oracles) <= set(qs), "oracle_sql keys must be subset of queries"
 
     con = duckdb.connect()
+    if args.duck_mem:
+        import os
+        import re as _re
+
+        m = _re.fullmatch(r"([\d.]+)\s*(GB|MB|GiB|MiB)", args.duck_mem)
+        if not m:
+            ap.error("--duck-mem must look like 20GB or 512MB")
+        n_mb = float(m.group(1)) * (1024 if m.group(2).startswith("G") else 1)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        con.execute(f"SET memory_limit='{args.duck_mem}'")
+        con.execute(
+            f"SET temp_directory='{os.path.join(repo, '.tmp', 'duckspill')}'"
+        )
+        con.execute(f"SET max_temp_directory_size='{int(n_mb * 2)}MB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -434,6 +434,19 @@ AUDITED = (
         "product — never a re-derived norm, never a cartesian.",
     ),
     (
+        "q_emb_neardup_lsh",
+        "Banded-LSH near-dup — the bounded-candidate twin of "
+        "q_emb_neardup. Read: the signature stage (Generate/posexplode "
+        "of 4 bucket longs per vector; planes are plan-time literals — "
+        "no join, no Python) lands in an InMemoryRelation that BOTH "
+        "sides of the candidate self-join read, so each vector pays its "
+        "40 sign folds once, not once per side; the candidate stage is "
+        "a hash self-join on (band, bucket) carrying ONLY id pairs; "
+        "HashAggregate dedups pairs BEFORE the two vec_id hash joins "
+        "re-fetch embeddings for the verify cosine, so the 64-float "
+        "arrays never ride the quadratic-side shuffle.",
+    ),
+    (
         "q_bucketed_join",
         "Co-bucketed big-big join through stored bucketed tables. Read: "
         "at fixture scale AQE may still broadcast the small side, but "

@@ -53,7 +53,13 @@ def main() -> int:
     ]
     out = []
     for label, sf_dir, r in runs:
-        # candidate count (pre-verify) for the boundedness story
+        # CANDIDATE population (threshold -2 keeps every scored pair) is
+        # what the width policy bounds; surviving pairs additionally
+        # reflect recall at the 0.35 cut — report both so a recall drop
+        # cannot masquerade as boundedness
+        n_cand = emb_neardup_lsh(
+            spark, sf_dir, rows_per_band=r, threshold=-2.0
+        ).count()
         df = emb_neardup_lsh(spark, sf_dir, rows_per_band=r)
         df.count()  # warm-up (scan caches, codegen)
         times = []
@@ -62,18 +68,25 @@ def main() -> int:
             n_pairs = df.count()
             times.append(time.monotonic() - t0)
         med = statistics.median(times)
-        out.append((label, r, n_pairs, med))
-        print(f"{label}: surviving_pairs={n_pairs} median={med:.2f}s",
-              flush=True)
+        out.append((label, r, n_cand, n_pairs, med))
+        print(
+            f"{label}: candidates={n_cand} surviving_pairs={n_pairs} "
+            f"median={med:.2f}s",
+            flush=True,
+        )
 
-    print("\n| run | bits/band | surviving pairs | median s |")
-    print("|---|---|---|---|")
-    for label, r, n_pairs, med in out:
-        print(f"| {label} | {r} | {n_pairs} | {med:.2f} |")
-    base = out[0][3]
-    print(f"\nfixed-width decade ratio: {out[1][3] / base:.1f}x; "
-          f"policy ratio: r=13 {out[2][3] / base:.1f}x, "
-          f"r=14 {out[3][3] / base:.1f}x (data 10x)")
+    print("\n| run | bits/band | candidates | surviving pairs | median s |")
+    print("|---|---|---|---|---|")
+    for label, r, n_cand, n_pairs, med in out:
+        print(f"| {label} | {r} | {n_cand} | {n_pairs} | {med:.2f} |")
+    base_t, base_c = out[0][4], out[0][2]
+    print(
+        f"\nfixed-width decade ratios (data 10x): candidates "
+        f"{out[1][2] / base_c:.1f}x, wall {out[1][4] / base_t:.1f}x; "
+        f"policy r=13: candidates {out[2][2] / base_c:.1f}x, wall "
+        f"{out[2][4] / base_t:.1f}x; policy r=14: candidates "
+        f"{out[3][2] / base_c:.1f}x, wall {out[3][4] / base_t:.1f}x"
+    )
     spark.stop()
     return 0
 

@@ -552,8 +552,21 @@ def emb_neardup_lsh(
                 weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
             )
         )
-    banded = e.select(
-        "vec_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    # bounded_persist: the signature table feeds BOTH sides of the
+    # candidate self-join, and Spark plans a self-join as two full
+    # subtrees — without the (lazy) persist every vector pays its
+    # rows_per_band*bands folds twice. The cached frame is 3 numeric
+    # cols x bands rows per vector; at production scale this is the
+    # signatures table a pipeline would materialize once anyway.
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    banded = bounded_persist(
+        "emb_neardup_lsh_banded",
+        f"{sf_dir}|r{rows_per_band}b{bands}",
+        lambda: e.select(
+            "vec_id",
+            F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

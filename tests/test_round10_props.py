@@ -122,14 +122,37 @@ def test_lsh_band_width_bounds_candidates(spark):
     """The production-policy lever: widening the band (more sign bits)
     strictly shrinks the candidate population on the real fixture —
     rows_per_band ~ log2(n) is what holds sum(n_bucket^2) ~ O(n) as the
-    corpus grows. Pinned against the numpy replay's candidate counts so
-    a banding bug (e.g. bucket collision across bands) can't hide."""
+    corpus grows. The OPERATOR is executed at each width (threshold -2
+    keeps every scored pair, so the count IS the candidate population)
+    and must match the numpy replay exactly — a width-handling bug that
+    cancels at the default 10 bits (plane indexing, 2^i weighting past
+    bit 9, band arithmetic) cannot hide."""
     counts = {}
     for r in (6, 10, 14):
         cand, _ = _numpy_replay(SF_DIR, r, _NDL_BANDS, _NDL_THRESHOLD)
+        got = {
+            (row.vec_a, row.vec_b)
+            for row in emb_neardup_lsh(
+                spark, SF_DIR, rows_per_band=r, threshold=-2.0
+            ).collect()
+        }
+        assert got == cand, f"r={r}: {len(got ^ cand)} pair diffs"
         counts[r] = len(cand)
     assert counts[6] > counts[10] > counts[14]
     assert counts[14] < counts[6] / 10  # an actual collapse, not jitter
+
+
+def test_lsh_nondefault_width_survivors_match_replay(spark):
+    """Full pipeline (bucket + verify) at a NON-default width: the
+    surviving pairs at rows_per_band=6 on the tiny fixture equal the
+    replay's — the parameterization the scale policy depends on is
+    oracle-checked end to end, not only at the registered binding."""
+    _, want = _numpy_replay(SF_TINY, 6, _NDL_BANDS, _NDL_THRESHOLD)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in emb_neardup_lsh(spark, SF_TINY, rows_per_band=6).collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_lsh_neardup_plan_shape(spark):
