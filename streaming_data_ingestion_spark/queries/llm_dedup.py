@@ -846,7 +846,16 @@ _PR_ITERS = 3
 def _pr_sql() -> str:
     """DuckDB: unrolled power iteration (3 steps) over the collision
     graph, with decimal-exact contribution sums mirroring the Spark
-    side's fold order-independence."""
+    side's fold order-independence.
+
+    The damping constants are emitted as VARCHAR→DOUBLE casts of the
+    PYTHON doubles: a bare SQL literal like ``1.0 - 0.85`` is DuckDB
+    DECIMAL arithmetic (exactly 0.15), while the Spark side computes
+    ``1.0 - 0.85`` in IEEE double (0.15000000000000002). The 1-ulp base
+    difference is normally absorbed by the final rounding, but at sf1
+    magnitudes it crossed a rounding boundary on 6 of 4761 nodes — the
+    scale-dependent last-ulp divergence the decade-step oracle gate
+    exists to catch (round 10)."""
     prelude = f"""
 WITH pairs AS ({_SQL_PAIRS}),
 edges AS (
@@ -865,8 +874,8 @@ r0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS r FROM nodes)
 r{i + 1} AS (
   SELECT
     nodes.id,
-    (1.0 - {_PR_D}) / (SELECT n FROM n)
-      + {_PR_D} * COALESCE(CAST(CAST(SUM(
+    CAST('{(1.0 - _PR_D)!r}' AS DOUBLE) / (SELECT n FROM n)
+      + CAST('{_PR_D!r}' AS DOUBLE) * COALESCE(CAST(CAST(SUM(
           CAST(r{i}.r / deg.d AS DECIMAL(38,18))
         ) AS VARCHAR) AS DOUBLE), 0.0) AS r
   FROM nodes

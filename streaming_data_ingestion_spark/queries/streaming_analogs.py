@@ -111,7 +111,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH marked AS (
   SELECT
-    user_id, ts, value,
+    user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS brk
@@ -120,7 +120,13 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT *,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+    -- the running sum MUST use the same total order as the window that
+    -- computed brk: ordered by ts alone, rows TIED on ts take an
+    -- arbitrary order relative to their session-starting row, splitting
+    -- or merging groups nondeterministically. Latent while every
+    -- (user_id, ts) was unique; caught by the sf1 decade-step fixtures,
+    -- whose replicas share timestamps (round 10).
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
