@@ -601,14 +601,20 @@ def emb_neardup_lsh(
     )
 
 
-@query(
-    "q_emb_neardup_lsh",
-    oracle=f"""
+def _ndl_oracle(
+    rows: int = _NDL_ROWS,
+    bands: int = _NDL_BANDS,
+    threshold: float = _NDL_THRESHOLD,
+) -> str:
+    """Oracle template for emb_neardup_lsh — shared by both registered
+    bindings so a constant accidentally folded into one binding's SQL
+    cannot hash-match the other."""
+    return f"""
 WITH planes AS (
-  {_sql_planes_cte()}
+  {_sql_planes_cte(rows, bands)}
 ),
 dots AS (
-  SELECT e.vec_id, pl.j // {_NDL_ROWS} AS band, pl.j % {_NDL_ROWS} AS j_in,
+  SELECT e.vec_id, pl.j // {rows} AS band, pl.j % {rows} AS j_in,
          list_reduce(list_prepend(0.0::DOUBLE,
            list_transform(range(1, {_DIM + 1}),
              i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])),
@@ -633,8 +639,13 @@ FROM cand c
 JOIN embeddings a ON a.vec_id = c.vec_a
 JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_sql_dot("a.embedding", "b.embedding")}
-    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= {_NDL_THRESHOLD}
-""",
+    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= CAST('{threshold!r}' AS DOUBLE)
+"""
+
+
+@query(
+    "q_emb_neardup_lsh",
+    oracle=_ndl_oracle(),
     tags=("llm", "similarity", "dedup", "lsh"),
 )
 def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +670,35 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are all bit-stable cross-engine.
     """
     return emb_neardup_lsh(spark, sf_dir)
+
+
+_NDL_B2_ROWS = 6
+_NDL_B2_BANDS = 2
+_NDL_B2_THRESHOLD = 0.40
+
+
+@query(
+    "q_emb_neardup_lsh_b2",
+    oracle=_ndl_oracle(_NDL_B2_ROWS, _NDL_B2_BANDS, _NDL_B2_THRESHOLD),
+    tags=("llm", "similarity", "dedup", "lsh"),
+)
+def q_emb_neardup_lsh_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND hash-certified binding of emb_neardup_lsh: 2 bands × 6
+    sign bits at a 0.40 verify cut, through the SAME builder and oracle
+    template as `q_emb_neardup_lsh` (4×10 @ 0.35) — the house pattern
+    for parameterized entries: a width, band count, or threshold
+    accidentally folded into one binding's plan cannot hash-match both.
+    The narrow bands also exercise the high-recall/low-precision end of
+    the lever (denser buckets, more candidates per vector), the setting
+    a curator would run on a small high-value corpus.
+    """
+    return emb_neardup_lsh(
+        spark,
+        sf_dir,
+        rows_per_band=_NDL_B2_ROWS,
+        bands=_NDL_B2_BANDS,
+        threshold=_NDL_B2_THRESHOLD,
+    )
 
 
 # --------------------------------------------------------------------------

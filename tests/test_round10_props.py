@@ -143,16 +143,30 @@ def test_lsh_band_width_bounds_candidates(spark):
 
 
 def test_lsh_nondefault_width_survivors_match_replay(spark):
-    """Full pipeline (bucket + verify) at a NON-default width: the
-    surviving pairs at rows_per_band=6 on the tiny fixture equal the
+    """Full pipeline (bucket + verify) at NON-default parameters: the
+    surviving pairs at rows_per_band=6 (4 bands) and at the registered
+    b2 shape (6 bits x 2 bands @ 0.40) on the tiny fixture equal the
     replay's — the parameterization the scale policy depends on is
-    oracle-checked end to end, not only at the registered binding."""
-    _, want = _numpy_replay(SF_TINY, 6, _NDL_BANDS, _NDL_THRESHOLD)
-    got = {
-        (r.vec_a, r.vec_b)
-        for r in emb_neardup_lsh(spark, SF_TINY, rows_per_band=6).collect()
-    }
-    assert got == want and len(want) > 0
+    oracle-checked end to end, not only at the default binding."""
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _NDL_B2_BANDS,
+        _NDL_B2_ROWS,
+        _NDL_B2_THRESHOLD,
+    )
+
+    for rows, bands, th in (
+        (6, _NDL_BANDS, _NDL_THRESHOLD),
+        (_NDL_B2_ROWS, _NDL_B2_BANDS, _NDL_B2_THRESHOLD),
+    ):
+        _, want = _numpy_replay(SF_TINY, rows, bands, th)
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in emb_neardup_lsh(
+                spark, SF_TINY, rows_per_band=rows, bands=bands,
+                threshold=th,
+            ).collect()
+        }
+        assert got == want and len(want) > 0, (rows, bands, th)
 
 
 def test_lsh_neardup_plan_shape(spark):
