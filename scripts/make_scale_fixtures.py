@@ -49,7 +49,13 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def build(src_sf: str = "sf0.1", factor: int = 10, dest_name: str = "sf1") -> str:
-    src = f"/root/testdata/{src_sf}"
+    # a src with "/" is a PATH (repo-relative or absolute), so decade
+    # steps can chain: build("sf0.1") -> .scale/sf1, then
+    # build(".scale/sf1", dest_name="sf10") -> the second decade
+    if "/" in src_sf:
+        src = src_sf if os.path.isabs(src_sf) else os.path.join(HERE, src_sf)
+    else:
+        src = f"/root/testdata/{src_sf}"
     dest = os.path.join(HERE, ".scale", dest_name)
     done = os.path.join(dest, "_SCALE_DONE")
     if os.path.exists(done):

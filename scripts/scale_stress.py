@@ -64,6 +64,13 @@ def main() -> int:
         "measurement (a blowup) is already made; repeating it 3 more "
         "times adds wall-clock, not information",
     )
+    ap.add_argument(
+        "--decade", default="sf0.1:sf1",
+        help="LO:HI pair to compare. Names resolve to /root/testdata "
+        "(lo) / .scale (hi); 'sf1:sf10' measures the SECOND decade "
+        "(both sides under .scale, hi derived from lo on demand). The "
+        "artifact becomes docs/BENCH_SWEEP_<hi>.json",
+    )
     args = ap.parse_args()
 
     import make_scale_fixtures
@@ -72,8 +79,16 @@ def main() -> int:
     from streaming_data_ingestion_spark.session import get_spark
     from streaming_data_ingestion_spark.tables import TABLES, load
 
-    sf1_dir = make_scale_fixtures.build()
-    sf01_dir = "/root/testdata/sf0.1"
+    lo_name, hi_name = args.decade.split(":")
+    if lo_name == "sf0.1":
+        sf01_dir = "/root/testdata/sf0.1"
+        sf1_dir = make_scale_fixtures.build()
+    else:
+        sf01_dir = make_scale_fixtures.build(dest_name=lo_name)
+        sf1_dir = make_scale_fixtures.build(
+            f".scale/{lo_name}", dest_name=hi_name
+        )
+    lo_label, hi_label = lo_name, hi_name
 
     specs = all_queries()
     if args.keys == "auto":
@@ -102,7 +117,7 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in keys:
         row: dict[str, float] = {}
-        for label, sf_dir in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+        for label, sf_dir in ((lo_label, sf01_dir), (hi_label, sf1_dir)):
             try:
                 warm = run_once(name, sf_dir)  # warm-up (compile, builds)
                 if warm > args.slow_cutoff:
@@ -116,12 +131,12 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 row[label] = -1.0
                 row[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
-        if row.get("sf0.1", 0) > 0 and row.get("sf1", 0) > 0:
-            row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        if row.get(lo_label, 0) > 0 and row.get(hi_label, 0) > 0:
+            row["ratio"] = round(row[hi_label] / row[lo_label], 2)
         results[name] = row
         print(f"{name}: {row}", flush=True)
 
-    dest = os.path.join(HERE, "docs", "BENCH_SWEEP_sf1.json")
+    dest = os.path.join(HERE, "docs", f"BENCH_SWEEP_{hi_label}.json")
     # merge into an existing artifact so a targeted --keys rerun (e.g.
     # after a session crash) fills gaps instead of erasing the record
     merged = dict(results)
