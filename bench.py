@@ -225,6 +225,12 @@ EXTENDED = (
     "q_ann_gen_probe_b2",    # 2nd gen-serve binding (non-corpus vector, k=7)
     "q_media_wav_decode",    # real RIFF/PCM parse inside mapInPandas
     "q_media_image_decode",  # real BMP/PPM parse inside mapInPandas
+    # banded-LSH near-dup, steady-state: the warm-up pass pays the
+    # bounded_persist signature build + the auto key's corpus count, so
+    # the timed medians measure the production candidate/verify path
+    # (same cold-cost exclusion as the generation/bucketed builds)
+    "q_emb_neardup_lsh",     # fixed-width banded-LSH near-dup binding
+    "q_emb_neardup_lsh_auto",  # scale-adaptive width policy binding
 )
 
 

@@ -198,10 +198,21 @@ def main() -> int:
         import os
         import re as _re
 
-        m = _re.fullmatch(r"([\d.]+)\s*(GB|MB|GiB|MiB)", args.duck_mem)
+        m = _re.fullmatch(r"(\d+(?:\.\d+)?)\s*(GB|MB|GiB|MiB)", args.duck_mem)
         if not m:
             ap.error("--duck-mem must look like 20GB or 512MB")
-        n_mb = float(m.group(1)) * (1024 if m.group(2).startswith("G") else 1)
+        # DuckDB reads GB/MB as decimal and GiB/MiB as binary; mirror that
+        # when sizing the 2x temp cap so the cap never undershoots
+        # (the cap string below is decimal MB, so binary units convert
+        # through 1 MiB = 1.048576 MB)
+        unit = m.group(2)
+        to_mb = {
+            "GB": 1000.0,
+            "GiB": 1073.741824,
+            "MB": 1.0,
+            "MiB": 1.048576,
+        }[unit]
+        n_mb = float(m.group(1)) * to_mb
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         con.execute(f"SET memory_limit='{args.duck_mem}'")
         con.execute(

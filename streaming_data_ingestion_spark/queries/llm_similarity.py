@@ -702,6 +702,165 @@ def q_emb_neardup_lsh_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_emb_neardup_lsh_auto — the SCALE-ADAPTIVE production binding: band
+# width derived from corpus size, so bucket population (and therefore
+# candidate count) stays bounded as the corpus decade-steps. This is the
+# productization of scripts/neardup_policy_probe.py's measured result
+# (docs/BENCH_NOTES.md policy table): the FIXED 10-bit binding rode
+# 85.7x wall on 10x data (BENCH_SWEEP_sf10.json) because Σ n_bucket²
+# grows quadratically under static width; log2-scaled width held wall
+# at ~3.2x per decade at the 51% genuine-pair-density floor.
+# --------------------------------------------------------------------------
+
+_NDL_AUTO_MIN = 6  # floor: below 2^6 buckets the verify stage dominates anyway
+_NDL_AUTO_MAX = 24  # cap: 2^24 buckets ≈ 16M; beyond this add BANDS, not bits
+_NDL_AUTO_OFFSET = -1  # width = ceil(log2 n) - 1 → E[bucket size] ≈ 2
+
+
+def _auto_rows(n: int) -> int:
+    """Width policy, INTEGER-exact on both engines: rows_per_band =
+    clamp(ceil(log2 n) + offset, 6, 24), with ceil(log2 n) computed as
+    (n-1).bit_length() — pure integer compares, so no engine's log2()
+    rounding near an exact power of two can flip the width. At the
+    fixtures: n=500 → 8, n=2000 (sf0.1) → 10 (the fixed binding's tuning
+    point), n=20000 (sf1) → 14 (the probe's recommended width),
+    n=200000 (sf10) → 17."""
+    base = max(int(n) - 1, 1).bit_length()
+    return min(_NDL_AUTO_MAX, max(_NDL_AUTO_MIN, base + _NDL_AUTO_OFFSET))
+
+
+def _sql_auto_rows_case() -> str:
+    """The same clamped policy as a DuckDB CASE ladder over integer
+    thresholds (rows = w exactly when 2^w < n <= 2^(w+1)) — the oracle
+    derives the width from COUNT(*) with the identical integer
+    arithmetic, never a floating log2."""
+    terms = " ".join(
+        f"WHEN n <= {1 << (w - _NDL_AUTO_OFFSET)} THEN {w}"
+        for w in range(_NDL_AUTO_MIN, _NDL_AUTO_MAX)
+    )
+    return f"CASE {terms} ELSE {_NDL_AUTO_MAX} END"
+
+
+_NDL_COUNT_MEMO: dict[str, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """One scalar per (process, sf_dir): the corpus row count the width
+    policy needs. Bounded by construction (a COUNT(*) aggregate returns
+    one row; parquet footers make it metadata-cheap); memoized so sweeps
+    and repeated builds pay it once. A production deployment would read
+    this from the stats catalog (stats_catalog.table_stats row_count)
+    collected at load time instead of counting inline."""
+    n = _NDL_COUNT_MEMO.get(sf_dir)
+    if n is None:
+        n = load(spark, sf_dir, "embeddings").count()
+        _NDL_COUNT_MEMO[sf_dir] = n
+    return n
+
+
+def emb_neardup_lsh_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = _NDL_BANDS,
+    threshold: float = _NDL_THRESHOLD,
+) -> DataFrame:
+    """Auto-width entry point: derive rows_per_band from the corpus size
+    and delegate to the parameterized builder. Callers never hand-pass a
+    width, so a 100 TB run cannot accidentally ship the 2k-vector
+    setting."""
+    n = _corpus_count(spark, sf_dir)
+    return emb_neardup_lsh(
+        spark,
+        sf_dir,
+        rows_per_band=_auto_rows(n),
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def _ndl_auto_oracle(
+    bands: int = _NDL_BANDS, threshold: float = _NDL_THRESHOLD
+) -> str:
+    """Dynamic-width oracle: planes are embedded for the MAX width the
+    clamp allows and filtered to j < rows*bands at run time, with rows
+    derived from COUNT(*) by the same integer CASE ladder the Spark side
+    computes in Python — so both engines see identical planes, buckets,
+    and verify cosines at EVERY corpus size."""
+    return f"""
+WITH w AS (
+  SELECT {_sql_auto_rows_case()} AS rpb
+  FROM (SELECT COUNT(*) AS n FROM embeddings)
+),
+planes AS (
+  {_sql_planes_cte(_NDL_AUTO_MAX, bands)}
+),
+dots AS (
+  SELECT e.vec_id, pl.j // w.rpb AS band, pl.j % w.rpb AS j_in,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {_DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])),
+           (acc, x) -> acc + x) AS d
+  FROM embeddings e CROSS JOIN planes pl CROSS JOIN w
+  WHERE pl.j < w.rpb * {bands}
+),
+banded AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN d >= 0 THEN (1::BIGINT << j_in) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_sql_dot("a.embedding", "b.embedding")}
+         / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_sql_dot("a.embedding", "b.embedding")}
+    / ({_sql_norm("a.embedding")} * {_sql_norm("b.embedding")}) >= CAST('{threshold!r}' AS DOUBLE)
+"""
+
+
+@query(
+    "q_emb_neardup_lsh_auto",
+    oracle=_ndl_auto_oracle(),
+    tags=("llm", "similarity", "dedup", "lsh"),
+)
+def q_emb_neardup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the SCALE-ADAPTIVE band width: same
+    banded hyperplane-LSH candidates + exact cosine ≥ 0.35 verify as
+    `q_emb_neardup_lsh`, but rows_per_band is DERIVED from the corpus
+    size (clamp(ceil(log2 n) - 1, 6, 24)) instead of fixed at 10.
+
+    Why this binding exists: fixed sketch parameters are functions of
+    nothing, but their cost is a function of n. The registered 10-bit
+    binding measured 85.7x wall on the sf1→sf10 decade because bucket
+    population — and hence Σ n_bucket² candidates — grows with the
+    corpus under a static width (docs/BENCH_SWEEP_sf10.json,
+    docs/BENCH_NOTES.md). Holding E[bucket size] ~constant by adding
+    one sign bit per doubling keeps candidates ~linear in n; the probe
+    measured 3.2x wall per decade at the policy width. This key
+    hash-certifies the POLICY itself: at the driver's sf0.01 fixture
+    (n=500) the derived width is 8 — a plan no fixed-width binding
+    builds — and at sf1 (n=20000) it is 14, the probe's recommended
+    production setting.
+
+    Cross-engine width agreement is integer-exact: Spark computes
+    (n-1).bit_length() in Python from a memoized 1-scalar COUNT (the
+    bounded-collect contract; production reads the stats catalog), the
+    oracle the identical CASE ladder over COUNT(*) — no floating log2
+    on either side. Planes are embedded for the 24-bit clamp maximum
+    and sliced to the derived width at run time, so both engines fold
+    exactly rows_per_band x bands dots per vector.
+    """
+    return emb_neardup_lsh_auto(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # q_sim_range — radius (threshold) search: everything within a cosine bound
 # of each query vector, the set-retrieval twin of top-k.
 # --------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""Round-11 properties: the scale-adaptive width policy behind
+q_emb_neardup_lsh_auto.
+
+The fixed-width LSH binding measured 85.7x wall on the sf1->sf10 decade
+(docs/BENCH_SWEEP_sf10.json) because static band width lets bucket
+population grow with n. The auto binding derives
+rows_per_band = clamp(ceil(log2 n) - 1, 6, 24) from a corpus count on
+BOTH engines; these tests pin (a) the Python/DuckDB width arithmetic
+against each other integer-exactly across the whole clamp range, (b)
+the widths at the known fixture sizes, and (c) that the auto entry
+point builds exactly the plan the explicit-width builder does.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from streaming_data_ingestion_spark.queries.llm_similarity import (
+    _NDL_AUTO_MAX,
+    _NDL_AUTO_MIN,
+    _auto_rows,
+    _corpus_count,
+    _sql_auto_rows_case,
+    emb_neardup_lsh,
+    emb_neardup_lsh_auto,
+)
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_auto_rows_matches_duckdb_case_ladder():
+    """The Python bit_length policy and the oracle's CASE ladder must
+    agree for EVERY n — probe each power of two in the clamp range plus
+    its neighbors (the only places an off-by-one could hide), plus the
+    small-n floor."""
+    case = _sql_auto_rows_case()
+    ns = [1, 2, 3, 5, 10, 63, 64, 65]
+    for w in range(_NDL_AUTO_MIN, _NDL_AUTO_MAX + 3):
+        p = 1 << w
+        ns += [p - 1, p, p + 1]
+    con = duckdb.connect()
+    for n in ns:
+        got = con.execute(
+            f"SELECT {case} FROM (SELECT {n}::BIGINT AS n)"
+        ).fetchone()[0]
+        assert got == _auto_rows(n), f"n={n}: duckdb {got} != py {_auto_rows(n)}"
+    con.close()
+
+
+def test_auto_rows_fixture_widths():
+    """The widths the policy picks at the scales the repo certifies:
+    8 at the 500-vector driver fixtures (a plan no fixed binding
+    builds), 10 at sf0.1 (the fixed binding's tuning point), 14 at sf1
+    (scripts/neardup_policy_probe.py's recommended width), 17 at sf10."""
+    assert _auto_rows(500) == 8
+    assert _auto_rows(2000) == 10
+    assert _auto_rows(20000) == 14
+    assert _auto_rows(200000) == 17
+    # clamp edges
+    assert _auto_rows(1) == _NDL_AUTO_MIN
+    assert _auto_rows(2**40) == _NDL_AUTO_MAX
+
+
+def test_auto_entry_equals_explicit_width(spark):
+    """emb_neardup_lsh_auto must return exactly what the parameterized
+    builder returns at the derived width — the auto entry adds POLICY,
+    never plan shape."""
+    n = _corpus_count(spark, SF_TINY)
+    got = sorted(
+        tuple(r) for r in emb_neardup_lsh_auto(spark, SF_TINY).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in emb_neardup_lsh(
+            spark, SF_TINY, rows_per_band=_auto_rows(n)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cms_width_law():
+    """cms_width_for solves the Count-Min error law for width and the
+    guard refuses vacuous grids (docs/SCALE.md static-parameter audit).
+    The law is a function of phi only — never of N — which is WHY the
+    registered 4x1024 grid needs no re-sizing as the corpus grows."""
+    import math
+
+    import pytest
+
+    from streaming_data_ingestion_spark.queries.sketches import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _PHI_DENOM,
+        check_cms_params,
+        cms_width_for,
+    )
+
+    # slack-2 candidates at phi=1/200 need e*200/0.5 = 1088 -> 2048
+    assert cms_width_for(200) == 2048
+    assert cms_width_for(100) == 1024
+    # the registered grid passes the vacuousness guard with margin
+    check_cms_params(_CMS_WIDTH, _CMS_DEPTH, _PHI_DENOM)
+    # epsilon >= phi must refuse: e/512 = 0.0053 >= 1/200
+    with pytest.raises(ValueError, match="vacuous"):
+        check_cms_params(512, 4, 200)
+    with pytest.raises(ValueError):
+        cms_width_for(200, candidate_slack=1.0)
+    # returned width always satisfies its own guard
+    for phi_denom in (10, 50, 200, 1000):
+        check_cms_params(cms_width_for(phi_denom), 4, phi_denom)
+        assert cms_width_for(phi_denom) >= math.e * phi_denom
+
+
+def test_cms_parameterized_grid_merges(spark):
+    """A non-default grid shape must keep the mergeable-partial
+    contract: partials of two document slices SUMMED equal the one-shot
+    grid over the union — at width 64 / depth 2, not just the
+    registered 4x1024."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_ingestion_spark.queries.sketches import (
+        cms_grid_partial,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    docs = load(spark, SF_TINY, "documents").select("doc_id", "text")
+    whole = cms_grid_partial(docs, width=64, depth=2)
+    a = cms_grid_partial(docs.filter(F.col("doc_id") % 2 == 0), 64, 2)
+    b = cms_grid_partial(docs.filter(F.col("doc_id") % 2 == 1), 64, 2)
+    summed = (
+        a.unionByName(b)
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    got = sorted(tuple(r) for r in summed.collect())
+    want = sorted(tuple(r) for r in whole.collect())
+    assert got == want and len(got) > 0
+    assert max(r[1] for r in got) < 64 and max(r[0] for r in got) < 2
+
+
+def test_cms_probe_shape_guard(spark, tmp_path):
+    """estimate_tokens must refuse to probe a stored grid whose bucket
+    range contradicts the declared width — a silent mismatch would
+    return wrong (non-superset) estimates."""
+    import pytest
+
+    from streaming_data_ingestion_spark.queries.sketches import (
+        cms_grid_partial,
+    )
+    from streaming_data_ingestion_spark.streaming.cms_stream import (
+        estimate_tokens,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    docs = load(spark, SF_TINY, "documents").select("text")
+    path = str(tmp_path / "grid")
+    cms_grid_partial(docs).write.parquet(path)  # default 4x1024
+    probes = spark.createDataFrame([("the",), ("and",)], ["token"])
+    with pytest.raises(ValueError, match="inconsistent"):
+        estimate_tokens(spark, path, probes, width=64).collect()
+    # matching declared shape works and keeps the over-estimate bound
+    out = {
+        r["token"]: r["est"]
+        for r in estimate_tokens(spark, path, probes).collect()
+    }
+    assert set(out) == {"the", "and"} and all(v >= 0 for v in out.values())
+
+
+def test_corpus_count_memoized(spark):
+    """The width policy's 1-scalar count is paid once per (process,
+    sf_dir) — repeated builds must hit the memo, and the memo must be
+    keyed by directory (sf dirs differ in n at scale)."""
+    from streaming_data_ingestion_spark.queries import llm_similarity as m
+
+    n1 = _corpus_count(spark, SF_TINY)
+    assert m._NDL_COUNT_MEMO[SF_TINY] == n1
+    # poison the memo: a second call must NOT recount
+    m._NDL_COUNT_MEMO[SF_TINY] = n1 + 7
+    try:
+        assert _corpus_count(spark, SF_TINY) == n1 + 7
+    finally:
+        m._NDL_COUNT_MEMO[SF_TINY] = n1
