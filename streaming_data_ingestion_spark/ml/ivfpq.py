@@ -77,6 +77,31 @@ def build_ivfpq_index(
     return cents
 
 
+def auto_k_cells(
+    n: int, nprobe: int = 1, min_k: int = 4, max_k: int = 1 << 18
+) -> int:
+    """The IVF cell-count LAW, solved for k (docs/SCALE.md
+    "static sketch parameters"): per-query work = k coarse-centroid
+    scores + nprobe·(n/k) ADC candidates, minimized at
+    k* = sqrt(nprobe·n) — the classic k ∝ √n rule. A STATIC k is the
+    same scale bug as a fixed LSH band width: cell population n/k grows
+    linearly with the corpus, so ADC candidates per probe grow linearly
+    and the "index" asymptotically degenerates into a scan. Integer-
+    exact (isqrt + next power of two, no float log), clamped to
+    [min_k, max_k]; the max_k default (262,144 cells) keeps the
+    centroid routing table driver/broadcast-sized (128 MiB of float64
+    at d=64). Occupancy drift on a live index is measured by
+    q_ivfpq_cell_stats — rebuild with a recomputed k when mean cell
+    population is ≳4× sqrt(n/nprobe)."""
+    import math
+
+    if n < 1 or nprobe < 1:
+        raise ValueError("n >= 1 and nprobe >= 1 required")
+    k = max(1, math.isqrt(n * nprobe))
+    k_pow2 = 1 << max(0, (k - 1).bit_length())
+    return min(max_k, max(min_k, k_pow2))
+
+
 def _probe_cells(
     q_emb: list[float], cents: list[list[float]], nprobe: int
 ) -> list[int]:

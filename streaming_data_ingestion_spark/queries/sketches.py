@@ -32,7 +32,52 @@ _PHI_DENOM = 200  # heavy hitter = more than 1/200 of all token occurrences
 _SQL_TOKENS = "list_filter(str_split(trim(text), ' '), t -> t != '')"
 
 
-def _bucket(token: Column, r: int) -> Column:
+def cms_width_for(phi_denom: int, candidate_slack: float = 2.0) -> int:
+    """The Count-Min error LAW, solved for width (docs/SCALE.md
+    "static sketch parameters"): one row of width w over-counts by at
+    most εN with ε = e/w, so a 1/phi_denom heavy-hitter cut admits
+    every token with true share ≥ φ − ε — the candidate set is bounded
+    by 1/(φ−ε) only while ε < φ. Holding candidates ≤ slack·φ⁻¹ needs
+    ε ≤ φ(1−1/slack), i.e. w ≥ e·phi_denom/(1−1/slack); this returns
+    that width rounded up to a power of two. Width is a function of φ
+    ONLY — not of N: both the error and the cut scale with N, so a
+    correctly-sized grid needs no re-sizing as the corpus grows (the
+    property that makes the sketch mergeable across a stream)."""
+    import math
+
+    if phi_denom < 1 or candidate_slack <= 1.0:
+        raise ValueError("phi_denom >= 1 and candidate_slack > 1 required")
+    need = math.e * phi_denom / (1.0 - 1.0 / candidate_slack)
+    return 1 << max(1, math.ceil(math.log2(need)))
+
+
+def check_cms_params(width: int, depth: int, phi_denom: int) -> None:
+    """Loud guard for hand-picked grids: ε = e/width ≥ φ = 1/phi_denom
+    means the candidate-set bound is VACUOUS (every token can clear the
+    cut) — refuse instead of silently degrading to a vocabulary-sized
+    exact pass. depth controls the per-query failure probability e^−d,
+    independent of corpus size."""
+    import math
+
+    if width < math.e * phi_denom:
+        raise ValueError(
+            f"CMS width {width} gives per-row error e/width="
+            f"{math.e / width:.5f} >= phi=1/{phi_denom}: the heavy-hitter "
+            f"candidate bound is vacuous; need width >= "
+            f"{cms_width_for(phi_denom)} (= cms_width_for({phi_denom}))"
+        )
+    if depth < 1:
+        raise ValueError("CMS depth must be >= 1")
+
+
+# The registered grid: 4x1024 at phi=1/200 -> epsilon = e/1024 = 0.00266,
+# candidate bound 1/(phi-epsilon) = 427 tokens (2.13x the 200-token
+# ideal), per-query failure e^-4 = 1.8%. Checked at import so a future
+# constant edit that breaks the law fails the whole suite, not a prod run.
+check_cms_params(_CMS_WIDTH, _CMS_DEPTH, _PHI_DENOM)
+
+
+def _bucket(token: Column, r: int, width: int = _CMS_WIDTH) -> Column:
     """Row r's CMS bucket: first 32 bits of a salted md5, mod width —
     identical integer math in both engines."""
     h = F.conv(
@@ -42,7 +87,7 @@ def _bucket(token: Column, r: int) -> Column:
         16,
         10,
     ).cast("long")
-    return h % _CMS_WIDTH
+    return h % width
 
 
 def tokenize_documents(docs: DataFrame) -> DataFrame:
@@ -57,12 +102,19 @@ def tokenize_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def cms_grid_partial(docs: DataFrame) -> DataFrame:
-    """The 4×1024 Count-Min cell counts of ONE slice of documents:
+def cms_grid_partial(
+    docs: DataFrame, width: int = _CMS_WIDTH, depth: int = _CMS_DEPTH
+) -> DataFrame:
+    """The depth×width Count-Min cell counts of ONE slice of documents:
     (r, bucket, n BIGINT). CMS grids merge by ADDITION, so per-batch
     partials summed into a stored grid equal the one-shot grid over the
     union — the mergeable-sketch contract the streaming maintainer
-    relies on (same shape as hll_union_agg for distinct counts)."""
+    relies on (same shape as hll_union_agg for distinct counts).
+
+    width/depth are PARAMETERS (defaults = the registered 4×1024 grid)
+    sized by the error law in :func:`cms_width_for`; grids of different
+    shapes must never be merged — one stored table per shape (the
+    streaming maintainer's ``table_path`` identifies a single grid)."""
     toks = tokenize_documents(docs)
     occ = toks.select(
         F.explode(
@@ -70,9 +122,9 @@ def cms_grid_partial(docs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        _bucket(F.col("token"), r).alias("bucket"),
+                        _bucket(F.col("token"), r, width).alias("bucket"),
                     )
-                    for r in range(_CMS_DEPTH)
+                    for r in range(depth)
                 ]
             )
         ).alias("rb"),

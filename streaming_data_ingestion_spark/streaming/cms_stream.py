@@ -49,17 +49,28 @@ from streaming_data_ingestion_spark.streaming.mv import (
 
 
 def merge_cms_grid(
-    table_path: str, run_ns: str | Callable[[], str] | None = None
+    table_path: str,
+    run_ns: str | Callable[[], str] | None = None,
+    width: int | None = None,
+    depth: int | None = None,
 ):
     """foreachBatch writer: sum this batch's grid partial into the stored
-    4×1024 cell table, partitioned by sketch row ``r`` (4 directories; a
-    batch touches each at most once). Idempotent under epoch replay via
-    the shared per-partition marker protocol."""
+    cell table (default shape 4×1024), partitioned by sketch row ``r``
+    (``depth`` directories; a batch touches each at most once).
+    Idempotent under epoch replay via the shared per-partition marker
+    protocol. One ``table_path`` holds ONE grid shape: partials of
+    different (width, depth) must never be summed into the same table —
+    pass the shape explicitly when maintaining a non-default grid, and
+    the error-law guard (queries/sketches.check_cms_params) sizes it."""
+    from streaming_data_ingestion_spark.queries import sketches as _sk
+
+    w = _sk._CMS_WIDTH if width is None else width
+    d = _CMS_DEPTH if depth is None else depth
     ns_cache: dict = {}
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_idempotent(
-            cms_grid_partial(batch_df),
+            cms_grid_partial(batch_df, width=w, depth=d),
             table_path,
             key_cols=["r", "bucket"],
             sum_cols=["n"],
@@ -100,18 +111,39 @@ def estimate_tokens(
     table_path: str,
     tokens: DataFrame,
     phi_denom: int = 200,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """CMS point queries against the stored grid: for each (token) row,
     the min-cell estimate ``est`` (≥ the true count, never less) and
     ``is_heavy`` — est·phi_denom ≥ total — using the integer
     cross-multiplied threshold of the batch sketch.
 
-    Plan: the grid is ≤ 4096 rows + 4 markers — read once, the 4
-    per-row slices broadcast; each probe token computes its bucket ids
-    row-side and looks its cells up via broadcast hash joins. Zero
+    Plan: the grid is ≤ depth·width rows + depth markers — read once,
+    the per-row slices broadcast; each probe token computes its bucket
+    ids row-side and looks its cells up via broadcast hash joins. Zero
     shuffles beyond the probe set itself, any number of probes.
+    width/depth must match the shape the grid was MAINTAINED with
+    (defaults = the registered 4×1024); a mismatch probes the wrong
+    buckets, so the guard below refuses a grid whose observed bucket
+    range contradicts the declared width.
     """
+    from streaming_data_ingestion_spark.queries import sketches as _sk
+
+    w = _sk._CMS_WIDTH if width is None else width
+    d = _CMS_DEPTH if depth is None else depth
     grid = spark.read.parquet(table_path)
+    shape = grid.agg(
+        F.max("r").alias("rmax"), F.max("bucket").alias("bmax")
+    ).collect()[0]
+    if shape["rmax"] is not None and (
+        shape["rmax"] >= d or shape["bmax"] >= w
+    ):
+        raise ValueError(
+            f"stored grid at {table_path} has r<= {shape['rmax']}, "
+            f"bucket <= {shape['bmax']} — inconsistent with declared "
+            f"shape {d}x{w}; probe with the shape the maintainer used"
+        )
     # total = sum over one sketch row (every occurrence hits each row once)
     total = int(
         grid.filter(F.col("r") == 0)
@@ -120,15 +152,15 @@ def estimate_tokens(
         or 0
     )
     out = tokens
-    for r in range(_CMS_DEPTH):
+    for r in range(d):
         grid_r = grid.filter(F.col("r") == r).select(
             F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
         )
-        out = out.withColumn(f"_b{r}", _bucket(F.col("token"), r)).join(
+        out = out.withColumn(f"_b{r}", _bucket(F.col("token"), r, w)).join(
             F.broadcast(grid_r), f"_b{r}", "left"
         )
     est = F.least(
-        *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(_CMS_DEPTH)]
+        *[F.coalesce(F.col(f"_n{r}"), F.lit(0)) for r in range(d)]
     ).cast("bigint")
     return out.select(
         "token",

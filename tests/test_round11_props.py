@@ -166,6 +166,30 @@ def test_cms_probe_shape_guard(spark, tmp_path):
     assert set(out) == {"the", "and"} and all(v >= 0 for v in out.values())
 
 
+def test_ivf_auto_k_cells_law():
+    """auto_k_cells follows K* = sqrt(nprobe*n) rounded to a power of
+    two, clamped — the k-proportional-to-sqrt(n) rule that keeps ADC
+    candidates per probe ~sqrt(n) instead of linear."""
+    import math
+
+    import pytest
+
+    from streaming_data_ingestion_spark.ml.ivfpq import auto_k_cells
+
+    assert auto_k_cells(16) == 4  # isqrt=4 -> pow2 4 (also the floor)
+    assert auto_k_cells(2000) == 64  # isqrt=44 -> 64
+    assert auto_k_cells(200000) == 512  # isqrt=447 -> 512
+    assert auto_k_cells(2000, nprobe=4) == 128  # sqrt(8000)=89 -> 128
+    assert auto_k_cells(10**12) == 1 << 18  # clamped at the cap
+    assert auto_k_cells(1) == 4  # floor
+    with pytest.raises(ValueError):
+        auto_k_cells(0)
+    # K within [K*, 2K*) wherever the clamp is inactive
+    for n in (10_000, 123_456, 7_654_321):
+        k = auto_k_cells(n)
+        assert k >= math.isqrt(n) and k < 2 * math.isqrt(n) + 2
+
+
 def test_corpus_count_memoized(spark):
     """The width policy's 1-scalar count is paid once per (process,
     sf_dir) — repeated builds must hit the memo, and the memo must be
