@@ -151,7 +151,26 @@ def main() -> int:
         "that; an oracle that blows past the cap fails ITS key loudly "
         "instead of thrashing the disk for hours (sf1-scale runs)",
     )
+    ap.add_argument(
+        "--skip-scale-contract", action="store_true",
+        help="skip the keys the scale-certification contract excuses "
+        "from sf1+ hash gates (label-cell quadratic diagnostics + "
+        "oracle-capacity keys) — the ONE list lives in "
+        "streaming_data_ingestion_spark/scale_contract.py",
+    )
     args = ap.parse_args()
+    if args.skip_scale_contract:
+        import os
+
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from streaming_data_ingestion_spark.scale_contract import (
+            scale_hash_gate_skips,
+        )
+
+        contract = ",".join(scale_hash_gate_skips())
+        args.skip = f"{args.skip},{contract}" if args.skip else contract
     if "/" in args.sf:
         import os
 

@@ -92,7 +92,22 @@ def main() -> int:
 
     specs = all_queries()
     if args.keys == "auto":
-        keys = [k for k in slowest_keys(args.top) if k in specs]
+        from streaming_data_ingestion_spark.scale_contract import (
+            decade_sweep_skips,
+        )
+
+        skips = set(decade_sweep_skips())
+        ranked = [k for k in slowest_keys(args.top) if k in specs]
+        keys = [k for k in ranked if k not in skips]
+        dropped = [k for k in ranked if k in skips]
+        if dropped:
+            # no silent caps: the label-cell diagnostics are excused
+            # (quadratic-by-contract), and the record says so
+            print(
+                f"contract-skipped (scale_contract.decade_sweep_skips): "
+                f"{dropped}",
+                flush=True,
+            )
     else:
         keys = args.keys.split(",")
 

@@ -190,6 +190,28 @@ def test_ivf_auto_k_cells_law():
         assert k >= math.isqrt(n) and k < 2 * math.isqrt(n) + 2
 
 
+def test_scale_contract_keys_exist():
+    """The consolidated scale-certification skip contract must name only
+    REGISTERED keys (a rename that orphans a skip would silently
+    certify the renamed key at a scale its oracle cannot run) and the
+    two reason classes must not overlap."""
+    from streaming_data_ingestion_spark.registry import all_queries
+    from streaming_data_ingestion_spark.scale_contract import (
+        LABEL_CELL_DIAGNOSTIC_KEYS,
+        ORACLE_CAPACITY_KEYS,
+        decade_sweep_skips,
+        scale_hash_gate_skips,
+    )
+
+    reg = set(all_queries())
+    assert set(scale_hash_gate_skips()) <= reg
+    assert not (set(LABEL_CELL_DIAGNOSTIC_KEYS) & set(ORACLE_CAPACITY_KEYS))
+    assert set(decade_sweep_skips()) == set(LABEL_CELL_DIAGNOSTIC_KEYS)
+    # the production replacements for the excused diagnostics are
+    # themselves registered and oracle-checked
+    assert {"q_emb_neardup_lsh", "q_emb_neardup_lsh_auto"} <= reg
+
+
 def test_corpus_count_memoized(spark):
     """The width policy's 1-scalar count is paid once per (process,
     sf_dir) — repeated builds must hit the memo, and the memo must be
