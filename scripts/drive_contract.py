@@ -152,6 +152,17 @@ def main() -> int:
         "instead of thrashing the disk for hours (sf1-scale runs)",
     )
     ap.add_argument(
+        "--max-result-rows", type=int, default=None,
+        help="comparator-capacity bound for huge-sf gates: before "
+        "hauling a result into the pandas hash-compare, count it; past "
+        "this bound record a loud SKIP instead of OOMing the driver. "
+        "The ENGINE still ran the query end-to-end (the count executes "
+        "the full plan); only the cross-engine value compare is skipped "
+        "— a capacity property of the comparison harness, not of the "
+        "query (same taxonomy as scale_contract's oracle-capacity "
+        "class)",
+    )
+    ap.add_argument(
         "--skip-scale-contract", action="store_true",
         help="skip the keys the scale-certification contract excuses "
         "from sf1+ hash gates (label-cell quadratic diagnostics + "
@@ -270,6 +281,17 @@ def main() -> int:
                 n = sdf.count()
                 print(f"{name}: rows-only, {n} rows", flush=True)
                 continue
+            if args.max_result_rows is not None:
+                n_rows = sdf.count()  # full plan executes either way
+                if n_rows > args.max_result_rows:
+                    print(
+                        f"{name}: SKIPPED comparator-capacity "
+                        f"({n_rows} rows > --max-result-rows "
+                        f"{args.max_result_rows}; engine ran end-to-end, "
+                        f"hash-compare skipped)",
+                        flush=True,
+                    )
+                    continue
             sp = sdf.toPandas()
             t_spark = _time.monotonic() - t0
             dp = con.execute(oracles[name]).df()

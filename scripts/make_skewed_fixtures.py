@@ -49,6 +49,17 @@ def skewed_dir(sf: str) -> str:
 
 def build(sf: str, force: bool = False) -> str:
     src = f"/root/testdata/{sf}"
+    if not os.path.isdir(src):
+        # decade-step fixtures (sf1, sf10) live under .scale/, built by
+        # make_scale_fixtures.py — skewing those closes the
+        # mode x scale certification matrix (skewed sf1 cell)
+        alt = os.path.join(HERE, ".scale", sf)
+        if os.path.isdir(alt):
+            src = alt
+        else:
+            raise SystemExit(
+                f"no fixture dir for {sf!r}: neither {src} nor {alt}"
+            )
     dest = skewed_dir(sf)
     done_marker = os.path.join(dest, "_SKEW_DONE")
     if os.path.exists(done_marker) and not force:
