@@ -447,6 +447,20 @@ AUDITED = (
         "arrays never ride the quadratic-side shuffle.",
     ),
     (
+        "q_emb_neardup_lsh_auto",
+        "Scale-adaptive binding of the banded-LSH near-dup: identical "
+        "plan SHAPE to q_emb_neardup_lsh — the width policy changes "
+        "only the number of plane folds per row (8 bits at this "
+        "fixture's n=500 vs the fixed binding's 10). Read: the derived "
+        "width appears as fewer transform lambdas in the signature "
+        "Project; everything downstream (persisted signature relation, "
+        "(band,bucket) hash self-join on id pairs, dedup-then-refetch "
+        "verify) is the same audited plan. The corpus count that picks "
+        "the width is a separate 1-scalar job BEFORE this plan exists — "
+        "invisible here by design (a production run reads it from the "
+        "stats catalog).",
+    ),
+    (
         "q_bucketed_join",
         "Co-bucketed big-big join through stored bucketed tables. Read: "
         "at fixture scale AQE may still broadcast the small side, but "
