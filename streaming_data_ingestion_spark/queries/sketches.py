@@ -134,18 +134,24 @@ def cms_grid_partial(
     )
 
 
-@query(
-    "q_heavy_hitters_cms",
-    oracle=f"""
+def _cms_oracle(
+    width: int = _CMS_WIDTH,
+    depth: int = _CMS_DEPTH,
+    phi_denom: int = _PHI_DENOM,
+) -> str:
+    """Oracle template for heavy_hitters_cms — shared by both registered
+    bindings so a grid constant accidentally folded into one binding's
+    SQL cannot hash-match the other (the q_emb_neardup_lsh pattern)."""
+    return f"""
 WITH toks AS (
   SELECT unnest({_SQL_TOKENS}) AS token FROM documents
 ),
 total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
-rows_ AS (SELECT UNNEST(range(0, {_CMS_DEPTH})) AS r),
+rows_ AS (SELECT UNNEST(range(0, {depth})) AS r),
 occ AS (
   SELECT token, r,
          ('0x' || substring(md5(token || '|cms' || r), 1, 8))::BIGINT
-           % {_CMS_WIDTH} AS bucket
+           % {width} AS bucket
   FROM toks, rows_
 ),
 cells AS (
@@ -157,7 +163,7 @@ cand AS (
   FROM (SELECT DISTINCT token, r, bucket FROM occ) o
   JOIN cells c ON c.r = o.r AND c.bucket = o.bucket
   GROUP BY o.token
-  HAVING MIN(c.n) * {_PHI_DENOM} >= (SELECT n FROM total)
+  HAVING MIN(c.n) * {phi_denom} >= (SELECT n FROM total)
 ),
 exact AS (
   SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n_exact
@@ -165,9 +171,101 @@ exact AS (
   GROUP BY t.token
 )
 SELECT cand.token, cand.est, exact.n_exact,
-       exact.n_exact * {_PHI_DENOM} >= (SELECT n FROM total) AS is_true_heavy
+       exact.n_exact * {phi_denom} >= (SELECT n FROM total) AS is_true_heavy
 FROM cand JOIN exact ON exact.token = cand.token
-""",
+"""
+
+
+def heavy_hitters_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = _CMS_WIDTH,
+    depth: int = _CMS_DEPTH,
+    phi_denom: int = _PHI_DENOM,
+) -> DataFrame:
+    """Parameterized builder behind both registered bindings — the grid
+    shape is validated against the error law before any plan is built,
+    so a caller cannot run a vacuous sketch."""
+    check_cms_params(width, depth, phi_denom)
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    def _tokb() -> DataFrame:
+        # the depth bucket ids (salted md5s) are computed ONCE per
+        # occurrence here and cached — both the sketch pass and the
+        # candidate lookup read them back instead of re-hashing the
+        # token stream
+        toks = tokenize_documents(
+            spread_for_cpu(load(spark, sf_dir, "documents").select("text"))
+        )
+        return toks.select(
+            "token",
+            *[
+                _bucket(F.col("token"), r, width).alias(f"_b{r}")
+                for r in range(depth)
+            ],
+        )
+
+    tokb = bounded_persist(
+        "q_heavy_hitters_cms.tokb",
+        f"{sf_dir}|w{width}d{depth}",
+        _tokb,
+    )
+    total = tokb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    occ = tokb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.col(f"_b{r}").alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("rb.r", "rb.bucket")
+    cells = occ.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # Row-side candidate filter: each occurrence's cached bucket ids look
+    # the cell counts up via depth broadcast hash joins against the
+    # depth·width-row grid — no distinct, no vocab shuffle.
+    scored = tokb
+    for r in range(depth):
+        grid_r = cells.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
+        )
+        scored = scored.join(F.broadcast(grid_r), f"_b{r}")
+    est = F.least(*[F.col(f"_n{r}") for r in range(depth)]).cast("bigint")
+    # 1-row total attach: broadcast cross join (BroadcastNestedLoopJoin
+    # with a single-row build side — the repo's allowlisted scalar-attach
+    # idiom, same as q_skew_profile / q_rfm / q_lm_score)
+    survivors = (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn("_est", est)
+        .filter(F.col("_est") * phi_denom >= F.col("n"))
+    )
+    # Only surviving occurrences (≤ the law's candidate bound in distinct
+    # tokens) reach the exact count; est/total are constant per token, so
+    # min() just reads them.
+    out = survivors.groupBy("token").agg(
+        F.min("_est").alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.min("n").alias("_total"),
+    )
+    return out.select(
+        "token",
+        "est",
+        "n_exact",
+        (F.col("n_exact") * phi_denom >= F.col("_total")).alias(
+            "is_true_heavy"
+        ),
+    )
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=_cms_oracle(),
     tags=("llm", "sketch", "text"),
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,82 +283,47 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears the φ cut — so the only token-keyed exchange in the whole
     plan is the final exact count over SURVIVING occurrences
     (map-side-combined to ≤ candidates·partitions rows; candidates ≤
-    φ⁻¹ = 200 by the CMS bound). No vocabulary-sized shuffle exists
-    anywhere. False positives are then flagged by ``is_true_heavy``
-    using the same integer cross-multiplied threshold; CMS guarantees
-    est ≥ exact, so no true heavy hitter can be missed. The 1-row total
-    attaches via the allowlisted broadcast-cross-join scalar idiom
-    (single-row build side — see _CARTESIAN_OK in tests/test_plans.py).
+    1/(φ−ε) = 427 by the error law — see cms_width_for). No
+    vocabulary-sized shuffle exists anywhere. False positives are then
+    flagged by ``is_true_heavy`` using the same integer
+    cross-multiplied threshold; CMS guarantees est ≥ exact, so no true
+    heavy hitter can be missed. The 1-row total attaches via the
+    allowlisted broadcast-cross-join scalar idiom (single-row build
+    side — see _CARTESIAN_OK in tests/test_plans.py).
     """
-    from streaming_data_ingestion_spark.caching import bounded_persist
+    return heavy_hitters_cms(spark, sf_dir)
 
-    def _tokb() -> DataFrame:
-        # the 4 bucket ids (salted md5s) are computed ONCE per occurrence
-        # here and cached — both the sketch pass and the candidate lookup
-        # read them back instead of re-hashing the token stream
-        toks = tokenize_documents(
-            spread_for_cpu(load(spark, sf_dir, "documents").select("text"))
-        )
-        return toks.select(
-            "token",
-            *[
-                _bucket(F.col("token"), r).alias(f"_b{r}")
-                for r in range(_CMS_DEPTH)
-            ],
-        )
 
-    tokb = bounded_persist("q_heavy_hitters_cms.tokb", sf_dir, _tokb)
-    total = tokb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    occ = tokb.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.col(f"_b{r}").alias("bucket"),
-                    )
-                    for r in range(_CMS_DEPTH)
-                ]
-            )
-        ).alias("rb"),
-    ).select("rb.r", "rb.bucket")
-    cells = occ.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    # Row-side candidate filter: each occurrence's cached bucket ids look
-    # the cell counts up via 4 broadcast hash joins against the 4096-row
-    # grid — no distinct, no vocab shuffle.
-    scored = tokb
-    for r in range(_CMS_DEPTH):
-        grid_r = cells.filter(F.col("r") == r).select(
-            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
-        )
-        scored = scored.join(F.broadcast(grid_r), f"_b{r}")
-    est = F.least(*[F.col(f"_n{r}") for r in range(_CMS_DEPTH)]).cast(
-        "bigint"
-    )
-    # 1-row total attach: broadcast cross join (BroadcastNestedLoopJoin
-    # with a single-row build side — the repo's allowlisted scalar-attach
-    # idiom, same as q_skew_profile / q_rfm / q_lm_score)
-    survivors = (
-        scored.crossJoin(F.broadcast(total))
-        .withColumn("_est", est)
-        .filter(F.col("_est") * _PHI_DENOM >= F.col("n"))
-    )
-    # Only surviving occurrences (≤ φ⁻¹ distinct tokens) reach the exact
-    # count; est/total are constant per token, so min() just reads them.
-    out = survivors.groupBy("token").agg(
-        F.min("_est").alias("est"),
-        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-        F.min("n").alias("_total"),
-    )
-    return out.select(
-        "token",
-        "est",
-        "n_exact",
-        (F.col("n_exact") * _PHI_DENOM >= F.col("_total")).alias(
-            "is_true_heavy"
-        ),
+_CMS_B2_WIDTH = 2048  # = cms_width_for(150, slack=1.25); slack-2 floor is 1024
+_CMS_B2_DEPTH = 3
+_CMS_B2_PHI = 150
+
+
+@query(
+    "q_heavy_hitters_cms_b2",
+    oracle=_cms_oracle(_CMS_B2_WIDTH, _CMS_B2_DEPTH, _CMS_B2_PHI),
+    tags=("llm", "sketch", "text"),
+)
+def q_heavy_hitters_cms_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND hash-certified binding of the Count-Min heavy-hitter
+    lever: a 3×2048 grid at φ = 1/150, with the width CHOSEN BY THE
+    ERROR LAW (cms_width_for(150, slack=1.25) = 2048 — ε = e/2048 =
+    0.00133 vs φ = 0.00667, candidate bound 187.3 ≤ 1.25·150) rather
+    than hand-picked.
+    Same builder and oracle template as `q_heavy_hitters_cms` (4×1024 @
+    1/200), the house two-binding pattern: a grid constant folded into
+    one binding's plan cannot hash-match both, and the round-11
+    parameterization of the sketch is certified end-to-end, not just
+    unit-tested. The shallower depth also exercises the failure-prob
+    axis (e⁻³ = 5% per query vs e⁻⁴) — still sound because every
+    candidate is exactly verified downstream.
+    """
+    return heavy_hitters_cms(
+        spark,
+        sf_dir,
+        width=_CMS_B2_WIDTH,
+        depth=_CMS_B2_DEPTH,
+        phi_denom=_CMS_B2_PHI,
     )
 
 

@@ -566,6 +566,8 @@ _CARTESIAN_OK = {
     #                        candidate lookup itself is 4 broadcast HASH
     #                        joins against the 4096-row grid, no vocab
     #                        shuffle (see test_cms_candidate_pass below)
+    "q_heavy_hitters_cms_b2",  # same scalar-attach idiom through the
+    #                        same builder (3x2048 law-derived grid)
 }
 # Iterative operators execute driver-coordinated jobs eagerly at build
 # time — too expensive for a plan sweep. The stored-IVFPQ serving keys
