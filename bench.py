@@ -232,6 +232,7 @@ EXTENDED = (
     "q_emb_neardup_lsh",     # fixed-width banded-LSH near-dup binding
     "q_emb_neardup_lsh_auto",  # scale-adaptive width policy binding
     "q_heavy_hitters_cms_b2",  # law-derived 3x2048 CMS grid binding
+    "q_pq_encode_np",        # Arrow-numpy PQ encode fallback (bit parity)
 )
 
 

@@ -244,10 +244,13 @@ def main() -> int:
         }[unit]
         n_mb = float(m.group(1)) * to_mb
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spill = os.path.join(repo, ".tmp", "duckspill")
+        # DuckDB does not create the temp_directory's PARENTS: a fresh
+        # checkout failed its first actually-spilling key with "Failed
+        # to create directory" hours into an sf10 gate
+        os.makedirs(spill, exist_ok=True)
         con.execute(f"SET memory_limit='{args.duck_mem}'")
-        con.execute(
-            f"SET temp_directory='{os.path.join(repo, '.tmp', 'duckspill')}'"
-        )
+        con.execute(f"SET temp_directory='{spill}'")
         con.execute(f"SET max_temp_directory_size='{int(n_mb * 2)}MB'")
     for t in TABLES:
         con.execute(

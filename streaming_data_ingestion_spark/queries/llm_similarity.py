@@ -1328,6 +1328,114 @@ def pq_encode_df(e: DataFrame) -> DataFrame:
     )
 
 
+def pq_encode_np_df(e: DataFrame) -> DataFrame:
+    """Numpy/Arrow twin of :func:`pq_encode_df` — the documented
+    fallback for the HOF path's constant-factor creep (q_pq_encode rode
+    8.18× then 9.15× across the sf1/sf10 decades from 128 per-row fold
+    expressions; docs/BENCH_NOTES.md disposition).
+
+    Parity is BIT-exact, not approximate, because the batch math
+    replays the HOF path's IEEE operation order: vectorized across ROWS
+    but SEQUENTIAL over the fold dimension (one fused
+    acc += diff·diff per d, d ascending) and over subspaces for the
+    error sum, with the same float32→float64 element casts; argmin is
+    first-occurrence on both sides (np.argmin ≡ array_position of the
+    min). Asserted value-for-value in tests/test_round11_props.py and
+    hash-certified against the SAME DuckDB oracle by q_pq_encode_np.
+
+    Scale shape: zero shuffles — one Arrow-batched narrow map at scan
+    speed; the (8×16×8)-float codebook rides in the task closure.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    keep = [f for f in e.schema.fields if f.name != "embedding"]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("sq_err", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    # centroid table: cents[s, c, d] = ((c·31 + d·17 + s·7) mod 13 − 6)/6,
+    # exact small-integer arithmetic then one double divide — identical
+    # to the plan-constant expression in the HOF path
+    cents = np.array(
+        [
+            [
+                [((c * 31 + d * 17 + s * 7) % 13 - 6) / 6.0
+                 for d in range(_PQ_SUBDIM)]
+                for c in range(_PQ_K)
+            ]
+            for s in range(_PQ_SUB)
+        ],
+        dtype=np.float64,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            codes = np.empty((n, _PQ_SUB), dtype=np.int32)
+            err = np.zeros(n, dtype=np.float64)
+            for s in range(_PQ_SUB):
+                X = V[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                acc = np.zeros((n, _PQ_K), dtype=np.float64)
+                for d in range(_PQ_SUBDIM):  # sequential: HOF fold order
+                    diff = X[:, d : d + 1] - cents[s, :, d][None, :]
+                    acc += diff * diff
+                codes[:, s] = np.argmin(acc, axis=1)
+                err += np.min(acc, axis=1)  # s ascending: HOF sum order
+            out = pdf[keep_names].copy()
+            out["codes"] = [row.tolist() for row in codes]
+            out["sq_err"] = err
+            yield out
+
+    return e.mapInPandas(encode, schema=out_schema)
+
+
+_PQ_NP_ORACLE = f"""
+SELECT vec_id, array_to_string(codes, ',') AS codes, sq_err
+FROM ({_PQ_ORACLE})
+ORDER BY vec_id
+"""
+
+
+@query(
+    "q_pq_encode_np",
+    oracle=_PQ_NP_ORACLE,
+    tags=("llm", "similarity", "ann", "udf"),
+)
+def q_pq_encode_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy/Arrow PQ encode path, hash-certified against the SAME
+    oracle as `q_pq_encode` — two independent executions (JVM
+    whole-stage-codegen folds vs Arrow-batched numpy) of one
+    specification, both bit-equal to DuckDB's third.
+
+    Why it exists: q_pq_encode's 128 fold expressions are a constant
+    factor that measured 8.18× → 9.15× across two decade steps — inside
+    the 12× limit but creeping (docs/BENCH_NOTES.md). This binding
+    productizes the documented fallback so the swap at the next decade
+    is a one-line change already under certification, not a rewrite
+    under pressure. The Python surface is the operator's CONTRACT here
+    (same class as the media codecs): zero-shuffle Arrow scan, codebook
+    in the task closure, only (id, 8 codes, err) rows leave the pass.
+    """
+    encoded = pq_encode_np_df(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return encoded.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "sq_err",
+    ).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # q_sim_pq_adc — PQ asymmetric-distance top-k (the IVFPQ query path).
 # --------------------------------------------------------------------------

@@ -921,6 +921,11 @@ _PYTHON_OK = {
     # stage, only tiny stat rows leave the pass
     "q_media_wav_decode",
     "q_media_image_decode",
+    # numpy PQ-encode fallback — the Arrow surface IS the contract
+    # (bit-parity replay of the HOF fold order; same oracle as
+    # q_pq_encode), kept certified so the swap at the next decade step
+    # is a flag flip, not a rewrite
+    "q_pq_encode_np",
 }
 
 

@@ -212,6 +212,40 @@ def test_scale_contract_keys_exist():
     assert {"q_emb_neardup_lsh", "q_emb_neardup_lsh_auto"} <= reg
 
 
+def test_pq_encode_np_bit_parity(spark):
+    """The numpy/Arrow PQ encode must replay the HOF path's IEEE
+    operation order EXACTLY: codes equal and sq_err bit-equal (not
+    tolerance-equal) per vector on the real fixture — the property that
+    makes the fallback a drop-in swap at the next decade step."""
+    import math
+    import struct
+
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        pq_encode_df,
+        pq_encode_np_df,
+    )
+    from streaming_data_ingestion_spark.tables import load
+
+    e = load(spark, SF_TINY, "embeddings").select("vec_id", "embedding")
+    hof = {
+        r["vec_id"]: (tuple(r["codes"]), r["sq_err"])
+        for r in pq_encode_df(e).collect()
+    }
+    npy = {
+        r["vec_id"]: (tuple(r["codes"]), r["sq_err"])
+        for r in pq_encode_np_df(e).collect()
+    }
+    assert set(hof) == set(npy) and len(hof) == 500
+    for vid, (codes_h, err_h) in hof.items():
+        codes_n, err_n = npy[vid]
+        assert codes_h == codes_n, f"codes diverge at vec {vid}"
+        # bit-equality, stricter than ==
+        assert struct.pack("<d", err_h) == struct.pack("<d", err_n), (
+            f"sq_err ulp divergence at vec {vid}: {err_h!r} vs {err_n!r}"
+        )
+        assert math.isfinite(err_h) and err_h >= 0.0
+
+
 def test_corpus_count_memoized(spark):
     """The width policy's 1-scalar count is paid once per (process,
     sf_dir) — repeated builds must hit the memo, and the memo must be
