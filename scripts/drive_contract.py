@@ -180,7 +180,7 @@ def main() -> int:
             scale_hash_gate_skips,
         )
 
-        contract = ",".join(scale_hash_gate_skips())
+        contract = ",".join(scale_hash_gate_skips(skewed=args.skewed))
         args.skip = f"{args.skip},{contract}" if args.skip else contract
     if "/" in args.sf:
         import os

@@ -41,11 +41,26 @@ LABEL_CELL_DIAGNOSTIC_KEYS: tuple[str, ...] = (
 
 ORACLE_CAPACITY_KEYS: tuple[str, ...] = ("q_cross_dedup",)
 
+# Oracle-capacity keys that appear ONLY under skewed data at sf1+:
+# multi-touch attribution's path set is (purchases × clicks-in-lookback)
+# PER USER — linear in n under uniform users (hash-green at plain sf1,
+# r10 gate) but quadratic in the hot user's activity when one user owns
+# ~30% of events. The SPARK side still completes (3-row aggregate;
+# shuffle spills are executor-bounded); DuckDB's join materialization
+# blew a 40 GB spill cap at sf1-skew (round-11 BENCH_NOTES). The 100 TB
+# production mitigation is a per-conversion touch cap (credit only the
+# last N touches — one ROW_NUMBER predicate before crediting); the
+# registered key keeps exact uncapped semantics, so the skew cell is an
+# oracle-capacity skip, not an engine one.
+SKEW_QUADRATIC_ORACLE_KEYS: tuple[str, ...] = ("q_attribution_ushape",)
 
-def scale_hash_gate_skips() -> tuple[str, ...]:
+
+def scale_hash_gate_skips(skewed: bool = False) -> tuple[str, ...]:
     """Keys excused from sf1+ HASH-exact oracle gates
-    (drive_contract --skip-scale-contract)."""
-    return LABEL_CELL_DIAGNOSTIC_KEYS + ORACLE_CAPACITY_KEYS
+    (drive_contract --skip-scale-contract). ``skewed=True`` adds the
+    keys whose oracle is quadratic only under hot-key data."""
+    base = LABEL_CELL_DIAGNOSTIC_KEYS + ORACLE_CAPACITY_KEYS
+    return base + SKEW_QUADRATIC_ORACLE_KEYS if skewed else base
 
 
 def decade_sweep_skips() -> tuple[str, ...]:

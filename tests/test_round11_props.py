@@ -203,10 +203,19 @@ def test_scale_contract_keys_exist():
         scale_hash_gate_skips,
     )
 
+    from streaming_data_ingestion_spark.scale_contract import (
+        SKEW_QUADRATIC_ORACLE_KEYS,
+    )
+
     reg = set(all_queries())
-    assert set(scale_hash_gate_skips()) <= reg
+    assert set(scale_hash_gate_skips(skewed=True)) <= reg
     assert not (set(LABEL_CELL_DIAGNOSTIC_KEYS) & set(ORACLE_CAPACITY_KEYS))
     assert set(decade_sweep_skips()) == set(LABEL_CELL_DIAGNOSTIC_KEYS)
+    # the skew-only class is additive: plain gates still run those keys
+    assert set(scale_hash_gate_skips()) | set(SKEW_QUADRATIC_ORACLE_KEYS) == set(
+        scale_hash_gate_skips(skewed=True)
+    )
+    assert not (set(scale_hash_gate_skips()) & set(SKEW_QUADRATIC_ORACLE_KEYS))
     # the production replacements for the excused diagnostics are
     # themselves registered and oracle-checked
     assert {"q_emb_neardup_lsh", "q_emb_neardup_lsh_auto"} <= reg
