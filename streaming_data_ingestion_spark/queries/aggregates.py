@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import DEC, davg, dsum, sql_davg, sql_dsum
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 
 # --------------------------------------------------------------------------
 # q_agg_group — the flagship: TPC-H Q1 pricing summary shape.
@@ -54,7 +54,17 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        # decimal partial sums are CPU-dominant → spread a narrow scan to
+        # full parallelism (no-op on a wide 100 TB scan); the pushed
+        # filter stays at the scan, below the widening exchange
+        spread_for_cpu(
+            li.filter(
+                F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")
+            ).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -178,7 +188,11 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 @query("q_agg_rollup", oracle=_Q_AGG_ROLLUP_ORACLE, tags=("agg",))
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(l_returnflag, l_linestatus) — Expand + aggregate."""
-    li = load(spark, sf_dir, "lineitem")
+    li = spread_for_cpu(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity"
+        )
+    )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_quantity", "sum_qty"),

@@ -136,28 +136,53 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_i")
         ),
     )
-    from pyspark.sql.window import Window
-
     # apriori prune: only items frequent enough to possibly reach the
     # pair-support floor enter the quadratic pair stage (exactly
     # result-preserving; see docstring)
     bf = b.join(
         item.where(F.col("n_i") >= _MIN_PAIR), "p"
     ).select("k", "p", "n_i")
-    # width cap: keep the _MAX_BASKET_W most frequent items per basket
-    # (n_i DESC, p — a total order) so one mega-basket can never cost
-    # width² in the self-join. Per-basket window: millions of tiny
-    # groups, linear work — the quadratic stage below is what it bounds.
-    wcap = Window.partitionBy("k").orderBy(F.desc("n_i"), F.asc("p"))
-    bf = (
-        bf.withColumn("rn", F.row_number().over(wcap))
-        .where(F.col("rn") <= _MAX_BASKET_W)
-        .select("k", "p")
+    # width cap + pair expansion in ONE basket-keyed aggregate: each
+    # basket folds to a (n_i DESC, p)-sorted item array (array_sort on
+    # (−n_i, p) structs — the same total order the earlier row_number
+    # window used), sliced to its _MAX_BASKET_W head, and the ≤ C(W,2)
+    # pairs explode ROW-SIDE from nested transforms. Replaces the
+    # previous window-cap + basket-keyed SELF-JOIN: one exchange on k
+    # instead of [window exchange + join sorts + join], and the basket
+    # relation crosses the network once instead of twice — strictly
+    # fewer passes at corpus scale, same Σ min(width, W)² pair bound.
+    arr = bf.groupBy("k").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_i")).alias("negn"), F.col("p").alias("p")
+                    )
+                )
+            ),
+            1,
+            _MAX_BASKET_W,
+        ).alias("items")
     )
-    a, c = bf.alias("a"), bf.alias("c")
     pair = (
-        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("items"), i + 2, F.size("items")),
+                            lambda y: F.struct(
+                                F.least(x["p"], y["p"]).alias("part_a"),
+                                F.greatest(x["p"], y["p"]).alias("part_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= _MIN_PAIR)
     )

@@ -135,8 +135,17 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_sigs_df(d: DataFrame) -> DataFrame:
     """Signature core over any (doc_id, text) DataFrame — shared with the
     streaming dedup path (streaming/dedup_stream.py), which uses it to
-    band the HISTORICAL side."""
-    ex = d.select("doc_id", F.explode(_shingles(_tokens())).alias("s"))
+    band the HISTORICAL side.
+
+    The shingle md5 + 12 affine mins are the dedup family's most
+    CPU-dominant pass, so a narrow scan spreads to full parallelism
+    first (tables.spread_for_cpu — a no-op on wide 100 TB scans and on
+    the streaming callers' non-scan frames)."""
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
+    ex = spread_for_cpu(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(_shingles(_tokens())).alias("s")
+    )
     hashed = ex.select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("x"),

@@ -522,8 +522,14 @@ def decontaminate(df: DataFrame) -> DataFrame:
     8-token gram with the md5-split test set (see q_decontaminate for
     the scale rationale). Library form so arbitrary corpora can be
     checked — the property tests drive it on adversarial inputs."""
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
     h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
-    g = df.select(
+    # the zip-of-slices 8-gram build + per-gram md5 is CPU-dominant and
+    # feeds TWO consumers (test grams, train/val grams) — spread a narrow
+    # scan to full parallelism first (no-op on a wide 100 TB scan)
+    wide = spread_for_cpu(df.select("doc_id", "text"))
+    g = wide.select(
         "doc_id",
         h.isin("e", "f").alias("is_test"),
         F.explode(F.array_distinct(_grams8())).alias("gram"),

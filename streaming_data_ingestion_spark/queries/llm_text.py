@@ -418,7 +418,9 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, not the bigram stream. (freq, bigram) is a total order,
     so the LIMIT boundary is deterministic cross-engine.
     """
-    d = load(spark, sf_dir, "documents")
+    from streaming_data_ingestion_spark.tables import spread_for_cpu
+
+    d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.select("doc_id", F.explode(_bigrams(_tokens())).alias("bigram"))
         .groupBy("bigram")

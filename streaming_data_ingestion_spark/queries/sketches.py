@@ -210,7 +210,6 @@ def heavy_hitters_cms(
         f"{sf_dir}|w{width}d{depth}",
         _tokb,
     )
-    total = tokb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     occ = tokb.select(
         F.explode(
             F.array(
@@ -227,21 +226,56 @@ def heavy_hitters_cms(
     cells = occ.groupBy("r", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    # Row-side candidate filter: each occurrence's cached bucket ids look
-    # the cell counts up via depth broadcast hash joins against the
-    # depth·width-row grid — no distinct, no vocab shuffle.
-    scored = tokb
-    for r in range(depth):
-        grid_r = cells.filter(F.col("r") == r).select(
-            F.col("bucket").alias(f"_b{r}"), F.col("n").alias(f"_n{r}")
-        )
-        scored = scored.join(F.broadcast(grid_r), f"_b{r}")
-    est = F.least(*[F.col(f"_n{r}") for r in range(depth)]).cast("bigint")
-    # 1-row total attach: broadcast cross join (BroadcastNestedLoopJoin
-    # with a single-row build side — the repo's allowlisted scalar-attach
-    # idiom, same as q_skew_profile / q_rfm / q_lm_score)
+    # Fold the whole depth×width grid (plus the 1-row token total — each
+    # occurrence contributes exactly one r=0 cell, so Σ n over r=0 IS the
+    # total) into ONE broadcast row holding a DENSE count array indexed
+    # by r·width+bucket. The earlier shape attached the grid via `depth`
+    # broadcast hash joins whose build sides each re-ran the full cell
+    # aggregate — depth+1 passes over the token stream at corpus scale;
+    # this computes the grid ONCE (two passes total: grid, probe). Empty
+    # cells are zero-filled from a range() union so the array is dense
+    # and element_at is O(1) positional (a MapType grid would be an O(-
+    # cells) linear scan per lookup). The 1-row attach is the repo's
+    # allowlisted broadcast-cross-join scalar idiom.
+    zeros = spark.range(depth * width).select(
+        (F.col("id") / width).cast("int").alias("r"),
+        (F.col("id") % width).cast("long").alias("bucket"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    dense = (
+        cells.unionByName(zeros)
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    one = dense.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("r") * width + F.col("bucket"))
+                        .cast("long")
+                        .alias("k"),
+                        F.col("n"),
+                    )
+                )
+            ),
+            lambda s: s["n"],
+        ).alias("_grid"),
+        F.sum(F.when(F.col("r") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n"),
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                "_grid",
+                F.lit(r * width + 1).cast("int") + F.col(f"_b{r}").cast("int"),
+            )
+            for r in range(depth)
+        ]
+    ).cast("bigint")
     survivors = (
-        scored.crossJoin(F.broadcast(total))
+        tokb.crossJoin(F.broadcast(one))
         .withColumn("_est", est)
         .filter(F.col("_est") * phi_denom >= F.col("n"))
     )

@@ -34,7 +34,7 @@ from streaming_data_ingestion_spark.compat import (
     sql_dsum,
 )
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
 
@@ -83,8 +83,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     double (bit-identical per row), aggregation goes through
     DECIMAL(38,10) so partial-aggregation order cannot change the hash.
     """
-    l = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp")
+    # ~12 decimal partial sums per surviving row are CPU-dominant, so the
+    # filtered scan spreads to full parallelism when it arrives
+    # single-row-group (spread_for_cpu is a no-op on a wide 100 TB scan);
+    # the pushed filter stays at the scan, below the widening exchange.
+    l = spread_for_cpu(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     charge = _revenue_col() * (1 + F.col("l_tax"))
     return (

@@ -26,6 +26,36 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def drop_widening(plan: str) -> str:
+    """Rename tables.spread_for_cpu's conditional widening exchange
+    (``Exchange hashpartitioning(xxhash64(...)) REPARTITION_BY_NUM``) so
+    shuffle-count pins keep guarding ALGORITHMIC exchanges only. The
+    widening fires exclusively when a scan arrives narrower than the
+    cluster (single-row-group fixture files) and is a no-op on a wide
+    100 TB scan, so it is not part of the plan shape these pins defend —
+    but an accidental real shuffle must still trip them, hence the
+    narrow match on the xxhash64 round-robin signature."""
+    import re
+
+    for node_id in re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\n"
+        r"Arguments: hashpartitioning\(xxhash64\([^\n]*REPARTITION_BY_NUM",
+        plan,
+    ):
+        plan = plan.replace(f"+- Exchange ({node_id})", f"+- SpreadWiden ({node_id})")
+        plan = plan.replace(f":- Exchange ({node_id})", f":- SpreadWiden ({node_id})")
+        plan = plan.replace(f"({node_id}) Exchange\n", f"({node_id}) SpreadWiden\n")
+    # the renamed node's Arguments line still reads "hashpartitioning";
+    # neutralize it so partitioning-count pins are not confused either
+    plan = "\n".join(
+        ln.replace("hashpartitioning(xxhash64(", "spreadwiden(xxhash64(")
+        if ("hashpartitioning(xxhash64(" in ln and "REPARTITION_BY_NUM" in ln)
+        else ln
+        for ln in plan.splitlines()
+    )
+    return plan
+
+
 def test_scan_project_prunes_columns(spark):
     """Projection must reach the parquet reader: ReadSchema carries only
     the selected columns, and a 4-column projection never reads the
@@ -48,10 +78,10 @@ def test_agg_group_partial_aggregates(spark):
     """TPC-H Q1 shape: map-side partial aggregation before the single
     shuffle, so the exchange carries one row per (group × partition),
     not the fact table."""
-    plan = plan_of(spark, "q_agg_group")
+    plan = drop_widening(plan_of(spark, "q_agg_group"))
     assert "partial_sum" in plan
-    assert plan.count("(5) Exchange") + plan.count("Exchange (") >= 1
-    # Exactly one shuffle: partial agg -> exchange -> final agg.
+    # Exactly one ALGORITHMIC shuffle: partial agg -> exchange -> final
+    # agg (the conditional narrow-scan widening is discounted).
     assert plan.count("+- Exchange") == 1
 
 
@@ -351,7 +381,7 @@ def test_tpch_q1_pushdown_single_agg(spark):
     partial+final hash exchange carries the fact aggregation (Catalyst
     dedupes the avg sums into the same partials), and the only other
     exchange is the ~6-row range sort."""
-    plan = plan_of(spark, "q_tpch_q1")
+    plan = drop_widening(plan_of(spark, "q_tpch_q1"))
     assert "PushedFilters:" in plan
     assert "partial_sum" in plan
     assert plan.count("hashpartitioning") == 1
@@ -649,13 +679,19 @@ def test_oracled_outputs_are_scalar_only(spark):
 
 def test_cms_candidate_pass(spark):
     """q_heavy_hitters_cms's candidate selection must be row-side: the
-    cell grid attaches via broadcast HASH joins (one per sketch row) and
-    the only token-keyed exchange in the whole plan is the final exact
-    count over surviving occurrences — never a vocabulary-sized
-    distinct. The claim 'shuffle ≤ grid·partitions + survivors, never
-    the vocabulary' is enforced here end-to-end."""
+    whole depth×width cell grid folds into ONE broadcast row (a dense
+    count array + the token total) attached via the allowlisted 1-row
+    broadcast cross join, so each occurrence's estimate is `depth`
+    positional array lookups — and the only token-keyed exchange in the
+    whole plan is the final exact count over surviving occurrences,
+    never a vocabulary-sized distinct. (The previous shape attached the
+    grid via `depth` broadcast HASH joins whose build sides each re-ran
+    the full cell aggregate — depth+1 token-stream passes at corpus
+    scale; the 1-row fold is two.) The claim 'shuffle ≤ grid·partitions
+    + survivors, never the vocabulary' is enforced here end-to-end."""
     plan = plan_of(spark, "q_heavy_hitters_cms")
-    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 1
+    assert "element_at" in plan  # dense-array O(1) lookups, not a map scan
     token_exchanges = [
         ln
         for ln in plan.splitlines()
@@ -1022,11 +1058,16 @@ def test_fanout_heavy_scans_are_spread(spark):
     fixture scan across cores — q_bootstrap_ci ran its entire 64x
     fan-out in ONE task before round 5's fix (16.6 s -> 1.8 s at
     sf0.1). The spread shows as a round-robin exchange below the
-    fan-out."""
+    fan-out (since r12, a deterministic xxhash64 hash repartition — the
+    keyless round-robin form paid a single-task sort-before-repartition
+    of the whole input first)."""
     for key in ("q_bootstrap_ci", "q_winnow", "q_sim_pair_hist"):
         plan = plan_of(spark, key)
-        assert "roundrobin" in plan.lower(), (
-            f"{key}: no round-robin spread below the fan-out — the hot "
+        assert (
+            "roundrobin" in plan.lower()
+            or "hashpartitioning(xxhash64(" in plan
+        ), (
+            f"{key}: no widening spread below the fan-out — the hot "
             "per-row stage would run in one task on single-file input"
         )
 
