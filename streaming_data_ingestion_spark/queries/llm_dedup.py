@@ -503,7 +503,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("src", "doc_id")
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(64):  # ⌈log2⌉ bound; real corpora converge in < 10
         # (a) edge relaxation: label ← min(label, min over neighbours).
         nbr = (
@@ -515,26 +514,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nbr, labels.doc_id == nbr.dst, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).localCheckpoint(eager=False)
+        # Convergence check BEFORE the pointer jump: with the symmetric
+        # edge set, a relaxation that changes nothing means every edge
+        # has equal labels on both ends — labels are constant per
+        # component and pinned to the component min at its min vertex,
+        # i.e. the EXACT fixpoint. The final round therefore skips the
+        # label(label) self-join entirely (the earlier shape ran
+        # relax+jump+sum every round and needed one extra full round to
+        # observe an unchanged checksum). One action per round, as
+        # before: the lazy localCheckpoint materializes inside this job.
+        n_changed = relaxed.filter(F.col("label") < F.col("_old")).count()
+        if n_changed == 0:
+            break
         # (b) pointer jumping: label ← label(label). Labels are always
         # doc_ids, so the self-join is total.
+        relaxed = relaxed.drop("_old")
         x, y = relaxed.alias("x"), relaxed.alias("y")
-        jumped = x.join(y, F.col("x.label") == F.col("y.doc_id")).select(
-            F.col("x.doc_id"), F.col("y.label").alias("label")
+        labels = (
+            x.join(y, F.col("x.label") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id"), F.col("y.label").alias("label"))
+            .localCheckpoint(eager=False)
         )
-        # One action per round: the lazy localCheckpoint materializes
-        # inside the SUM job itself, truncating lineage without the extra
-        # eager-checkpoint job.
-        jumped = jumped.localCheckpoint(eager=False)
-        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
-        labels = jumped
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
     pairs.unpersist()
     docs = load(spark, sf_dir, "documents").select("doc_id")
     lab = labels.withColumnRenamed("doc_id", "vid")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from streaming_data_ingestion_spark.compat import davg, dsum, sql_davg, sql_dsum
 from streaming_data_ingestion_spark.registry import query
-from streaming_data_ingestion_spark.tables import load
+from streaming_data_ingestion_spark.tables import load, spread_for_cpu
 
 
 def _tokens(col: str = "text") -> Column:
@@ -601,7 +601,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unnest → GROUP BY → MAX), proving the fold correct. Fractions are
     single IEEE divisions of exact integers — bit-identical cross-engine.
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _tokens()
     bgs = _bigrams(_tokens())
 
@@ -954,7 +954,7 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streaming_data_ingestion_spark.caching import bounded_persist
 
-    d = load(spark, sf_dir, "documents")
+    d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toked = d.select(_tokens().alias("t"))
     uni = bounded_persist(
         "q_pmi.uni",

