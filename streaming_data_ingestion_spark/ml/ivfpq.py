@@ -38,7 +38,7 @@ from streaming_data_ingestion_spark.queries.llm_similarity import (
     _PQ_K,
     _PQ_SUB,
     _PQ_SUBDIM,
-    pq_encode_df,
+    pq_encode_np_df,
 )
 
 
@@ -59,10 +59,15 @@ def build_ivfpq_index(
     cents, _ = kmeans_fit(df, k=k_cells, n_iters=n_iters)
     assigned = assign_cells(df.select("vec_id", "embedding"), cents)
     # carry the float vector through encoding under a second name —
-    # pq_encode_df drops `embedding` from its output, and re-attaching it
+    # the encoder drops `embedding` from its output, and re-attaching it
     # with a vec_id join would shuffle the whole corpus (the one wide
-    # stage in what is otherwise a pure narrow-map build)
-    coded = pq_encode_df(
+    # stage in what is otherwise a pure narrow-map build). Encode via
+    # the numpy/Arrow kernel: bit-parity to the HOF fold is asserted
+    # per vector (tests/test_round11_props.py) and hash-certified by
+    # q_pq_encode_np against the same oracle, at a measured ~14-37x
+    # lower encode cost (docs/BENCH_NOTES.md); pq_encode_df remains the
+    # registered spec path under q_pq_encode.
+    coded = pq_encode_np_df(
         assigned.select(
             "vec_id", "cell", F.col("embedding").alias("emb_keep"), "embedding"
         )

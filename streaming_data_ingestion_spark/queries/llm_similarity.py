@@ -1744,13 +1744,18 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path, cents = _ivfpq_index_for(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
+    # ONE pushed-filter scan fetches all three query vectors (a bounded
+    # |_IVF_QUERY_IDS|-row collect) instead of three single-row jobs.
+    q_rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(*_IVF_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
     out = None
     for qid in _IVF_QUERY_IDS:
-        q_emb = list(
-            emb.filter(F.col("vec_id") == qid).first()["embedding"]
-        )
         res = query_ivfpq(
-            spark, path, cents, q_emb, nprobe=2, k=5, rerank=20
+            spark, path, cents, q_rows[qid], nprobe=2, k=5, rerank=20
         ).withColumn("query_id", F.lit(qid))
         out = res if out is None else out.unionByName(res)
     return out.select(
@@ -1831,7 +1836,11 @@ def _det_ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
                 F.col("best.centroid_id").alias("cell"),
             )
         )
-        coded = pq_encode_df(
+        # numpy/Arrow encode: per-vector bit-parity to pq_encode_df is
+        # asserted in tests/test_round11_props.py and hash-certified by
+        # q_pq_encode_np (same oracle), so the stored codes — and the
+        # recall oracle's SQL re-derivation of them — are unchanged.
+        coded = pq_encode_np_df(
             assign.select(
                 "vec_id",
                 "cell",
@@ -1959,9 +1968,25 @@ def _det_recall_kept(spark: SparkSession, sf_dir: str):
         _DET_PROBE_MEMO[sf_dir] = [
             (r["q_id"], list(r["q_emb"]), r["cell"]) for r in rows
         ]
+    from streaming_data_ingestion_spark.ml.ivfpq import _adc_table
+
+    # Per-query ADC lookup tables ride the probes frame: the query
+    # embeddings are driver-side literals (the memo above), so each
+    # subspace's 16 candidate distances are precomputed ONCE per query
+    # by ml/ivfpq._adc_table — the same sequential IEEE fold the
+    # previous inline aggregate ran per candidate row (acc += diff²,
+    # d ascending; Python doubles ≡ JVM doubles, correctly rounded
+    # ops), and the same fold the oracle's _adc_sql_term still runs in
+    # SQL. The per-row expression collapses from an interpreted
+    # 64-step aggregate to 8 O(1) element_at lookups summed in the same
+    # subspace order — bit-identical adc_dist.
     probes = spark.createDataFrame(
-        _DET_PROBE_MEMO[sf_dir],
-        "q_id long, q_emb array<double>, cell long",
+        [
+            (q_id, q_emb, cell, _adc_table(q_emb))
+            for q_id, q_emb, cell in _DET_PROBE_MEMO[sf_dir]
+        ],
+        "q_id long, q_emb array<double>, cell long,"
+        " lut array<array<double>>",
     )
     # literal probed-cell list → PartitionFilters on the index scan
     probe_cells = sorted({t[2] for t in _DET_PROBE_MEMO[sf_dir]})
@@ -1972,26 +1997,10 @@ def _det_recall_kept(spark: SparkSession, sf_dir: str):
         (probes["cell"] == idx["cell"]) & (idx["vec_id"] != probes["q_id"]),
     )
 
-    def make_step(s: int, c: Column):
-        def step(acc: Column, d: Column) -> Column:
-            cent = (
-                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double") - 6.0
-            ) / 6.0
-            x = F.element_at(
-                "q_emb", (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
-            ).cast("double")
-            diff = x - cent
-            return acc + diff * diff
-
-        return step
-
     adc = None
     for s in range(_PQ_SUB):
-        c = F.element_at("codes", s + 1)
-        term = F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
-            F.lit(0.0),
-            make_step(s, c),
+        term = F.element_at(
+            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
         )
         adc = term if adc is None else adc + term
 
@@ -2142,37 +2151,6 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _adc_dist_to(qcol: Column) -> Column:
-    """ADC distance of the PQ-coded corpus row to the query column
-    ``qcol`` — the identical fold structure/order as
-    q_sim_ivfpq_recall's inline expression and _adc_sql_term."""
-
-    def make_step(s: int, c: Column):
-        def step(acc: Column, d: Column) -> Column:
-            cent = (
-                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double")
-                - 6.0
-            ) / 6.0
-            x = F.element_at(
-                qcol, (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
-            ).cast("double")
-            diff = x - cent
-            return acc + diff * diff
-
-        return step
-
-    adc = None
-    for s in range(_PQ_SUB):
-        c = F.element_at("codes", s + 1)
-        term = F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
-            F.lit(0.0),
-            make_step(s, c),
-        )
-        adc = term if adc is None else adc + term
-    return adc
-
-
 def _probe_adc_stage(
     spark: SparkSession,
     sf_dir: str,
@@ -2186,6 +2164,8 @@ def _probe_adc_stage(
     cut to the top ``rerank``. Projects (vec_id, cell, adc_dist) —
     never ``embedding`` — so the scan is code-sized; ReadSchema
     asserted in tests/test_ivfpq.py. Returns (df, path, probe_cells)."""
+    from streaming_data_ingestion_spark.ml.ivfpq import _adc_table
+
     path = _det_ivfpq_index_for(spark, sf_dir)
     qcol = F.array(*[F.lit(float(x)) for x in q_emb])
     cents = (
@@ -2201,11 +2181,25 @@ def _probe_adc_stage(
     )
     probe_cells = sorted(r["centroid_id"] for r in cents)
     idx = spark.read.parquet(path).filter(F.col("cell").isin(*probe_cells))
+    # ADC via the classic per-query 8×16 lookup table (ml/ivfpq._adc_table):
+    # the query is a driver-side literal, so each subspace's 16 candidate
+    # distances are precomputed ONCE per query with the same sequential
+    # IEEE fold (acc += diff², d ascending; Python doubles ≡ JVM doubles,
+    # every op correctly rounded), and the per-row expression collapses
+    # from an interpreted 64-step aggregate to 8 O(1) element_at lookups
+    # summed in the same subspace order — bit-identical adc_dist, the
+    # exact expression shape of ml/ivfpq.adc_candidates.
+    table = _adc_table([float(x) for x in q_emb])
+    adc = None
+    for s in range(_PQ_SUB):
+        lut = F.array(*[F.lit(v) for v in table[s]])
+        term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
+        adc = term if adc is None else adc + term
     stage = (
         idx.select(
             "vec_id",
             F.col("cell").cast("long").alias("cell"),
-            _adc_dist_to(qcol).alias("adc_dist"),
+            adc.alias("adc_dist"),
         )
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(rerank)

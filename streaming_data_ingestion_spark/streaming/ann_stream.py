@@ -75,7 +75,7 @@ def assign_to_centroids(
     literals, no join needed)."""
     from streaming_data_ingestion_spark.queries.llm_similarity import (
         _cos,
-        pq_encode_df,
+        pq_encode_np_df,
     )
 
     best_id, best_sim = None, None
@@ -94,7 +94,10 @@ def assign_to_centroids(
     assigned = vectors.select(
         "vec_id", best_id.cast("long").alias("cell"), "embedding"
     )
-    coded = pq_encode_df(
+    # numpy/Arrow encode (bit-parity to pq_encode_df per vector —
+    # tests/test_round11_props.py), so fold-in epochs stay code-
+    # compatible with the batch-built base index.
+    coded = pq_encode_np_df(
         assigned.select(
             "vec_id", "cell", F.col("embedding").alias("emb_keep"), "embedding"
         )

@@ -107,7 +107,7 @@ def test_digest_reaches_transitive_helpers_and_constants():
     fn = inspect.unwrap(all_queries()["q_sim_ivfpq_probe_param"].fn)
     reach = reachable_sources(fn)
     quals = {q for _, q in reach}
-    for helper in ("_probe_adc_stage", "ivfpq_probe", "_adc_dist_to"):
+    for helper in ("_probe_adc_stage", "ivfpq_probe", "_adc_table"):
         assert helper in quals, f"{helper} not in digest reach: {sorted(quals)}"
     const_blobs = [
         src for (_, q), src in reach.items() if q.endswith("#consts")
