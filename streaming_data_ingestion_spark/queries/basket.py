@@ -270,12 +270,17 @@ def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order close aggregate and the order↔close equi-join — both
     map-side-combinable / hash joins on the order key.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     closes = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.max(F.to_date("l_shipdate")).alias("close")
     )
-    hz = closes.agg(F.max("close").alias("horizon"))
+    # horizon = max close = max ship date: read it straight off the fact
+    # scan (column-pruned max, no per-order aggregate) instead of
+    # re-running the `closes` groupBy for a 1-row build side
+    hz = li.agg(F.max(F.to_date("l_shipdate")).alias("horizon"))
     spans = (
         orders.select(
             F.col("o_orderkey").alias("k"), F.to_date("o_orderdate").alias("open_day")
@@ -284,15 +289,24 @@ def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hz))
         .select("open_day", F.coalesce("close", "horizon").alias("close_day"))
     )
-    deltas = (
-        spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
-        .unionAll(
-            spans.select(
-                F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d")
+    # Persist the calendar-bounded delta relation: both triangle-join
+    # sides consume it, and without the persist each side re-ran the
+    # order↔close equi-join and the union'd fact passes (~10 scans).
+    # One execution of the sweep-line build, then day-sized work only.
+    deltas = bounded_persist(
+        "q_backlog_curve.deltas",
+        sf_dir,
+        lambda: (
+            spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+            .unionAll(
+                spans.select(
+                    F.date_add("close_day", 1).alias("day"),
+                    F.lit(-1).alias("d"),
+                )
             )
-        )
-        .groupBy("day")
-        .agg(F.sum("d").cast("long").alias("d"))
+            .groupBy("day")
+            .agg(F.sum("d").cast("long").alias("d"))
+        ),
     )
     a, b = deltas.alias("a"), deltas.alias("b")
     return (
@@ -534,32 +548,42 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     total re-aggregate joined back on the region key, then a
     regions-sized Σ. No data-sized shuffle beyond the first aggregate.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    srev = (
-        li.join(
-            F.broadcast(
-                s.join(
-                    F.broadcast(
-                        n.join(
-                            F.broadcast(r),
-                            n["n_regionkey"] == r["r_regionkey"],
-                        ).select("n_nationkey", "r_name")
-                    ),
-                    s["s_nationkey"] == F.col("n_nationkey"),
-                ).select("s_suppkey", F.col("r_name").alias("region"))
-            ),
-            li["l_suppkey"] == F.col("s_suppkey"),
-        )
-        .groupBy("region", "s_suppkey")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).alias(
-                "rev"
+
+    def _srev() -> DataFrame:
+        return (
+            li.join(
+                F.broadcast(
+                    s.join(
+                        F.broadcast(
+                            n.join(
+                                F.broadcast(r),
+                                n["n_regionkey"] == r["r_regionkey"],
+                            ).select("n_nationkey", "r_name")
+                        ),
+                        s["s_nationkey"] == F.col("n_nationkey"),
+                    ).select("s_suppkey", F.col("r_name").alias("region"))
+                ),
+                li["l_suppkey"] == F.col("s_suppkey"),
+            )
+            .groupBy("region", "s_suppkey")
+            .agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).alias(
+                    "rev"
+                )
             )
         )
-    )
+
+    # Persist the supplier-sized revenue rollup: the regions total and
+    # the final share aggregate are separate plan branches, and without
+    # the persist each re-ran the fact join+aggregate — two corpus
+    # passes for one rollup. Now the fact table is read exactly once.
+    srev = bounded_persist("q_hhi.srev", sf_dir, _srev)
     rtot = srev.groupBy("region").agg(F.sum("rev").alias("tot"))
     share = F.col("rev").cast("double") / F.col("tot").cast("double")
     return (

@@ -332,11 +332,26 @@ def q_type_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.explode(_tokens()).alias("term"),
     )
-    per_bucket = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # ONE tokenize pass: collapse the token stream to (bucket, term)
+    # occurrence counts and persist that vocabulary×buckets-bounded
+    # table; per-bucket token totals (Σ counts) and first-seen types
+    # (min bucket per term) both re-aggregate from it. The previous
+    # shape re-ran the tokenize+explode corpus pass for each consumer
+    # and for both triangle-join sides (~3 tokenize passes).
+    bt = bounded_persist(
+        "q_type_token_curve.bt",
+        sf_dir,
+        lambda: toks.groupBy("bucket", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+    )
+    per_bucket = bt.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_tokens")
     )
     new_types = (
-        toks.groupBy("term")
+        bt.groupBy("term")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new_types"))
@@ -438,10 +453,19 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources are excluded by the identical `s_n < n` guard in both
     engines — JSD vs an empty complement is undefined, not 0.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     d = spread_for_cpu(load(spark, sf_dir, "documents"))
     toks = d.select("source", F.explode(_tokens()).alias("term"))
-    st = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Persist the sources×vocabulary counts: the global term counts,
+    # per-source totals, and the sparse join each re-ran the tokenize
+    # corpus pass without it (~4 tokenize passes). One pass now.
+    st = bounded_persist(
+        "q_js_divergence.st",
+        sf_dir,
+        lambda: toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
     )
     gt = st.groupBy("term").agg(F.sum("c").cast("long").alias("g"))
     stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("s_n"))

@@ -145,9 +145,18 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     μ and the denominator are 1-row broadcasts. Per-term products are
     row-local IEEE doubles; both sums go through DECIMAL(38,10).
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # Persist the calendar-bounded daily series: μ, the denominator, and
+    # both lag-join sides are separate plan branches that each re-ran
+    # the fact aggregate without it (~4 corpus passes). One pass now.
+    daily = bounded_persist(
+        "q_acf.daily",
+        sf_dir,
+        lambda: ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
     )
     mu = daily.agg(
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mu")
@@ -261,8 +270,18 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration"),
         F.col("tp").isNotNull().alias("observed"),
     )
-    c = dur.groupBy("duration", "observed").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # Persist the calendar-bounded (duration, observed) counts: the
+    # event-day spine, the at-risk broadcast build, and both survival
+    # triangle-join sides each re-ran the user-keyed fact aggregate
+    # without it (~4 corpus passes). One pass (plus the horizon scan).
+    c = bounded_persist(
+        "q_survival_km.c",
+        sf_dir,
+        lambda: dur.groupBy("duration", "observed").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
     )
     ev_days = c.where("observed").select(F.col("duration").alias("t"), F.col("cnt").alias("d"))
     risk = (
@@ -720,14 +739,23 @@ def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; products row-local, sums DECIMAL, round(6) absorbs the
     sqrt/compound ULP.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("x"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("y"),
+    # Persist the two-series daily relation (the q_acf treatment): means,
+    # denominator, and both lag-join sides otherwise each re-ran the
+    # fact aggregate (~4 corpus passes). One pass now.
+    daily = bounded_persist(
+        "q_xcorr.daily",
+        sf_dir,
+        lambda: ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        ),
     )
     mu = daily.agg(
         (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),

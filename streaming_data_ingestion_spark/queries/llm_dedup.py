@@ -1313,20 +1313,37 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _winnow_postings,
     )
 
-    lsh = _lsh_candidate_pairs(spark, sf_dir)
-    post = _winnow_postings(spark, sf_dir)
-    a, b = post.alias("a"), post.alias("b")
-    win = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("ns"))
-        .where(F.col("ns") >= 2)
-        .select("doc_a", "doc_b")
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # Persist both candidate pair sets (collision-bounded, never n²):
+    # each is consumed twice (its own count + the intersection), and
+    # without the persists the full MinHash-signature band join and the
+    # winnowing postings self-join each ran twice (~7 corpus scans).
+    lsh = bounded_persist(
+        "q_dedup_agreement.lsh",
+        sf_dir,
+        lambda: _lsh_candidate_pairs(spark, sf_dir),
     )
+
+    def _win() -> DataFrame:
+        post = _winnow_postings(spark, sf_dir)
+        a, b = post.alias("a"), post.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .where(F.col("ns") >= 2)
+            .select("doc_a", "doc_b")
+        )
+
+    win = bounded_persist("q_dedup_agreement.win", sf_dir, _win)
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
     n_win = win.agg(F.count(F.lit(1)).cast("long").alias("n_winnow"))
     n_both = lsh.join(win, ["doc_a", "doc_b"]).agg(

@@ -420,11 +420,21 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (evaluated only where both lags exist, so both models score the
     same days and the comparison is fair).
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    # Persist the calendar-bounded daily series: it is consumed three
+    # times (anchor + two lag join build sides) and the scored union
+    # re-executes the join subtree, so without the persist the fact
+    # aggregate ran ~6x. One corpus pass, then day-sized work only.
+    daily = bounded_persist(
+        "q_forecast_eval.daily",
+        sf_dir,
+        lambda: (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        ),
     )
     a, l1, l7 = daily.alias("a"), daily.alias("l1"), daily.alias("l7")
     joined = (
@@ -639,10 +649,20 @@ def q_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dense grid, moments, and the day-keyed pair join are all
     calendar×|types|-bounded.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Persist the calendar×types series: days/types spines, the dense
+    # grid's left join, the moments pass, and both pair-join sides all
+    # re-derived it (~9 fact scans without the persist). One corpus
+    # pass; every later stage is calendar×|types|-bounded.
+    daily = bounded_persist(
+        "q_type_corr_matrix.daily",
+        sf_dir,
+        lambda: ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+    )
     days = daily.select("day").distinct()
     types = daily.select("event_type").distinct()
     grid = (

@@ -511,25 +511,46 @@ def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped histogram — grid-bounded at any data scale, same family as
     q_ks_test's ECDF join.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    fine = (
-        ev.crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.least(
-                F.floor(
-                    ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
-                    * F.lit(float(_QR_BINS))
-                ),
-                F.lit(float(_QR_BINS - 1)),
+    # Persist the two small shared intermediates: every downstream
+    # consumer (per-type rollup, global rollup, totals, triangle-join
+    # build sides, final edge attach) is a separate plan branch, and
+    # without the persists each branch re-ran the corpus-sized bounds
+    # aggregate and binning pass — ~13 fact scans for a query whose
+    # whole point is that partials merge WITHOUT rescanning the data.
+    # Now the fact table is read exactly twice (bounds, then partials);
+    # both cached frames are bounded (1 row; ≤ types·days·512 rows).
+    bounds = bounded_persist(
+        "q_quantile_rollup_merge.bounds",
+        sf_dir,
+        lambda: ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")),
+    )
+    fine = bounded_persist(
+        "q_quantile_rollup_merge.fine",
+        sf_dir,
+        lambda: (
+            ev.crossJoin(F.broadcast(bounds))
+            .select(
+                "event_type",
+                F.to_date("ts").alias("day"),
+                F.least(
+                    F.floor(
+                        (
+                            (F.col("value") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo"))
+                        )
+                        * F.lit(float(_QR_BINS))
+                    ),
+                    F.lit(float(_QR_BINS - 1)),
+                )
+                .cast("int")
+                .alias("bin"),
             )
-            .cast("int")
-            .alias("bin"),
-        )
-        .groupBy("event_type", "day", "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .groupBy("event_type", "day", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        ),
     )
     per_type = (
         fine.groupBy("event_type", "bin")

@@ -243,26 +243,39 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
     )
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     bounds = vals.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    binned = (
-        vals.crossJoin(F.broadcast(bounds))
-        .select(
-            F.least(
-                F.floor(
-                    ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")))
-                    * F.lit(float(_KS_BINS))
-                ),
-                F.lit(float(_KS_BINS - 1)),
+    # Persist the ≤512-row binned histogram: the ECDF triangle join's
+    # two sides and the totals aggregate are separate plan branches
+    # that each re-ran the bounds + binning corpus passes without it
+    # (~6 fact scans). Two passes now (bounds, then binning).
+    binned = bounded_persist(
+        "q_ks_test.binned",
+        sf_dir,
+        lambda: (
+            vals.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.floor(
+                        (
+                            (F.col("value") - F.col("lo"))
+                            / (F.col("hi") - F.col("lo"))
+                        )
+                        * F.lit(float(_KS_BINS))
+                    ),
+                    F.lit(float(_KS_BINS - 1)),
+                )
+                .cast("int")
+                .alias("bin"),
+                "g1",
             )
-            .cast("int")
-            .alias("bin"),
-            "g1",
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum("g1").cast("long").alias("c1"),
-            (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2"),
-        )
+            .groupBy("bin")
+            .agg(
+                F.sum("g1").cast("long").alias("c1"),
+                (F.count(F.lit(1)) - F.sum("g1")).cast("long").alias("c2"),
+            )
+        ),
     )
     a = binned.select(F.col("bin").alias("abin"))
     cum = (
@@ -449,9 +462,18 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine libm ln() ULP — the q_entropy absorber. NMI is computed
     FROM the rounded values, so it is bit-deterministic by construction.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     docs = load(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("obs")
+    # Persist the langs×sources contingency table: marginals, totals,
+    # and the MI join each re-derived it — ~8 corpus scans for one
+    # contingency aggregate without the persist. One pass now.
+    cells = bounded_persist(
+        "q_mutual_information.cells",
+        sf_dir,
+        lambda: docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("obs")
+        ),
     )
     rowt = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("rt"))
     colt = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("ct"))
