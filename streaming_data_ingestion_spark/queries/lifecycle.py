@@ -623,22 +623,37 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. DECIMAL value sums are order-independent; the single
     final division is exact.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     ev = load(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    # Persist the narrow user→cohort map and the cohorts×ages value
+    # grid: sizes + the age join consume `f`, and both triangle-join
+    # sides consume `av` — without the persists the user-keyed fact
+    # aggregate and the fact join each ran twice (~5 corpus passes).
+    # Two passes now (cohort map, then the age rollup).
+    f = bounded_persist(
+        "q_cohort_ltv.f",
+        sf_dir,
+        lambda: ev.groupBy("user_id").agg(
+            F.min(F.date_trunc("week", "ts")).alias("cohort")
+        ),
     )
     sizes = f.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_users")
     )
-    av = (
-        ev.join(f, "user_id")
-        .groupBy(
-            "cohort",
-            (F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7)
-            .cast("int")
-            .alias("age_weeks"),
-        )
-        .agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    av = bounded_persist(
+        "q_cohort_ltv.av",
+        sf_dir,
+        lambda: (
+            ev.join(f, "user_id")
+            .groupBy(
+                "cohort",
+                (F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7)
+                .cast("int")
+                .alias("age_weeks"),
+            )
+            .agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+        ),
     )
     a, b = av.alias("a"), av.alias("b")
     return (

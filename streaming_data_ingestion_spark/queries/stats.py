@@ -394,15 +394,25 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     but that sacrifices the bit-exact cross-engine sum; this is the
     exactness-first formulation.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     emb = spread_for_cpu(load(spark, sf_dir, "embeddings"))
-    vals = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).cast("int").alias("i"),
-        F.floor(F.col("x").cast("double") * F.lit(1e10) + F.lit(0.5))
-        .cast("decimal(18,0)")
-        .alias("q"),
+    # Persist the quantized (vec_id, i, q) stream: both self-join sides
+    # and the two per-dim mean builds are separate plan branches that
+    # each re-ran the posexplode+quantize corpus pass (~4 passes). One
+    # pass now; the frame is narrow (id, int, decimal18) by design.
+    vals = bounded_persist(
+        "q_emb_covariance.vals",
+        sf_dir,
+        lambda: emb.select(
+            "vec_id", F.posexplode("embedding").alias("i0", "x")
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).cast("int").alias("i"),
+            F.floor(F.col("x").cast("double") * F.lit(1e10) + F.lit(0.5))
+            .cast("decimal(18,0)")
+            .alias("q"),
+        ),
     )
     a, b = vals.alias("a"), vals.alias("b")
     mom = (

@@ -1053,14 +1053,30 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(6)
     for k in range(len(_POIS) - 1, -1, -1):
         w = F.when(u < F.lit(float(_POIS[k])), F.lit(k)).otherwise(w)
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     draws = ev.select(
         "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     ).select("value", F.col("b").cast("int").alias("b"), w.alias("w"))
-    rep = draws.groupBy("b").agg(
-        F.sum("w").cast("long").alias("n"),
-        F.sum((F.col("w").cast("double") * F.col("value")).cast(DEC))
-        .cast("double")
-        .alias("s"),
+    # Persist the 64-row replica relation AND fold the full-corpus mean
+    # into the same pass: each replica row also carries the plain
+    # decimal sum/count of `value` (identical for every b — summed over
+    # all rows), so `base` reads the b=0 row instead of re-scanning the
+    # corpus, and the rank triangle join's two sides read the cache
+    # instead of re-running the 64x fan-out aggregate. Three corpus
+    # passes (fan-out x2 + mean) collapse to ONE; decimal sums are
+    # order-independent, so every emitted value is bit-unchanged.
+    rep = bounded_persist(
+        "q_bootstrap_ci.rep",
+        sf_dir,
+        lambda: draws.groupBy("b").agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum((F.col("w").cast("double") * F.col("value")).cast(DEC))
+            .cast("double")
+            .alias("s"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sv"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        ),
     )
     means = rep.select("b", (F.col("s") / F.col("n").cast("double")).alias("m"))
     a, c = means.alias("a"), means.alias("c")
@@ -1073,10 +1089,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.b").alias("b"), F.col("a.m").alias("m"))
         .agg(F.count(F.lit(1)).cast("long").alias("rn"))
     )
-    base = ev.agg(
-        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "mean"
-        )
+    base = rep.where(F.col("b") == 0).select(
+        (F.col("sv") / F.col("cnt").cast("double")).alias("mean")
     )
     return (
         ranked.crossJoin(F.broadcast(base))
