@@ -167,11 +167,20 @@ def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-summed for order independence, round(6) absorbs the libm
     ULP.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     d = spread_for_cpu(load(spark, sf_dir, "documents"))
-    bi = (
-        d.select(F.explode(_bigrams(_tokens())).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    # Persist the vocab²-bounded bigram counts: the context re-aggregate,
+    # the 1-row total, and the entropy join each re-ran the bigram
+    # explode corpus pass without it (~3 tokenize passes → 1).
+    bi = bounded_persist(
+        "q_bigram_cond_entropy.bi",
+        sf_dir,
+        lambda: (
+            d.select(F.explode(_bigrams(_tokens())).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        ),
     )
     ctx = (
         bi.select(

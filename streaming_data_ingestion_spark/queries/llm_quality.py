@@ -306,9 +306,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one decimal-summed mean of −ln p(term) — round(6) absorbs the
     cross-engine libm ln() ULP, everything else is exact.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # Persist the vocab-sized term counts (the q_source_log_odds /
+    # q_lm_score_bigram treatment): the 1-row total and the probability
+    # broadcast otherwise each re-ran the tokenize corpus pass.
+    tc = bounded_persist(
+        "q_lm_score.tc",
+        sf_dir,
+        lambda: tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")),
+    )
     tot = tc.agg(F.sum("c").alias("n"))
     tc_p = tc.crossJoin(F.broadcast(tot)).select(
         "term", (F.col("c").cast("double") / F.col("n")).alias("p")

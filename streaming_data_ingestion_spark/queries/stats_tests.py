@@ -791,6 +791,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("early")).cast("long").alias("c_late"),
         )
     )
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # Persist the ≤bins-row histogram (the q_ks_test treatment): the
+    # totals and the PSI sum are separate branches that each re-ran the
+    # bounds + binning corpus passes without it.
+    binned = bounded_persist("q_psi_drift.binned", sf_dir, lambda: binned)
     tot = binned.agg(
         F.sum("c_early").cast("long").alias("n_early"),
         F.sum("c_late").cast("long").alias("n_late"),
