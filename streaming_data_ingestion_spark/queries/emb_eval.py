@@ -103,17 +103,26 @@ def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x−c)² is one IEEE multiply of identical doubles, DECIMAL-summed;
     argmin ties break on the smaller label in both engines.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     e = spread_for_cpu(load(spark, sf_dir, "embeddings"))
     qz = F.floor(F.col("x") * F.lit(1e10))
-    dims = e.select(
-        "vec_id",
-        F.col("label").alias("true_label"),
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "true_label",
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
+    # Persist the narrow (vec_id, label, dim, x) stream: the centroid
+    # fit and the scoring join are separate plan branches that each
+    # re-ran the posexplode corpus pass without it (2 passes → 1).
+    dims = bounded_persist(
+        "q_centroid_classifier.dims",
+        sf_dir,
+        lambda: e.select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.posexplode("embedding").alias("pos", "xf"),
+        ).select(
+            "vec_id",
+            "true_label",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        ),
     )
     cents = (
         dims.groupBy(F.col("true_label").alias("clabel"), "dim")

@@ -1143,7 +1143,17 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision-sized per step; unbounded recursion would instead use the
     q_dedup_clusters fixpoint loop with its active-vertex pruning.
     """
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
+    # Persist the collision-bounded pair set: the recursive CTE below
+    # re-evaluates `edges` (and the seed) on every BFS level, and
+    # without the persist each evaluation re-ran the full MinHash
+    # signature + band self-join (~depth+2 corpus passes → 1).
+    pairs = bounded_persist(
+        "q_graph_reach.pairs",
+        sf_dir,
+        lambda: _lsh_candidate_pairs(spark, sf_dir),
+    )
     pairs.createOrReplaceTempView("__reach_pairs")
     return spark.sql(f"""
 WITH RECURSIVE edges AS (

@@ -1740,7 +1740,13 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query — the deployment shape, where build cost amortizes over
     every query served.
     """
-    from streaming_data_ingestion_spark.ml.ivfpq import query_ivfpq
+    from streaming_data_ingestion_spark.ml.ivfpq import (
+        _adc_table,
+        _exact_dist_to,
+        _probe_cells,
+        adc_candidates,
+        fetch_vectors,
+    )
 
     path, cents = _ivfpq_index_for(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
@@ -1752,11 +1758,55 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     }
+    # Batched serve: the three per-query codes-only ADC stages (each the
+    # serve_topk bounded path: cell-pruned scan → LUT scoring → top-20
+    # cut) union into ONE bounded collect job instead of three driver
+    # round-trips; the per-query exact re-rank then replays serve_topk's
+    # point-fetch plan verbatim, so the emitted rows are identical.
+    nprobe, k, rerank = 2, 5, 20
+    probes_by_q = {
+        qid: _probe_cells(q_rows[qid], cents, nprobe)
+        for qid in _IVF_QUERY_IDS
+    }
+    stages = None
+    cell_t = "bigint"
+    for qid in _IVF_QUERY_IDS:
+        idx = spark.read.parquet(path).filter(
+            F.col("cell").isin(*probes_by_q[qid])
+        )
+        cell_t = idx.schema["cell"].dataType.simpleString()
+        st = adc_candidates(idx, _adc_table(q_rows[qid]), rerank).select(
+            F.lit(qid).alias("query_id"), "vec_id", "cell", "adc_dist"
+        )
+        stages = st if stages is None else stages.unionByName(st)
+    surv_by_q: dict[int, list] = {qid: [] for qid in _IVF_QUERY_IDS}
+    for r in stages.collect():  # bounded ≤ |queries|·rerank rows
+        surv_by_q[r["query_id"]].append(r)
     out = None
     for qid in _IVF_QUERY_IDS:
-        res = query_ivfpq(
-            spark, path, cents, q_rows[qid], nprobe=2, k=5, rerank=20
-        ).withColumn("query_id", F.lit(qid))
+        survivors = surv_by_q[qid]
+        surv_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["vec_id"], int(r["cell"]), r["adc_dist"])
+                    for r in survivors
+                ],
+                f"vec_id long, cell {cell_t}, adc_dist double",
+            )
+        )
+        fetched = fetch_vectors(
+            spark, path, probes_by_q[qid], [r["vec_id"] for r in survivors]
+        )
+        res = (
+            fetched.join(surv_df, "vec_id")
+            .select(
+                "vec_id", "cell", "adc_dist",
+                _exact_dist_to(q_rows[qid]).alias("exact_dist"),
+            )
+            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+            .limit(k)
+            .withColumn("query_id", F.lit(qid))
+        )
         out = res if out is None else out.unionByName(res)
     return out.select(
         "query_id", "vec_id", "cell", "adc_dist", "exact_dist"
