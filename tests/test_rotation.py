@@ -140,13 +140,15 @@ def test_reverify_queue_keys_enter_the_window():
     if not rq:
         return
     checked = _driver_checked()
-    # last green round per key (mirrors _rotation's last_ok)
+    # last green / last seen round per key (mirrors _rotation)
     last_ok: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rno = int("".join(c for c in f.stem if c.isdigit()))
         for k, row in json.loads(f.read_text()).items():
             if not isinstance(row, dict):
                 continue
+            last_seen[k] = max(last_seen.get(k, 0), rno)
             good = (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
@@ -162,11 +164,28 @@ def test_reverify_queue_keys_enter_the_window():
     ]
     window = set(list(mod.queries())[:50])
     waiting_outside = [k for k in pending if k not in window]
-    # only a genuinely full window (never-checked keys filling all 50)
-    # may push a reverify key out
-    never = [k for k in mod.queries() if k not in checked]
-    assert not waiting_outside or len(never) >= 50, (
-        f"oracle-changed keys wait outside the window: {waiting_outside}"
+    if not waiting_outside:
+        return
+    # The queue may legitimately exceed the 50-key window (a wholesale
+    # infra edit — e.g. round 12's load() plan memoization — lands in
+    # every key's transitive digest and stamps the whole registry). The
+    # binding invariant is that the driver drains the queue as fast as
+    # the window allows: a pending key may wait outside only while every
+    # window slot holds work of higher-or-equal priority (a failed latest
+    # row, a never-checked key, or another pending reverify key) — never
+    # an untouched stale green.
+    def untouched_stale_green(k: str) -> bool:
+        ok = last_ok.get(k)
+        if ok is None or k not in checked:
+            return False  # never checked — bucket 1, legitimately inside
+        if last_seen.get(k, 0) > ok:
+            return False  # latest row failed — bucket 0, highest priority
+        return k not in pending
+    displacing = sorted(k for k in window if untouched_stale_green(k))
+    assert not displacing, (
+        "oracle-changed keys wait outside the window while untouched "
+        f"stale greens occupy window slots: {displacing[:10]} "
+        f"(waiting outside: {waiting_outside[:10]}…)"
     )
 
 
