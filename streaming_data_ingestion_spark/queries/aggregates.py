@@ -187,15 +187,28 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 @query("q_agg_rollup", oracle=_Q_AGG_ROLLUP_ORACLE, tags=("agg",))
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(l_returnflag, l_linestatus) — Expand + aggregate."""
+    """ROLLUP(l_returnflag, l_linestatus) — Expand + aggregate.
+
+    The fact table aggregates to the finest grouping set FIRST, and the
+    Expand runs over that groups-sized relation: rolling up Expand's
+    replicated fact rows would push 3× the corpus through the partial
+    hash aggregate, while COUNT re-aggregates as SUM(count) and the
+    exact DECIMAL sums are associative, so subtotal values are
+    bit-identical either way (the base grouping set of the rollup IS
+    the pre-aggregated relation).
+    """
     li = spread_for_cpu(
         load(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_linestatus", "l_quantity"
         )
     )
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dsum("l_quantity", "sum_qty"),
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
+    )
+    return pre.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n_items"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 
@@ -220,16 +233,23 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 @query("q_agg_cube", oracle=_Q_AGG_CUBE_ORACLE, tags=("agg",))
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(o_orderstatus, o_orderpriority): all four grouping sets in one
-    pass — Expand replicates each input row once per set, then a single
-    partial+final hash aggregate runs as usual; no extra shuffles versus
-    a plain groupBy, just 4× the aggregate input (map-side combined).
+    pass over the PRE-AGGREGATED (status, priority) relation — Expand
+    replicates rows once per set, so running it over the fact table
+    would push 4× the corpus through the partial hash aggregate; the
+    finest grouping set IS the pre-aggregate, COUNT re-aggregates as
+    SUM(count), and the exact DECIMAL sums are associative, so every
+    subtotal is bit-identical either way.
     """
     o = load(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    pre = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_sp"),
+    )
+    return pre.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "sum_price"),
+        F.sum("_n").alias("n_orders"),
+        F.sum("_sp").cast("double").alias("sum_price"),
     )
 
 

@@ -112,21 +112,33 @@ def q_tpcds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 groups per GROUPING LEVEL — Expand feeding an aggregate feeding
     a partitioned rank, the interplay TPC-H never exercises.
 
-    The Expand 4×'s the fact join output into one partial+final hash
-    aggregate; the rank window then sees only the group-sized relation,
-    partitioned by grouping level (4 partitions). Level ids use the
-    GROUPING bitmask ((nation,yr,mon)=0 … grand total=7) identically in
-    both engines; rank order is (exact decimal revenue desc) with full
-    key tie-breaks, NULLS FIRST pinned explicitly because Spark and
-    DuckDB default opposite null orderings.
+    The fact join output aggregates to the finest (nation, yr, mon)
+    grain FIRST, so the Expand 4×'s only that groups-sized relation
+    (≤ nations × years × months rows) instead of replicating every
+    joined fact row — COUNT re-aggregates as SUM(count) and the exact
+    DECIMAL revenue sums are associative, so every ROLLUP subtotal is
+    bit-identical to expanding the fact rows. The rank window then sees
+    only the group-sized relation, partitioned by grouping level
+    (4 partitions). Level ids use the GROUPING bitmask
+    ((nation,yr,mon)=0 … grand total=7) identically in both engines;
+    rank order is (exact decimal revenue desc) with full key
+    tie-breaks, NULLS FIRST pinned explicitly because Spark and DuckDB
+    default opposite null orderings.
     """
-    g = (
+    monthly = (
         _monthly_sales(spark, sf_dir)
-        .rollup("nation", "yr", "mon")
+        .groupBy("nation", "yr", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("rev_dec").alias("_rev"),
+        )
+    )
+    g = (
+        monthly.rollup("nation", "yr", "mon")
         .agg(
             F.grouping_id().cast("int").alias("lvl"),
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("rev_dec").cast("double").alias("sum_rev"),
+            F.sum("_n").alias("n_items"),
+            F.sum("_rev").cast("double").alias("sum_rev"),
         )
     )
     w = Window.partitionBy("lvl").orderBy(
