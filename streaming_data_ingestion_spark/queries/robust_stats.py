@@ -663,15 +663,22 @@ def q_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n")
         ),
     )
-    days = daily.select("day").distinct()
-    types = daily.select("event_type").distinct()
-    grid = (
-        days.crossJoin(F.broadcast(types))
-        .join(daily, ["day", "event_type"], "left")
-        .select(
-            "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    def _grid() -> DataFrame:
+        days = daily.select("day").distinct()
+        types = daily.select("event_type").distinct()
+        return (
+            days.crossJoin(F.broadcast(types))
+            .join(daily, ["day", "event_type"], "left")
+            .select(
+                "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+            )
         )
-    )
+
+    # the dense grid is calendar×|types|-bounded and feeds THREE plan
+    # branches (moments, both pair-join sides); persisting it stops each
+    # branch re-running the spine distincts + left join over the daily
+    # cache (~9 bounded aggregates → 3 cache scans).
+    grid = bounded_persist("q_type_corr_matrix.grid", sf_dir, _grid)
     m = grid.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("n").cast("long").alias("s"),

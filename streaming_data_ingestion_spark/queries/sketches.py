@@ -552,17 +552,24 @@ def q_quantile_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         ),
     )
-    per_type = (
-        fine.groupBy("event_type", "bin")
-        .agg(F.sum("c").cast("long").alias("c"))
-        .select(F.col("event_type").alias("scope"), "bin", "c")
-    )
-    global_h = (
-        fine.groupBy("bin")
-        .agg(F.sum("c").cast("long").alias("c"))
-        .select(F.lit("(all)").alias("scope"), "bin", "c")
-    )
-    scoped = per_type.unionAll(global_h)
+    def _scoped() -> DataFrame:
+        per_type = (
+            fine.groupBy("event_type", "bin")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .select(F.col("event_type").alias("scope"), "bin", "c")
+        )
+        global_h = (
+            fine.groupBy("bin")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .select(F.lit("(all)").alias("scope"), "bin", "c")
+        )
+        return per_type.unionAll(global_h)
+
+    # scoped is ≤ (types+1)·512 rows and feeds THREE plan branches
+    # (totals, the triangle-join build side, the triangle probe side);
+    # persisting it stops each branch re-running both rollup aggregates
+    # over the fine cache (6 aggregations → 2).
+    scoped = bounded_persist("q_quantile_rollup_merge.scoped", sf_dir, _scoped)
     tot = scoped.groupBy("scope").agg(F.sum("c").cast("long").alias("n"))
     b = scoped.select(F.col("scope").alias("bscope"), F.col("bin").alias("bbin"), "c")
     cum = (
