@@ -77,3 +77,43 @@ def sql_davg(expr: str, alias: str) -> str:
         f"{sql_dec_to_double(f'SUM(CAST({expr} AS DECIMAL(38,10)))')}"
         f" / COUNT(*) AS {alias}"
     )
+
+
+def _dtok(v: float) -> str:
+    """One SQL double literal token, exact: repr() is the shortest
+    round-tripping decimal form and Spark's literal parser is correctly
+    rounded, so the parsed double is bit-identical to F.lit(v)."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {v!r} needs F.lit")
+    return f"{f!r}D"
+
+
+def dlit_array(vals) -> Column:
+    """Literal ARRAY<DOUBLE> via ONE SQL parse.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(v) ...])`` walk py4j per element
+    (~0.5–1 ms each — a 640-element plane table costs ~1.5 s on every
+    plan build); parsing one ``array(...)`` expression measured ~300×
+    faster with bit-identical values (see _dtok). Use for all
+    driver-side numeric model literals (planes, centroids, ADC tables)."""
+    return F.expr("array(" + ",".join(_dtok(v) for v in vals) + ")")
+
+
+def dlit_matrix(rows) -> Column:
+    """Literal ARRAY<ARRAY<DOUBLE>> via ONE SQL parse (see dlit_array)."""
+    inner = ",".join(
+        "array(" + ",".join(_dtok(v) for v in row) + ")" for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def llit_array(vals) -> Column:
+    """Literal integer array via ONE SQL parse (see dlit_array):
+    ARRAY<INT> when every value fits in 32 bits (matching what
+    ``F.array(*[F.lit(int(v)) ...])`` produced — element_at array
+    indices require INT), ARRAY<BIGINT> otherwise."""
+    ints = [int(v) for v in vals]
+    wide = any(not (-(1 << 31) <= v < (1 << 31)) for v in ints)
+    sfx = "L" if wide else ""
+    return F.expr("array(" + ",".join(f"{v}{sfx}" for v in ints) + ")")

@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_data_ingestion_spark.compat import dlit_array, dlit_matrix, llit_array
+
 
 def interactions_from_events(events: DataFrame) -> DataFrame:
     """(user_id, item, rating): item = the ``k`` prop, rating = ln(1+n)
@@ -191,12 +193,10 @@ def _rmse(
 ) -> float:
     """Row-side prediction fold: V rides in as a literal array-of-arrays
     indexed by the item's dense position — no item join, one user join."""
-    v_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in v]
-    )
+    v_lit = dlit_matrix(v)
     idx_lit = F.map_from_arrays(
-        F.array(*[F.lit(int(i)) for i in item_index]),
-        F.array(*[F.lit(int(p)) for p in item_index.values()]),
+        llit_array(item_index),
+        llit_array(item_index.values()),
     )
     pred = F.aggregate(
         F.zip_with(
@@ -238,7 +238,7 @@ def recommend_topk(
                 F.aggregate(
                     F.zip_with(
                         F.col("factors"),
-                        F.array(*[F.lit(float(x)) for x in v[pos]]),
+                        dlit_array(v[pos]),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),

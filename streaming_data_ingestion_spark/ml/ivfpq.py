@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_data_ingestion_spark.compat import dlit_array
 from streaming_data_ingestion_spark.layout import write_partitioned
 from streaming_data_ingestion_spark.ml.kmeans import assign_cells, kmeans_fit
 from streaming_data_ingestion_spark.queries.llm_similarity import (
@@ -151,7 +152,7 @@ def adc_candidates(
     (distributed TakeOrderedAndProject, no global window)."""
     adc = None
     for s in range(_PQ_SUB):
-        lut = F.array(*[F.lit(v) for v in table[s]])
+        lut = dlit_array(table[s])
         term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
         adc = term if adc is None else adc + term
     return (
@@ -192,7 +193,7 @@ _COLLECT_RERANK_MAX = 1024
 def _exact_dist_to(q_emb: list[float]) -> Column:
     """Exact squared-L2 of the stored ``embedding`` to the literal
     query — the shared re-rank expression of both serving plans."""
-    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
+    q_arr = dlit_array(q_emb)
     return F.aggregate(
         F.zip_with(
             F.col("embedding"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streaming_data_ingestion_spark.compat import DEC
+from streaming_data_ingestion_spark.compat import DEC, dlit_array
 
 
 def _assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -37,7 +37,7 @@ def _assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
             F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    dlit_array(c),
                     lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                 ),
                 F.lit(0.0),

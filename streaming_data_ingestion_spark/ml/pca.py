@@ -32,7 +32,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streaming_data_ingestion_spark.compat import DEC
+from streaming_data_ingestion_spark.compat import DEC, dlit_array
 
 
 @dataclass(frozen=True)
@@ -46,13 +46,13 @@ class PCAModel:
         """One output column per component: (x − mean)·vₖ as a
         zero-shuffle array fold (model state as plan literals — the
         kmeans/logreg scoring pattern)."""
-        mean_arr = F.array(*[F.lit(float(m)) for m in self.mean])
+        mean_arr = dlit_array(self.mean)
         centered = F.zip_with(
             F.col(col), mean_arr, lambda x, m: x.cast("double") - m
         )
         outs = []
         for kidx, comp in enumerate(self.components):
-            v = F.array(*[F.lit(float(c)) for c in comp])
+            v = dlit_array(comp)
             dot = F.aggregate(
                 F.zip_with(centered, v, lambda x, c: x * c),
                 F.lit(0.0),

@@ -24,6 +24,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streaming_data_ingestion_spark.compat import dlit_array, dlit_matrix
 from streaming_data_ingestion_spark.registry import query
 from streaming_data_ingestion_spark.tables import artifact_path, load
 
@@ -208,11 +209,42 @@ def _plane_vec(j: int) -> list[float]:
     ]
 
 
+_PLANE_LIT_MEMO: dict[tuple, Column] = {}
+
+
+def _lit_memo(suffix: tuple, build) -> Column:
+    """Memoize a literal plane Column per Spark application.
+
+    Building plane literals walks py4j once per element (64 doubles per
+    plane; the banded builder ships bands x rows_per_band planes), which
+    measured ~1.6 s of EVERY builder invocation at sf0.1 — pure driver
+    overhead repeated on each plan build. A Column is an immutable
+    expression tree valid for the lifetime of the JVM application, so
+    it is rebuilt only when the application changes (stale-app entries
+    are pruned so a restarted session cannot serve dead JVM handles).
+    Literal VALUES are pure functions of the md5-parity rule — never of
+    data or session state — so reuse cannot change any result."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    app = s.sparkContext.applicationId if s is not None else None
+    key = (app, *suffix)
+    got = _PLANE_LIT_MEMO.get(key)
+    if got is None:
+        for k in [k for k in _PLANE_LIT_MEMO if k[0] != app]:
+            del _PLANE_LIT_MEMO[k]
+        got = build()
+        _PLANE_LIT_MEMO[key] = got
+    return got
+
+
 def _bucket(emb: Column) -> Column:
     ad = _as_double(emb)
     bits = []
     for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane_vec(j)])
+        plane = _lit_memo(
+            ("plane", j), lambda j=j: dlit_array(_plane_vec(j))
+        )
         dot = _fold_sum(F.zip_with(ad, plane, lambda x, y: x * y))
         bits.append(F.when(dot >= 0, "1").otherwise("0"))
     return F.concat(*bits)
@@ -536,8 +568,12 @@ def emb_neardup_lsh(
     # calls and exactly rows_per_band*bands folds per row.
     band_cols = []
     for l in range(bands):
-        planes_l = F.lit(
-            [_plane_vec(l * rows_per_band + j) for j in range(rows_per_band)]
+        planes_l = _lit_memo(
+            ("band_planes", rows_per_band, l),
+            lambda l=l: dlit_matrix(
+                _plane_vec(l * rows_per_band + j)
+                for j in range(rows_per_band)
+            ),
         )
         weighted = F.transform(
             planes_l,

@@ -57,6 +57,8 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from streaming_data_ingestion_spark.compat import dlit_array
 from pyspark.sql.streaming import StreamingQuery
 
 _COMMITS_DIR = "_commits"  # leading "_" => invisible to parquet readers
@@ -81,7 +83,7 @@ def assign_to_centroids(
     best_id, best_sim = None, None
     emb = F.col("embedding")
     for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
+        c = dlit_array(cvec)
         sim = _cos(emb, c)
         if best_id is None:
             best_id, best_sim = F.lit(cid), sim
