@@ -2253,7 +2253,7 @@ def _probe_adc_stage(
     from streaming_data_ingestion_spark.ml.ivfpq import _adc_table
 
     path = _det_ivfpq_index_for(spark, sf_dir)
-    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    qcol = dlit_array(q_emb)
     cents = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _IVF_K)
@@ -2278,7 +2278,7 @@ def _probe_adc_stage(
     table = _adc_table([float(x) for x in q_emb])
     adc = None
     for s in range(_PQ_SUB):
-        lut = F.array(*[F.lit(v) for v in table[s]])
+        lut = dlit_array(table[s])
         term = F.element_at(lut, F.element_at("codes", s + 1) + 1)
         adc = term if adc is None else adc + term
     stage = (
@@ -2325,7 +2325,7 @@ def ivfpq_probe(
     adc_stage, path, probe_cells = _probe_adc_stage(
         spark, sf_dir, q_emb, nprobe, rerank
     )
-    qcol = F.array(*[F.lit(float(x)) for x in q_emb])
+    qcol = dlit_array(q_emb)
     # Past the lookup-sized bound (brute-force-convergence callers pass
     # rerank = corpus) the driver round-trip would be the bottleneck:
     # stay lazy and broadcast-join the ADC cut back onto the probed scan
@@ -2801,7 +2801,7 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NDCG_K)
         .select("q_id", "rnk", "cosine")
     )
-    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    warr = dlit_array(_NDCG_W)
     wcol = F.element_at(warr, F.col("rnk"))
 
     def _dcg(df: DataFrame, out: str) -> DataFrame:

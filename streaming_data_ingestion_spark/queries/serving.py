@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from streaming_data_ingestion_spark.compat import dsum, sql_dsum
+from streaming_data_ingestion_spark.compat import dsum, llit_array, sql_dsum
 from streaming_data_ingestion_spark.registry import query
 from streaming_data_ingestion_spark.tables import artifact_path, load
 
@@ -454,7 +454,7 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(F.sum("n").cast("long").alias("total"))
     pcts = spark.range(len(_HQ_PCTS)).select(
         F.element_at(
-            F.array(*[F.lit(p) for p in _HQ_PCTS]),
+            llit_array(_HQ_PCTS),
             (F.col("id") + 1).cast("int"),
         ).alias("pct")
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streaming_data_ingestion_spark.compat import DEC, sql_dec_to_double
+from streaming_data_ingestion_spark.compat import DEC, dlit_array, sql_dec_to_double
 from streaming_data_ingestion_spark.ranking import with_global_rank
 from streaming_data_ingestion_spark.registry import query
 from streaming_data_ingestion_spark.tables import load, spread_for_cpu
@@ -1421,7 +1421,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = counts.agg(F.sum("nd").cast("long").alias("n"))
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
-    e_arr = F.array(*[F.lit(e) for e in _BENFORD_E])
+    e_arr = dlit_array(_BENFORD_E)
     g = (
         spine.join(counts, "digit", "left")
         .crossJoin(F.broadcast(tot))
