@@ -174,7 +174,12 @@ _BUDGET = 20_000  # tokens
 _BUDGET_LEVELS = 2
 
 
-def _hex_budget_parts(d: DataFrame, budget: int, levels: int = _BUDGET_LEVELS):
+def _hex_budget_parts(
+    d: DataFrame,
+    budget: int,
+    levels: int = _BUDGET_LEVELS,
+    cache_tag: str = "",
+):
     """Decompose the budget walk over ``d`` (cols: doc_id, source, h,
     n_toks) into wholesale-taken parts plus ONE final boundary sub-cell.
 
@@ -191,7 +196,17 @@ def _hex_budget_parts(d: DataFrame, budget: int, levels: int = _BUDGET_LEVELS):
     straddling sub-cell (cols: b, doc_id, source, h, n_toks, before),
     ≤ 16^-levels of the corpus, whose rows still need the per-row
     running sum seeded with its exact composed offset ``before``.
+
+    ``cache_tag`` (non-empty ⇒ persist): each level's tagged relation
+    feeds two consumers (the wholesale-part filter and the recursion
+    base the next level chains from); without a persist every union
+    branch re-runs all prior levels' spine-join chains. The cached
+    relation is the same narrow proxy rows plus two spine columns and
+    shrinks 16× per level. Empty tag (the test-harness default) keeps
+    the walk fully lazy, so synthetic relations never alias a cache.
     """
+    from streaming_data_ingestion_spark.caching import bounded_persist
+
     parts: list[DataFrame] = []
     cur = d.withColumn("before", F.lit(0).cast("long"))
     for lvl in range(1, levels + 1):
@@ -219,7 +234,20 @@ def _hex_budget_parts(d: DataFrame, budget: int, levels: int = _BUDGET_LEVELS):
                 (F.col("base") + F.col("prior")).cast("long").alias("off"),
             )
         )
+        # tagged feeds TWO consumers at this level (the wholesale-part
+        # filter and the straddling-cell recursion base, which the next
+        # level's whole subtree chains from) — without the persist each
+        # union branch re-runs every prior level's spine join chain over
+        # the proxy cache. The relation is the same NARROW proxy rows
+        # (decide-with-small-rows: ~50 B/row) plus two spine columns, and
+        # shrinks 16× per level.
         tagged = cur.drop("before").join(F.broadcast(offs), "b")
+        if cache_tag:
+            tagged = bounded_persist(
+                f"q_token_budget_pick.tagged{lvl}",
+                f"{cache_tag}|{budget}",
+                lambda t=tagged: t,
+            )
         parts.append(
             tagged.where(F.col("off") + F.col("t") <= budget).select(
                 "source", "n_toks"
@@ -300,7 +328,7 @@ def q_token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(_tokens()).cast("long").alias("n_toks"),
         ),
     )
-    parts, boundary = _hex_budget_parts(d, _BUDGET)
+    parts, boundary = _hex_budget_parts(d, _BUDGET, cache_tag=sf_dir)
     # the final boundary sub-cell: per-row running sum over ≤ 16^-k of
     # the corpus, partitioned by its full hex prefix
     w = (

@@ -883,20 +883,33 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the join pass itself.
 
     Plan: orders(status F) filter prunes the scan; ONE lineitem⋈orders
-    shuffle keyed on the order key feeds the per-order aggregate on the
-    same partitioning; the result is order-count-sized; supplier and
-    nation broadcast; top-100 via TakeOrderedAndProject.
+    join feeds a TWO-LEVEL aggregate — (order, supplier) grain first,
+    then per-order counters over the collapsed pair relation. The
+    single-level form had two COUNT(DISTINCT ...) over different
+    children, which Spark plans as an Expand tripling the join output
+    through the partial aggregate; the pair grain is exactly equivalent
+    (n_supp = #pair groups, n_late = #pair groups with a late line,
+    late_supp = max supplier over pair groups with a late line) and the
+    pair-keyed shuffle carries each distinct pair once. The second
+    aggregate's input is pair-count-sized; supplier and nation
+    broadcast; top-100 via TakeOrderedAndProject.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    stats = (
+    per_os = (
         l.join(o, F.col("l_orderkey") == o.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("any_late"))
+    )
+    stats = (
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("any_late").alias("n_late"),
+            F.max(
+                F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
