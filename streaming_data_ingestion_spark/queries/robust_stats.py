@@ -244,11 +244,14 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (n//20), kept values decimal-summed, one final division.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked, _n = with_global_rank(
-        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr",
+        group_col="event_type",
     )
-    offs = ranked.groupBy("event_type").agg(
-        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    offs = goffs.select(
+        "event_type",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("nt"),
     )
     rt = (F.col("gr") - F.col("base") + 1).alias("rt")
     k = F.floor(F.col("nt") / 20)
@@ -315,11 +318,14 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     types-sized pivot aggregate.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked, _n = with_global_rank(
-        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr",
+        group_col="event_type",
     )
-    offs = ranked.groupBy("event_type").agg(
-        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    offs = goffs.select(
+        "event_type",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("nt"),
     )
     rt = F.col("gr") - F.col("base") + 1
     nt = F.col("nt")
@@ -540,11 +546,14 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-bounded by the ranged exchange.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    ranked, _n = with_global_rank(
-        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr",
+        group_col="event_type",
     )
-    offs = ranked.groupBy("event_type").agg(
-        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    offs = goffs.select(
+        "event_type",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("nt"),
     )
     rt = F.col("gr") - F.col("base") + 1
     tagged = ranked.join(F.broadcast(offs), "event_type").select(
@@ -785,11 +794,13 @@ def q_weekly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
-    ranked, _n = with_global_rank(
-        ev, ["week", "value", "event_id"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        ev, ["week", "value", "event_id"], rank_col="gr", group_col="week"
     )
-    offs = ranked.groupBy("week").agg(
-        F.min("gr").alias("base"), F.count(F.lit(1)).cast("long").alias("nt")
+    offs = goffs.select(
+        "week",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("nt"),
     )
     rt = F.col("gr") - F.col("base") + 1
     hit = (
@@ -1117,12 +1128,14 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    ranked, _n = with_global_rank(
-        ev, ["event_type", "value", "event_id"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        ev, ["event_type", "value", "event_id"], rank_col="gr",
+        group_col="event_type",
     )
-    offs = ranked.groupBy("event_type").agg(
-        F.min("gr").alias("base"),
-        F.count(F.lit(1)).cast("long").alias("nt"),
+    offs = goffs.select(
+        "event_type",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("nt"),
     )
     j = ranked.join(F.broadcast(offs), "event_type").select(
         "event_type",

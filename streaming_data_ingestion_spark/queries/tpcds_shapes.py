@@ -406,12 +406,13 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("y", "l_suppkey")
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev"))
     )
-    ranked, _n = with_global_rank(
-        yrev, ["y", "rev", "l_suppkey"], rank_col="gr"
+    ranked, _n, goffs = with_global_rank(
+        yrev, ["y", "rev", "l_suppkey"], rank_col="gr", group_col="y"
     )
-    offs = ranked.groupBy("y").agg(
-        F.min("gr").alias("base"),
-        F.count(F.lit(1)).cast("long").alias("ny"),
+    offs = goffs.select(
+        "y",
+        F.col("__grp_base").alias("base"),
+        F.col("__grp_n").alias("ny"),
     )
     # ascending within-year position reversed: rank 1 = highest revenue
     rnk = (F.col("ny") - (F.col("gr") - F.col("base"))).cast("long")

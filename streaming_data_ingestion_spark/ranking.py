@@ -45,7 +45,8 @@ def with_global_rank(
     rank_col: str = "rank",
     num_partitions: int | None = None,
     cache: tuple[str, str] | None = None,
-) -> tuple[DataFrame, int]:
+    group_col: str | None = None,
+):
     """Append an exact 1-based global row number by ``order_cols``.
 
     ``order_cols`` should end in a unique tie-break (a primary key) so
@@ -56,11 +57,26 @@ def with_global_rank(
     ``cache=(key, tag)`` routes the ranged intermediate through the
     bounded persist registry (one live entry per key); without it the
     intermediate is plain-persisted and lives until the session drops it.
+
+    ``group_col`` (must be ``order_cols[0]``): additionally returns a
+    small offsets DataFrame ``(group_col, __grp_base, __grp_n)`` —
+    per-group min rank and count — as a THIRD tuple element, derived
+    from the SAME single stats job. Per-group consumers previously ran
+    their own ``groupBy(group).agg(min(rank), count)`` pass over the
+    ranked cache; but with the group leading the range-sort order a
+    group's rows are contiguous in the total order, so its base/count
+    fall out of the per-(partition, group) counts the offset pass
+    already collects — one job instead of two, values identical by
+    construction (base = the global position of the group's first row).
     """
     from streaming_data_ingestion_spark.caching import bounded_persist
 
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if group_col is not None and (
+        not order_cols or order_cols[0] != group_col
+    ):
+        raise ValueError("group_col must lead order_cols")
 
     def _build() -> DataFrame:
         return (
@@ -80,22 +96,42 @@ def with_global_rank(
         tagged = bounded_persist(cache[0], cache[1], _build)
     else:
         tagged = _build().persist()
-    stats = tagged.groupBy(_PID).agg(
+    grp_keys = [_PID] + ([group_col] if group_col is not None else [])
+    stats = tagged.groupBy(*grp_keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(_MID).alias("m0"),
         F.max(_MID).alias("m1"),
     ).collect()
+    # fold group rows up to per-pid rows for the offset walk + the
+    # consecutive-id check (groups tile a partition, so the pid span is
+    # [min m0, max m1] and the pid count is Σ group counts)
+    by_pid: dict[int, list] = {}
+    for r in stats:
+        by_pid.setdefault(r[_PID], []).append(r)
     offset = 0
     recs = []
-    for r in sorted(stats, key=lambda r: r[_PID]):
-        if r["m1"] - r["m0"] + 1 != r["n"]:
+    grp_base: dict = {}
+    grp_n: dict = {}
+    for pid in sorted(by_pid):
+        rows = by_pid[pid]
+        m0 = min(r["m0"] for r in rows)
+        m1 = max(r["m1"] for r in rows)
+        n = sum(r["n"] for r in rows)
+        if m1 - m0 + 1 != n:
             raise AssertionError(
                 "monotonically_increasing_id produced non-consecutive ids "
-                f"within partition {r[_PID]} (span {r['m1'] - r['m0'] + 1} "
-                f"!= count {r['n']}); global-rank offsets would be wrong"
+                f"within partition {pid} (span {m1 - m0 + 1} "
+                f"!= count {n}); global-rank offsets would be wrong"
             )
-        recs.append((r[_PID], offset, r["m0"]))
-        offset += r["n"]
+        recs.append((pid, offset, m0))
+        if group_col is not None:
+            for r in rows:
+                g = r[group_col]
+                base = offset + (r["m0"] - m0) + 1
+                if g not in grp_base or base < grp_base[g]:
+                    grp_base[g] = base
+                grp_n[g] = grp_n.get(g, 0) + r["n"]
+        offset += n
     total = offset
     offsets = spark.createDataFrame(
         recs, f"{_PID} int, __rank_off long, __rank_m0 long"
@@ -108,7 +144,14 @@ def with_global_rank(
         )
         .drop(_PID, _MID, "__rank_off", "__rank_m0")
     )
-    return out, total
+    if group_col is None:
+        return out, total
+    gtype = tagged.schema[group_col].dataType.simpleString()
+    goffs = spark.createDataFrame(
+        [(g, grp_base[g], grp_n[g]) for g in sorted(grp_base)],
+        f"`{group_col}` {gtype}, __grp_base long, __grp_n long",
+    )
+    return out, total, goffs
 
 
 def ntile_of_rank(rank: Column, n_total: int, n_tiles: int) -> Column:
