@@ -729,11 +729,13 @@ def test_tpch_q4_exists_is_semi_join(spark):
 
 def test_tpch_q21_exists_pair_as_counters(spark):
     """Q21's EXISTS/NOT-EXISTS pair is one per-order aggregate: the fact
-    table must appear in exactly one scan (no self-joins) and the late-
-    supplier logic must ride the count-distinct Expand."""
+    table must appear in exactly one scan (no self-joins), and the late-
+    supplier counters ride the (order, supplier)-grain pre-aggregate —
+    NO count-distinct Expand tripling the join output (r12: the
+    two-level aggregate replaced the multi-count_distinct plan)."""
     plan = plan_of(spark, "q_tpch_q21")
     assert plan.count("lineitem.parquet") == 1
-    assert "Expand" in plan  # multi-count_distinct planning
+    assert "Expand" not in plan  # pair grain instead of count_distinct
 
 
 def test_tpch_q16_excludes_via_broadcast_anti(spark):
