@@ -952,11 +952,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("e.src", "e.dst")
 
     # persisted via the bounded registry: the edge list feeds the node
-    # set, the degree pass, and one join per power iteration
+    # set, the degree pass, and one join per power iteration; nodes and
+    # deg are themselves node-count-bounded and referenced once per
+    # UNROLLED iteration (the 3-step plan re-aggregates each reference
+    # independently), so they persist too — 7 bounded aggregates over
+    # the edge cache collapse to 2
     edges = _bounded_persist("q_pagerank.edges", sf_dir, _build_edges)
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("d")
+    nodes = _bounded_persist(
+        "q_pagerank.nodes",
+        sf_dir,
+        lambda: edges.select(F.col("src").alias("id")).distinct(),
+    )
+    deg = _bounded_persist(
+        "q_pagerank.deg",
+        sf_dir,
+        lambda: edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        ),
     )
     n = nodes.count()
 

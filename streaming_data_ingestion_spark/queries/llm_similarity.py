@@ -1521,54 +1521,56 @@ ORDER BY q_id, adc_dist ASC, vec_id ASC
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k: score each query against the
     corpus's PQ CODES (8 small ints/vector), never its float vectors —
-    the query half of IVFPQ. The query subvector-to-centroid distance is
-    recomputed from the plan-constant codebook per pair (equivalent to
-    the classic per-query 8×16 lookup table, expressed relationally);
-    distance folds and the final 8-term sum use the same sequential
-    order as DuckDB's list_reduce, so ADC scores hash-match bit-exact.
+    the query half of IVFPQ.
 
-    Plan: the 3-row query side broadcasts across the code table (one
+    The corpus codes come from the certified numpy/Arrow encode kernel
+    (:func:`pq_encode_np_df`, per-vector BIT parity with the HOF fold
+    asserted in tests/test_round11_props.py and hash-certified by
+    q_pq_encode_np against the same oracle), and the query side is the
+    classic per-query 8×16 ADC lookup table (ml/ivfpq._adc_table): the
+    query vectors are fetched with ONE pushed-filter collect (bounded:
+    len(_QUERY_IDS) = 3 rows by construction), each table precomputes
+    every subspace's 16 candidate distances driver-side with the SAME
+    sequential IEEE fold the previous inline aggregate ran per candidate
+    row (acc += diff², d ascending; Python doubles ≡ JVM doubles, every
+    op correctly rounded — the hash-certified q_sim_ivfpq_recall idiom),
+    and the per-row expression collapses from an interpreted 64-step
+    aggregate to 8 O(1) element_at lookups summed in the same subspace
+    order — bit-identical adc_dist, same fold the oracle's
+    _adc_sql_term still runs in SQL.
+
+    Plan: the 3-row LUT side broadcasts across the code table (one
     narrow scan — 8 ints + id per corpus row instead of 64 floats: this
     is the 100 TB win, the scored relation reads ~3% of the vector
     bytes); window top-5 per query with id tie-break. At scale the scan
     is additionally cell-pruned by IVF (q_sim_ivf) before ADC scoring,
     and only the ~5 survivors are re-ranked on exact float vectors.
     """
-    codes = pq_encode_df(
+    from streaming_data_ingestion_spark.ml.ivfpq import _adc_table
+
+    codes = pq_encode_np_df(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select("vec_id", "codes")
-    q = (
+    q_rows = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(*_QUERY_IDS))
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-        )
+        .select("vec_id", _as_double(F.col("embedding")).alias("q_emb"))
+        .collect()
     )
-    def make_step(s: int, c: Column):
-        def step(acc: Column, d: Column) -> Column:
-            cent = (
-                ((c * 31 + d * 17 + F.lit(s * 7)) % 13).cast("double") - 6.0
-            ) / 6.0
-            x = F.element_at(
-                "q_emb", (F.lit(s * _PQ_SUBDIM) + d + 1).cast("int")
-            ).cast("double")
-            diff = x - cent
-            return acc + diff * diff
-
-        return step
+    luts = spark.createDataFrame(
+        [(r["vec_id"], _adc_table(list(r["q_emb"]))) for r in q_rows],
+        "q_id long, lut array<array<double>>",
+    )
 
     adc = None
     for s in range(_PQ_SUB):
-        c = F.element_at("codes", s + 1)
-        term = F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
-            F.lit(0.0),
-            make_step(s, c),
+        term = F.element_at(
+            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
         )
         adc = term if adc is None else adc + term
 
     scored = (
-        F.broadcast(q)
+        F.broadcast(luts)
         .crossJoin(codes)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", adc.alias("adc_dist"))

@@ -965,6 +965,10 @@ _PYTHON_OK = {
     # q_pq_encode), kept certified so the swap at the next decade step
     # is a flag flip, not a rewrite
     "q_pq_encode_np",
+    # r12: the ADC query path encodes its corpus codes through the same
+    # certified numpy kernel (bit-parity pinned); the scoring itself
+    # stays JVM-side (broadcast LUT element_at sums)
+    "q_sim_pq_adc",
 }
 
 
