@@ -13,9 +13,9 @@ Shapes the reference's ingest pipeline has no analog for, but that any
   Training Data Makes Language Models Better" (Lee et al. 2022): the
   fraction of each document's word 5-grams that occur in at least one other
   document. The exact suffix-array formulation doesn't distribute; the
-  distributed re-expression is an inverted count over hashed shingles —
-  one explode immediately map-side-combined, shuffling 16-byte digests
-  rather than text.
+  distributed re-expression is an inverted count over shingles — one
+  Arrow shingle pass (``_shingle_grams_np``) feeding a single gram-keyed
+  exchange.
 * ``q_lang_id_eval`` — confusion matrix of the heuristic language-ID
   (``q_lang_id``) against the corpus's gold ``lang`` labels: the
   self-evaluation loop that tells you whether the classifier is good enough
@@ -148,6 +148,54 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 5  # shingle width in tokens
 
 
+def _shingle_grams_np(toked: DataFrame) -> DataFrame:
+    """Arrow twin of the HOF shingle projection: per document, the
+    DISTINCT word-5-grams as exploded ``(doc_id, gram)`` rows.
+
+    Tokenization stays JVM-side (the input is the already-split token
+    array), so the kernel is pure byte re-assembly: one C-level
+    ``' '.join`` per shingle window plus an insertion-ordered dedup —
+    no tokenizer parity surface at all. The gram STRINGS are identical
+    to the HOF form's ``array_join(slice(t, i, K), ' ')`` by
+    construction, and per-doc distinctness matches ``array_distinct``,
+    so every downstream aggregate is bit-identical (asserted
+    row-for-row against the HOF form on the full sf0.1 corpus before
+    the swap; hash-certified vs the oracle at sf0.001/sf0.01/hostile).
+
+    Why Arrow here (guide §4.2): higher-order transform lambdas are
+    CodegenFallback — Spark evaluates an interpreted expression tree
+    per shingle index — and this projection dominated the two shingle
+    keys' runtime (measured 3.05 s → 0.90 s median for the full
+    q_dup_substring pipeline at sf0.1). Output rows leave the pass as
+    Arrow batches; everything after (the gram-keyed exchange, window,
+    rollup) is unchanged JVM.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", toked.schema["doc_id"].dataType),
+            T.StructField("gram", T.StringType()),
+        ]
+    )
+
+    def shingle(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["t"]):
+                tl = list(toks)
+                seen = dict.fromkeys(
+                    " ".join(tl[i : i + _K]) for i in range(len(tl) - _K + 1)
+                )
+                ids.extend([doc_id] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    return toked.mapInPandas(shingle, schema=schema)
+
+
 @query(
     "q_dup_substring",
     oracle=f"""
@@ -183,42 +231,31 @@ def q_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-per-doc first, so cross-document only).
 
     Distributed re-expression of Lee et al.'s suffix-array substring dedup:
-    shingles are built row-locally with higher-order functions (sequence →
-    transform → slice; no explode until the last moment), and the single
-    explode feeds ONE gram-keyed shuffle. The shuffle key is the raw
-     5-gram text, not a digest: the hash value never appears in the
-    output (each engine only needs gram EQUALITY — the oracle's md5 is
-    DuckDB-internal), text keys average no more bytes than the 32-char
-    md5 hex the digest form shuffled, and dropping md5 removes a
-    crypto hash per shingle from the interpreted lambda (higher-order
-    transforms are CodegenFallback) — measured 3.26 s → 2.0 s at sf0.1.
-    At 100 TB a fixed-width binary digest would re-earn its place only
-    if gram text grew well past 32 bytes; that swap is a one-line
-    re-wrap of the lambda body.
+    shingles are built row-locally in the Arrow kernel
+    (:func:`_shingle_grams_np` — tokenize stays JVM, the kernel only
+    re-joins byte slices; bit-identical to the previous HOF form, which
+    was CodegenFallback-interpreted and measured 3.05 s vs 0.90 s for
+    this pipeline at sf0.1), feeding ONE gram-keyed shuffle. The shuffle
+    key is the raw 5-gram text, not a digest: the hash value never
+    appears in the output (each engine only needs gram EQUALITY — the
+    oracle's md5 is DuckDB-internal), and text keys average no more
+    bytes than the 32-char md5 hex a digest form would shuffle. At
+    100 TB a fixed-width binary digest would re-earn its place only if
+    gram text grew well past 32 bytes; that swap is one line in the
+    kernel.
     A count window over the gram partition replaces the textbook
     count-aggregate-then-join-back, which would recompute the whole
-    shingle/md5 pass for the second consumer of the gram stream (measured
-    2×: 8.3s → ~4s at sf0.1) — the digest stream shuffles once either
+    shingle pass for the second consumer of the gram stream (measured
+    2×: 8.3s → ~4s at sf0.1) — the gram stream shuffles once either
     way, so the window form is strictly cheaper. (Caveat for a
     pathologically hot gram at 100 TB: window partitions can't be
     AQE-skew-split like a join can; a boilerplate gram in >10M docs would
     argue for the agg+join form plus a salted count.)
     """
     d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    # project the token array ONCE: higher-order lambdas are interpreted
-    # (CodegenFallback), so inlining _tokens() in the transform body would
-    # re-split the whole text per shingle index — O(len·n_tokens)/doc
+    # project the token array ONCE (JVM split), then shingle in Arrow
     toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= _K)
-    shingled = toked.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - _K + 1),
-                lambda i: F.array_join(F.slice(F.col("t"), i, _K), " "),
-            )
-        ).alias("grams"),
-    )
-    per_gram = shingled.select("doc_id", F.explode("grams").alias("gram"))
+    per_gram = _shingle_grams_np(toked)
     counted = per_gram.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
@@ -388,26 +425,20 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl of a source stops contributing new text (novelty → 0 means
     you're re-ingesting what you already have).
 
-    Same digest machinery as q_dup_substring, but attributed by MIN(doc_id)
-    per gram instead of a count: one explode, then MIN(doc_id) OVER
-    (PARTITION BY gram) — a single gram-keyed exchange that both computes
-    the first occurrence and keeps the (doc, gram) rows for the per-doc
-    rollup, replacing the aggregate + join-back formulation (which
-    scanned and hashed the gram stream twice and paid a third exchange).
+    Same shingle machinery as q_dup_substring (the shared Arrow kernel
+    :func:`_shingle_grams_np`; the gram key is the raw 5-gram text —
+    like 818b96d's md5 drop there, the digest never appears in the
+    output, each engine only needs gram EQUALITY, and the oracle's md5
+    stays DuckDB-internal), but attributed by MIN(doc_id) per gram
+    instead of a count: one gram-keyed exchange both computes the first
+    occurrence (MIN(doc_id) OVER (PARTITION BY gram)) and keeps the
+    (doc, gram) rows for the per-doc rollup, replacing the aggregate +
+    join-back formulation (which scanned and hashed the gram stream
+    twice and paid a third exchange).
     """
     d = spread_for_cpu(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toked = d.select("doc_id", _tokens().alias("t")).where(F.size("t") >= _K)
-    per_gram = toked.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - _K + 1),
-                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _K), " ")),
-                )
-            )
-        ).alias("gram"),
-    )
+    per_gram = _shingle_grams_np(toked)
     w = Window.partitionBy("gram")
     flagged = per_gram.select(
         "doc_id", F.min("doc_id").over(w).alias("first_doc")

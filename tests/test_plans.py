@@ -834,12 +834,13 @@ def test_quality_gopher_no_shuffle_and_pruned(spark):
 
 
 def test_dup_substring_digest_shuffle_only(spark):
-    """Duplicated-span detection: the shingle/md5 pass runs ONCE (one
-    Generate), the count comes from a window over the single digest-keyed
-    Exchange (no join-back recompute), and nothing degenerates into a
-    nested-loop."""
+    """Duplicated-span detection: the shingle pass runs ONCE (one Arrow
+    kernel, no explode at all since r12), the count comes from a window
+    over the single gram-keyed Exchange (no join-back recompute), and
+    nothing degenerates into a nested-loop."""
     plan = plan_of(spark, "q_dup_substring")
-    assert plan.count("- Generate") == 1  # tree form: one explode total
+    assert plan.count("- MapInPandas") == 1  # tree form: one shingle pass
+    assert "- Generate" not in plan  # shingles never explode JVM-side
     assert "Window" in plan
     assert "Join" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
@@ -969,6 +970,13 @@ _PYTHON_OK = {
     # certified numpy kernel (bit-parity pinned); the scoring itself
     # stays JVM-side (broadcast LUT element_at sums)
     "q_sim_pq_adc",
+    # r12: the shingle projection is the shared Arrow kernel
+    # _shingle_grams_np — tokenize stays JVM, the kernel only re-joins
+    # byte slices (gram strings identical to the HOF form by
+    # construction, asserted row-for-row at sf0.1 before the swap); the
+    # HOF transform was CodegenFallback and dominated both keys
+    "q_dup_substring",
+    "q_gram_novelty",
 }
 
 
