@@ -48,6 +48,31 @@ from streaming_data_ingestion_spark.streaming.mv import (
 )
 
 
+def _shape_path(table_path: str) -> str:
+    """Sidecar parquet holding the ONE (width, depth) the grid at
+    ``table_path`` is maintained with — a sibling path, so the grid
+    table's own reader glob never sees it."""
+    return table_path.rstrip("/") + "_shape"
+
+
+def _read_shape(spark: SparkSession, table_path: str) -> tuple[int, int] | None:
+    """The persisted grid shape, or None for a table that predates the
+    sidecar (legacy) or does not exist yet."""
+    try:
+        row = spark.read.parquet(_shape_path(table_path)).collect()[0]
+        return int(row["width"]), int(row["depth"])
+    except Exception:
+        return None
+
+
+def _publish_shape(
+    spark: SparkSession, table_path: str, width: int, depth: int
+) -> None:
+    spark.createDataFrame(
+        [(int(width), int(depth))], "width int, depth int"
+    ).coalesce(1).write.mode("overwrite").parquet(_shape_path(table_path))
+
+
 def merge_cms_grid(
     table_path: str,
     run_ns: str | Callable[[], str] | None = None,
@@ -60,15 +85,34 @@ def merge_cms_grid(
     Idempotent under epoch replay via the shared per-partition marker
     protocol. One ``table_path`` holds ONE grid shape: partials of
     different (width, depth) must never be summed into the same table —
-    pass the shape explicitly when maintaining a non-default grid, and
-    the error-law guard (queries/sketches.check_cms_params) sizes it."""
+    summing mis-shaped partials corrupts the grid unrecoverably — so the
+    shape is PERSISTED with the grid (a one-row parquet sidecar at
+    ``<table_path>_shape``, published before the first merge) and every
+    writer validates its configured shape against it: a writer configured
+    differently than the table was maintained with raises instead of
+    merging. Pass the shape explicitly when maintaining a non-default
+    grid; the error-law guard (queries/sketches.check_cms_params) sizes
+    it."""
     from streaming_data_ingestion_spark.queries import sketches as _sk
 
     w = _sk._CMS_WIDTH if width is None else width
     d = _CMS_DEPTH if depth is None else depth
     ns_cache: dict = {}
+    shape_ok: list[bool] = []  # per-writer memo: validate/publish once
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not shape_ok:
+            stored = _read_shape(batch_df.sparkSession, table_path)
+            if stored is not None and stored != (w, d):
+                raise ValueError(
+                    f"grid at {table_path} is maintained with shape "
+                    f"{stored[1]}x{stored[0]} (depth x width) but this "
+                    f"writer is configured {d}x{w} — refusing to merge "
+                    f"mis-shaped partials"
+                )
+            if stored is None:
+                _publish_shape(batch_df.sparkSession, table_path, w, d)
+            shape_ok.append(True)
         _merge_idempotent(
             cms_grid_partial(batch_df, width=w, depth=d),
             table_path,
@@ -124,26 +168,40 @@ def estimate_tokens(
     ids row-side and looks its cells up via broadcast hash joins. Zero
     shuffles beyond the probe set itself, any number of probes.
     width/depth must match the shape the grid was MAINTAINED with
-    (defaults = the registered 4×1024); a mismatch probes the wrong
-    buckets, so the guard below refuses a grid whose observed bucket
-    range contradicts the declared width.
+    (defaults = the registered 4×1024): a mismatch probes the wrong
+    buckets, and a grid maintained NARROWER than declared would pass an
+    observed-range check yet coalesce missing cells to 0 — silently
+    under-estimating and breaking the est ≥ true invariant. The guard
+    therefore compares against the shape PERSISTED with the grid (the
+    ``<table_path>_shape`` sidecar the maintainer publishes) in BOTH
+    directions; only a legacy table without a sidecar falls back to the
+    one-directional observed-range heuristic.
     """
     from streaming_data_ingestion_spark.queries import sketches as _sk
 
     w = _sk._CMS_WIDTH if width is None else width
     d = _CMS_DEPTH if depth is None else depth
     grid = spark.read.parquet(table_path)
-    shape = grid.agg(
-        F.max("r").alias("rmax"), F.max("bucket").alias("bmax")
-    ).collect()[0]
-    if shape["rmax"] is not None and (
-        shape["rmax"] >= d or shape["bmax"] >= w
-    ):
-        raise ValueError(
-            f"stored grid at {table_path} has r<= {shape['rmax']}, "
-            f"bucket <= {shape['bmax']} — inconsistent with declared "
-            f"shape {d}x{w}; probe with the shape the maintainer used"
-        )
+    stored = _read_shape(spark, table_path)
+    if stored is not None:
+        if stored != (w, d):
+            raise ValueError(
+                f"grid at {table_path} is maintained with shape "
+                f"{stored[1]}x{stored[0]} (depth x width) but the probe "
+                f"declares {d}x{w}; probe with the maintainer's shape"
+            )
+    else:  # legacy table without a sidecar: observed-range heuristic
+        shape = grid.agg(
+            F.max("r").alias("rmax"), F.max("bucket").alias("bmax")
+        ).collect()[0]
+        if shape["rmax"] is not None and (
+            shape["rmax"] >= d or shape["bmax"] >= w
+        ):
+            raise ValueError(
+                f"stored grid at {table_path} has r<= {shape['rmax']}, "
+                f"bucket <= {shape['bmax']} — inconsistent with declared "
+                f"shape {d}x{w}; probe with the shape the maintainer used"
+            )
     # total = sum over one sketch row (every occurrence hits each row once)
     total = int(
         grid.filter(F.col("r") == 0)

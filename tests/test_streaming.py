@@ -1010,6 +1010,46 @@ def test_streaming_cms_grid_matches_batch_sketch(spark, tmp_path):
         assert heavy == (e * 200 >= total), t
 
 
+def test_streaming_cms_grid_shape_is_persisted_and_enforced(spark, tmp_path):
+    """The grid's (width, depth) is published with the table on first
+    merge and enforced END-TO-END: a writer configured with a different
+    shape refuses to merge (mis-shaped partials summed into the grid are
+    unrecoverable), and a probe declaring a different shape refuses to
+    estimate — in BOTH directions, including the narrower-than-declared
+    grid that the old observed-range check waved through (coalesce(0) on
+    the missing cells silently under-estimated, breaking est ≥ true)."""
+    import pytest
+
+    from streaming_data_ingestion_spark.streaming.cms_stream import (
+        estimate_tokens,
+        merge_cms_grid,
+    )
+
+    table = str(tmp_path / "cms_grid_2x64")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    wave = docs.filter(F.col("doc_id") < 100)
+
+    # maintain a NARROW 2x64 grid; the sidecar is published on first merge
+    merge_cms_grid(table, run_ns="run-a", width=64, depth=2)(wave, 0)
+    sidecar = spark.read.parquet(table + "_shape").collect()[0]
+    assert (sidecar["width"], sidecar["depth"]) == (64, 2)
+
+    # a writer configured with the DEFAULT 4x1024 must refuse this table
+    with pytest.raises(ValueError, match="maintained with shape 2x64"):
+        merge_cms_grid(table, run_ns="run-b")(wave, 1)
+
+    # probing with the default shape must refuse too — this is exactly
+    # the narrower-than-declared case the range check could not catch
+    probe = wave.limit(5).select(F.split("text", " ")[0].alias("token"))
+    with pytest.raises(ValueError, match="maintained with shape 2x64"):
+        estimate_tokens(spark, table, probe)
+
+    # the matching shape still merges and estimates
+    merge_cms_grid(table, run_ns="run-a", width=64, depth=2)(wave, 1)
+    got = estimate_tokens(spark, table, probe, width=64, depth=2)
+    assert got.count() == 5
+
+
 def test_streaming_cms_full_stream_e2e(spark, tmp_path):
     """maintain_cms_grid through a real file stream (one file per
     trigger) + checkpoint restart with no new data: grid equals the
