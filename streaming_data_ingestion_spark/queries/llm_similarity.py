@@ -777,20 +777,33 @@ def _sql_auto_rows_case() -> str:
     return f"CASE {terms} ELSE {_NDL_AUTO_MAX} END"
 
 
-_NDL_COUNT_MEMO: dict[str, int] = {}
+_NDL_COUNT_MEMO: dict[tuple, int] = {}
 
 
 def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
-    """One scalar per (process, sf_dir): the corpus row count the width
-    policy needs. Bounded by construction (a COUNT(*) aggregate returns
-    one row; parquet footers make it metadata-cheap); memoized so sweeps
-    and repeated builds pay it once. A production deployment would read
-    this from the stats catalog (stats_catalog.table_stats row_count)
-    collected at load time instead of counting inline."""
-    n = _NDL_COUNT_MEMO.get(sf_dir)
+    """One scalar per (process, corpus snapshot): the corpus row count
+    the width policy needs. Bounded by construction (a COUNT(*)
+    aggregate returns one row; parquet footers make it metadata-cheap);
+    memoized so sweeps and repeated builds pay it once. The memo keys on
+    the embeddings file's mtime (the same snapshot key tables.load uses
+    for its plan memo), so an in-process fixture rebuild or append
+    re-derives the width instead of serving a stale count — Spark's
+    width and the oracle's live COUNT(*) ladder cannot diverge. A
+    production deployment would read this from the stats catalog
+    (stats_catalog.table_stats row_count) collected at load time instead
+    of counting inline; a streaming fold-in that grows the corpus keeps
+    the width fresh the same way (row_count advances with each commit)."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (sf_dir, None)
+    n = _NDL_COUNT_MEMO.get(key)
     if n is None:
         n = load(spark, sf_dir, "embeddings").count()
-        _NDL_COUNT_MEMO[sf_dir] = n
+        _NDL_COUNT_MEMO[key] = n
     return n
 
 

@@ -324,25 +324,55 @@ def test_streaming_cms_nondefault_shape(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     probes = spark.createDataFrame([("the",)], ["token"])
-    with pytest.raises(ValueError, match="inconsistent"):
-        # default shape declares depth=4; stored rmax=1 < 4 is fine but
-        # the declared WIDTH 1024 over a 64-bucket grid... the guard
-        # fires on r/bucket exceeding the declared shape, so flip it:
-        # declare a SMALLER shape than stored to trigger
+    # the maintainer publishes the shape sidecar (r12), so ANY mismatched
+    # declaration refuses — including the default-shape probe over this
+    # NARROWER grid, which the old observed-range heuristic waved through
+    with pytest.raises(ValueError, match="maintained with shape 2x64"):
+        estimate_tokens(spark, table, probes).collect()
+    with pytest.raises(ValueError, match="maintained with shape 2x64"):
         estimate_tokens(spark, table, probes, width=32, depth=1).collect()
 
 
 def test_corpus_count_memoized(spark):
     """The width policy's 1-scalar count is paid once per (process,
-    sf_dir) — repeated builds must hit the memo, and the memo must be
-    keyed by directory (sf dirs differ in n at scale)."""
+    corpus snapshot) — repeated builds must hit the memo, and the memo
+    must be keyed by file snapshot (path + mtime), not bare directory."""
+    import os
+
     from streaming_data_ingestion_spark.queries import llm_similarity as m
 
+    path = os.path.abspath(f"{SF_TINY}/embeddings.parquet")
+    key = (path, os.stat(path).st_mtime_ns)
     n1 = _corpus_count(spark, SF_TINY)
-    assert m._NDL_COUNT_MEMO[SF_TINY] == n1
+    assert m._NDL_COUNT_MEMO[key] == n1
     # poison the memo: a second call must NOT recount
-    m._NDL_COUNT_MEMO[SF_TINY] = n1 + 7
+    m._NDL_COUNT_MEMO[key] = n1 + 7
     try:
         assert _corpus_count(spark, SF_TINY) == n1 + 7
     finally:
-        m._NDL_COUNT_MEMO[SF_TINY] = n1
+        m._NDL_COUNT_MEMO[key] = n1
+
+
+def test_corpus_count_tracks_fixture_rebuild(spark, tmp_path):
+    """A rebuilt/appended corpus must re-derive the count (and therefore
+    the LSH width): the memo keys on the file's mtime, so serving a
+    stale count across a rebuild — where Spark's derived width would
+    diverge from the oracle's live COUNT(*) ladder — is impossible.
+    Crossing a doubling boundary flips the derived width itself."""
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _auto_rows,
+    )
+
+    sf = str(tmp_path)
+    spark.range(100).selectExpr("id AS vec_id").write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    n1 = _corpus_count(spark, sf)
+    assert n1 == 100
+    # rebuild PAST a doubling boundary (100 -> 300 rows)
+    spark.range(300).selectExpr("id AS vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/embeddings.parquet")
+    n2 = _corpus_count(spark, sf)
+    assert n2 == 300
+    assert _auto_rows(n2) > _auto_rows(n1)  # 8 > 6: the width moved
