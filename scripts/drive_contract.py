@@ -284,9 +284,15 @@ def main() -> int:
                 n = sdf.count()
                 print(f"{name}: rows-only, {n} rows", flush=True)
                 continue
+            capped = None
             if args.max_result_rows is not None:
-                n_rows = sdf.count()  # full plan executes either way
+                # persist so the capacity count and the toPandas compare
+                # share ONE execution — without it every oracled key ran
+                # its full plan twice and --timings readings doubled
+                capped = sdf.persist()
+                n_rows = capped.count()
                 if n_rows > args.max_result_rows:
+                    capped.unpersist()
                     print(
                         f"{name}: SKIPPED comparator-capacity "
                         f"({n_rows} rows > --max-result-rows "
@@ -295,7 +301,9 @@ def main() -> int:
                         flush=True,
                     )
                     continue
-            sp = sdf.toPandas()
+            sp = (capped if capped is not None else sdf).toPandas()
+            if capped is not None:
+                capped.unpersist()
             t_spark = _time.monotonic() - t0
             dp = con.execute(oracles[name]).df()
             t_duck = _time.monotonic() - t0 - t_spark

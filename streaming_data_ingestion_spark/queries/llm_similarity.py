@@ -1448,16 +1448,11 @@ def pq_encode_np_df(e: DataFrame) -> DataFrame:
     return e.mapInPandas(encode, schema=out_schema)
 
 
-_PQ_NP_ORACLE = f"""
-SELECT vec_id, array_to_string(codes, ',') AS codes, sq_err
-FROM ({_PQ_ORACLE})
-ORDER BY vec_id
-"""
-
-
 @query(
     "q_pq_encode_np",
-    oracle=_PQ_NP_ORACLE,
+    # the SAME oracle constant as q_pq_encode — one source of truth, so
+    # the two bindings cannot drift if the flattening idiom is edited
+    oracle=_PQ_ORACLE_FLAT,
     tags=("llm", "similarity", "ann", "udf"),
 )
 def q_pq_encode_np(spark: SparkSession, sf_dir: str) -> DataFrame:
