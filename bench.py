@@ -13,6 +13,25 @@ wall-clock on a shared machine drifts ±20% (round-2's +19.5% "regression"
 reproduced as pure environmental noise: re-runs of identical code gave
 27.5-29.6s vs the recorded 37.4s), and the median absorbs that without
 hiding real slowdowns.
+
+Round 13 (VERDICT r12 items 1+2, measurement additions only — the warm
+medians in "queries" keep the exact prior methodology for longitudinal
+comparability):
+
+* A labelled COLD first-execution reading per key ("queries_cold" /
+  "tpch_cold" / "extended_cold" on the detail line; "cold_total" on the
+  compact line): each group's bounded-persist registry is cleared
+  (caching.clear_registry) and every key is timed on its FIRST
+  execution, so persisted-intermediate build costs — which the warm
+  medians deliberately exclude — are visible per key. Caveats stated so
+  the numbers are read honestly: the first keys of the first group also
+  absorb residual JVM/codegen warm-up, and when several keys share one
+  persisted intermediate (the lifecycle daily spine; the r12-documented
+  LSH signature/generation/bucketed builds, which live in other memos
+  and are NOT cleared) the first sharer's cold number carries the build.
+* "parallelism" (sc.defaultParallelism) and "master" in both JSON lines,
+  so the driver can verify $SPARK_GRAFT_CPUS is honored instead of
+  inferring from timing ratios.
 """
 
 from __future__ import annotations
@@ -241,6 +260,11 @@ def emit_lines(
     tpch_timings: dict[str, float],
     ext_timings: dict[str, float],
     sf: float,
+    cold: dict[str, float] | None = None,
+    tpch_cold: dict[str, float] | None = None,
+    ext_cold: dict[str, float] | None = None,
+    parallelism: int | None = None,
+    master: str | None = None,
 ) -> list[str]:
     """Output lines, full detail FIRST and a compact line LAST: the
     driver records only the final ~2000 chars of output and parses the
@@ -250,17 +274,26 @@ def emit_lines(
     to the top-20 slowest if even that overflows. tests/test_bench.py
     pins the contract so a print reorder can't regress it."""
     total = round(sum(timings.values()), 3)
-    detail = json.dumps(
-        {
-            "metric": "headline_query_total_runtime_detail",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "tpch": tpch_timings,
-            "extended": ext_timings,
-            "sf": sf,
-        }
-    )
+    detail_d = {
+        "metric": "headline_query_total_runtime_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tpch": tpch_timings,
+        "extended": ext_timings,
+        "sf": sf,
+    }
+    if cold is not None:
+        detail_d["queries_cold"] = cold
+    if tpch_cold is not None:
+        detail_d["tpch_cold"] = tpch_cold
+    if ext_cold is not None:
+        detail_d["extended_cold"] = ext_cold
+    if parallelism is not None:
+        detail_d["parallelism"] = parallelism
+    if master is not None:
+        detail_d["master"] = master
+    detail = json.dumps(detail_d)
     compact = {
         "metric": "headline_query_total_runtime",
         "value": total,
@@ -272,6 +305,12 @@ def emit_lines(
         "n_extended": len(ext_timings),
         "queries": timings,
     }
+    if cold is not None:
+        compact["cold_total"] = round(sum(cold.values()), 3)
+    if parallelism is not None:
+        compact["parallelism"] = parallelism
+    if master is not None:
+        compact["master"] = master
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's tail window
         compact["queries"] = dict(
@@ -282,6 +321,54 @@ def emit_lines(
     return [detail, line]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_group(
+    spark, specs, sf_dir: str, names: tuple[str, ...]
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(warm medians, cold first-execution) for one query group.
+
+    Cold pass first: the bounded-persist registry is cleared, so each
+    key's FIRST execution pays its persisted-intermediate builds (keys
+    sharing one intermediate: the first sharer pays it). Then the
+    original warm-up pass (now the 2nd execution — steady state exactly
+    as before) and N_PASSES timed passes whose MEDIAN is the warm
+    number, byte-compatible with every prior round's methodology.
+    """
+    from streaming_data_ingestion_spark.caching import clear_registry
+
+    clear_registry()
+    cold: dict[str, float] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench:cold:{name}")
+        t0 = time.perf_counter()
+        _noop(specs[name].fn(spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
+    # Warm-up pass: JVM/codegen/plan caches and (rebuilt) persisted
+    # intermediates are all hot after this, as in every prior round.
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench:warmup:{name}")
+        _noop(specs[name].fn(spark, sf_dir))
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(N_PASSES):
+        for name in names:
+            # The builder call is INSIDE the timed span: it is lazy (and
+            # ~free) for declarative queries, but iterative operators
+            # (connected components) run their driver-coordinated rounds
+            # eagerly in the builder, and excluding that would
+            # under-report them.
+            spark.sparkContext.setJobDescription(f"bench:{name}")
+            t0 = time.perf_counter()
+            _noop(specs[name].fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+    warm = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    return warm, cold
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -289,73 +376,28 @@ def main() -> int:
 
     spark = get_spark(app_name="sdi-bench")
 
-    # Warm-up: touch every table, then run each headline query once so
-    # JVM/codegen/parquet-footer caches and per-query plan compilation are
-    # paid before timing — the timed pass measures steady-state engine
-    # throughput, not Catalyst planning or codegen compilation.
+    # Touch every table so parquet-footer/listing caches are paid before
+    # any timed span (cold numbers measure the ENGINE's first execution,
+    # not filesystem metadata warm-up).
     for t in TABLES:
         load(spark, sf_dir, t).limit(1).count()
     specs = all_queries()
-    for name in HEADLINE:
-        specs[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(N_PASSES):
-        for name in HEADLINE:
-            # The builder call is INSIDE the timed span: it is lazy (and
-            # ~free) for declarative queries, but iterative operators
-            # (connected components) run their driver-coordinated rounds
-            # eagerly in the builder, and excluding that would
-            # under-report them.
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            samples[name].append(time.perf_counter() - t0)
+    timings, cold = _time_group(spark, specs, sf_dir, HEADLINE)
+    tpch_timings, tpch_cold = _time_group(spark, specs, sf_dir, TPCH)
+    ext_timings, ext_cold = _time_group(spark, specs, sf_dir, EXTENDED)
 
-    timings = {
-        name: round(statistics.median(ts), 3) for name, ts in samples.items()
-    }
-
-    # TPC-H suite group: same warm-up + median-of-N discipline.
-    for name in TPCH:
-        specs[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    tpch_samples: dict[str, list[float]] = {name: [] for name in TPCH}
-    for _ in range(N_PASSES):
-        for name in TPCH:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            tpch_samples[name].append(time.perf_counter() - t0)
-    tpch_timings = {
-        name: round(statistics.median(ts), 3)
-        for name, ts in tpch_samples.items()
-    }
-
-    # Extended group: same warm-up + median-of-N discipline.
-    for name in EXTENDED:
-        specs[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    ext_samples: dict[str, list[float]] = {name: [] for name in EXTENDED}
-    for _ in range(N_PASSES):
-        for name in EXTENDED:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            ext_samples[name].append(time.perf_counter() - t0)
-    ext_timings = {
-        name: round(statistics.median(ts), 3)
-        for name, ts in ext_samples.items()
-    }
-
-    for line in emit_lines(timings, tpch_timings, ext_timings, sf):
+    for line in emit_lines(
+        timings,
+        tpch_timings,
+        ext_timings,
+        sf,
+        cold=cold,
+        tpch_cold=tpch_cold,
+        ext_cold=ext_cold,
+        parallelism=spark.sparkContext.defaultParallelism,
+        master=spark.sparkContext.master,
+    ):
         print(line)
     spark.stop()
     return 0

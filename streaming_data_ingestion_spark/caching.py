@@ -30,3 +30,18 @@ def bounded_persist(key: str, tag: str, build: Callable[[], DataFrame]) -> DataF
     df = build().persist()
     _REGISTRY[key] = (tag, df)
     return df
+
+
+def clear_registry() -> None:
+    """Unpersist every live entry and empty the registry.
+
+    Measurement hook (bench.py's labelled cold pass, VERDICT r12 item 1):
+    the first execution of each operator after this call pays every
+    persisted intermediate's build cost, exactly like a fresh process —
+    so per-key cold readings include the intermediate builds that warm
+    medians (taken after a warm-up pass) deliberately exclude. Never
+    called from a query path; values are unaffected (an unpersisted
+    lazy result only ever degrades to recompute)."""
+    for _tag, df in list(_REGISTRY.values()):
+        df.unpersist()
+    _REGISTRY.clear()

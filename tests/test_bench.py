@@ -68,6 +68,37 @@ def test_detail_line_precedes_compact():
     assert set(detail["queries"]) == set(_fake(5, "q"))
 
 
+def test_cold_and_parallelism_fields_are_emitted():
+    """Round-13 measurement additions (VERDICT r12 items 1+2): per-key
+    cold first-execution maps on the detail line, cold_total +
+    parallelism + master on the compact line — and the compact line must
+    still fit the driver's tail window with them."""
+    q, t, x = _fake(30, "q"), _fake(22, "t"), _fake(150, "x")
+    cq = {k: round(v * 2, 3) for k, v in q.items()}
+    ct = {k: round(v * 2, 3) for k, v in t.items()}
+    cx = {k: round(v * 2, 3) for k, v in x.items()}
+    lines = bench.emit_lines(
+        q, t, x, 0.1, cold=cq, tpch_cold=ct, ext_cold=cx,
+        parallelism=32, master="local[32]",
+    )
+    detail = json.loads(lines[0])
+    assert detail["queries_cold"] == cq
+    assert detail["tpch_cold"] == ct
+    assert detail["extended_cold"] == cx
+    assert detail["parallelism"] == 32
+    assert detail["master"] == "local[32]"
+    compact = json.loads(lines[-1])
+    assert compact["cold_total"] == round(sum(cq.values()), 3)
+    assert compact["parallelism"] == 32
+    assert compact["master"] == "local[32]"
+    # warm medians stay byte-identical to the no-cold call (longitudinal
+    # comparability: the cold pass may not perturb the recorded contract)
+    base = json.loads(bench.emit_lines(q, t, x, 0.1)[-1])
+    assert compact["queries"] == base["queries"]
+    assert compact["value"] == base["value"]
+    assert len(lines[-1]) <= 1900
+
+
 def test_bench_sweep_artifact_format_is_pinned():
     """Every per-round sweep artifact (docs/BENCH_SWEEP_r{N}.json,
     written by scripts/bench_sweep.py) must carry the fields the
