@@ -285,25 +285,30 @@ def main() -> int:
                 print(f"{name}: rows-only, {n} rows", flush=True)
                 continue
             capped = None
-            if args.max_result_rows is not None:
-                # persist so the capacity count and the toPandas compare
-                # share ONE execution — without it every oracled key ran
-                # its full plan twice and --timings readings doubled
-                capped = sdf.persist()
-                n_rows = capped.count()
-                if n_rows > args.max_result_rows:
+            try:
+                if args.max_result_rows is not None:
+                    # persist so the capacity count and the toPandas
+                    # compare share ONE execution — without it every
+                    # oracled key ran its full plan twice and --timings
+                    # readings doubled
+                    capped = sdf.persist()
+                    n_rows = capped.count()
+                    if n_rows > args.max_result_rows:
+                        print(
+                            f"{name}: SKIPPED comparator-capacity "
+                            f"({n_rows} rows > --max-result-rows "
+                            f"{args.max_result_rows}; engine ran "
+                            f"end-to-end, hash-compare skipped)",
+                            flush=True,
+                        )
+                        continue
+                sp = (capped if capped is not None else sdf).toPandas()
+            finally:
+                # unpersist even when count/toPandas raises — a leaked
+                # cache entry otherwise holds blocks for the rest of a
+                # multi-hour capped run (ADVICE r12)
+                if capped is not None:
                     capped.unpersist()
-                    print(
-                        f"{name}: SKIPPED comparator-capacity "
-                        f"({n_rows} rows > --max-result-rows "
-                        f"{args.max_result_rows}; engine ran end-to-end, "
-                        f"hash-compare skipped)",
-                        flush=True,
-                    )
-                    continue
-            sp = (capped if capped is not None else sdf).toPandas()
-            if capped is not None:
-                capped.unpersist()
             t_spark = _time.monotonic() - t0
             dp = con.execute(oracles[name]).df()
             t_duck = _time.monotonic() - t0 - t_spark

@@ -147,8 +147,15 @@ def with_global_rank(
     if group_col is None:
         return out, total
     gtype = tagged.schema[group_col].dataType.simpleString()
+    # None-first sort key: repartitionByRange(asc) routes null-group rows
+    # into the stats (nulls first), and a plain sorted() raises TypeError
+    # when None meets a non-null value (ADVICE r12). Current callers pass
+    # non-null group columns; this keeps the helper generic.
     goffs = spark.createDataFrame(
-        [(g, grp_base[g], grp_n[g]) for g in sorted(grp_base)],
+        [
+            (g, grp_base[g], grp_n[g])
+            for g in sorted(grp_base, key=lambda g: (g is not None, g))
+        ],
         f"`{group_col}` {gtype}, __grp_base long, __grp_n long",
     )
     return out, total, goffs

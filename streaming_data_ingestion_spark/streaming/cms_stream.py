@@ -56,13 +56,25 @@ def _shape_path(table_path: str) -> str:
 
 
 def _read_shape(spark: SparkSession, table_path: str) -> tuple[int, int] | None:
-    """The persisted grid shape, or None for a table that predates the
-    sidecar (legacy) or does not exist yet."""
+    """The persisted grid shape, or None ONLY when the sidecar does not
+    exist (a table that predates it, or a first merge racing the
+    publish). Any other failure — a transient read error, a corrupt
+    sidecar — re-raises: swallowing it would let a mis-configured writer
+    treat the table as legacy, publish ITS shape over the correct
+    sidecar, and merge mis-shaped partials — the exact corruption the
+    guard exists to prevent (ADVICE r12)."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(_shape_path(table_path)).collect()[0]
         return int(row["width"]), int(row["depth"])
-    except Exception:
+    except FileNotFoundError:
         return None
+    except AnalysisException as e:
+        cond = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def _publish_shape(

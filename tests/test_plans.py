@@ -359,6 +359,25 @@ def test_tpch_q18_semi_join_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sim_pq_adc_plan_contract(spark):
+    """q_sim_pq_adc is in _SWEEP_SKIP (its builder runs an eager bounded
+    3-row pushed-filter collect per plan build — the house checklist for
+    eager bounded-collect builders), so the invariants the global sweeps
+    would have checked are asserted HERE, paying that bounded job once:
+    the only Python surface is the certified numpy encode kernel, the
+    only nested-loop join is the allowlisted 3-row LUT fan-out, and the
+    per-query top-5 is a window cut, not a collect."""
+    plan = plan_of(spark, "q_sim_pq_adc")
+    # formatted plans name each operator twice (tree + numbered detail);
+    # count the detail headers
+    assert plan.count(") MapInPandas") == 1  # pq_encode_np kernel only
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") == 1  # 3-row LUT side
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_ngram_jaccard_verify_is_equi_join_only(spark):
     """Exact-Jaccard verify must consume the LSH collision set: every
     join carries an equality condition (band key, then doc_id lookups) —
@@ -617,6 +636,11 @@ _SWEEP_SKIP = {
     # and tests/test_streaming.py (generation lifecycle)
     "q_ann_gen_probe",
     "q_ann_gen_probe_b2",
+    # r12 gave this builder an eager bounded 3-row pushed-filter collect
+    # (the per-query ADC LUTs); per the house checklist its plan contract
+    # moves to a dedicated test (test_sim_pq_adc_plan_contract below)
+    # instead of running a real scan job in every global sweep
+    "q_sim_pq_adc",
 }
 # q_bucketed_join is DELIBERATELY not in _SWEEP_SKIP (verdict r9 nit):
 # unlike the probes above, its returned plan — the exchange-free
