@@ -193,7 +193,12 @@ def heavy_hitters_cms(
         # the depth bucket ids (salted md5s) are computed ONCE per
         # occurrence here and cached — both the sketch pass and the
         # candidate lookup read them back instead of re-hashing the
-        # token stream
+        # token stream. (r13 measured an Arrow hashlib twin with a
+        # per-task distinct-token memo against this JVM form and the
+        # JVM form WON — F.md5 is whole-stage-codegen, and the Python
+        # boundary transfer cost exceeded the memo's saving: warm build
+        # medians 0.29 s JVM vs 0.44 s Arrow at sf0.1 for both grids —
+        # so the hashing stays here; OPTIMIZATION_r13.md "CMS".)
         toks = tokenize_documents(
             spread_for_cpu(load(spark, sf_dir, "documents").select("text"))
         )
@@ -205,9 +210,14 @@ def heavy_hitters_cms(
             ],
         )
 
+    # the registry key carries the grid shape: the two registered
+    # bindings are two OPERATORS with two grids, and sharing one key
+    # made each bench pass evict and rebuild the other binding's token
+    # table (r13; the "at most one live entry per key" bound is per
+    # operator, not per module)
     tokb = bounded_persist(
-        "q_heavy_hitters_cms.tokb",
-        f"{sf_dir}|w{width}d{depth}",
+        f"q_heavy_hitters_cms.tokb.w{width}d{depth}",
+        sf_dir,
         _tokb,
     )
     occ = tokb.select(

@@ -503,11 +503,18 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is selective like the spec's). The HAVING sum is exact
     decimal, so the cut is deterministic cross-engine.
 
-    Plan: the `big` aggregate is keyed on l_orderkey — the SAME key as
-    the lineitem⋈orders join, so Spark reuses one shuffle partitioning
-    across agg → semi-join → re-agg; the surviving-order set is tiny and
-    broadcasts into the semi join. Customer broadcasts. Top-100 via
-    TakeOrderedAndProject.
+    Plan (r13 re-grain, guide §2.4): the query's output grain IS the
+    order, and the `big` HAVING aggregate already computes each order's
+    exact-decimal quantity total — so `sum_qty` is read off `big`
+    instead of re-joining lineitem and re-aggregating. That removes the
+    second lineitem scan, the fact-sized o_orderkey shuffle join, and
+    the final re-aggregation outright: lineitem is read ONCE (grouped
+    map-side on l_orderkey), the tiny surviving-order set broadcasts
+    into orders, customer broadcasts, top-100 via TakeOrderedAndProject.
+    Bit-identical: grouping the joined rows at order grain summed
+    exactly one order's lineitems — the very total `big` computed — and
+    orders/customer are unique on their keys, so no row can duplicate
+    or drop; the decimal sum is cast to double identically (dsum).
     """
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -516,18 +523,18 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
     return (
-        o.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
-            F.col("o_orderkey") == F.col("bk"),
-            "left_semi",
-        )
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )

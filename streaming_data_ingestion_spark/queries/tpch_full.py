@@ -646,16 +646,17 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT (l_partkey, l_suppkey) projection of lineitem; the spec's
     complaint-comment exclusion maps to negative account balance.
 
-    Plan: the distinct pair projection is the one fact-sized shuffle
-    (map-side combine on the pair key); the sliced part dimension
-    broadcasts; the excluded-supplier set is a tiny broadcast anti
-    join; COUNT(DISTINCT) then runs on the collapsed pair relation.
+    Plan (r13, guide §2.3/§2.4): the explicit DISTINCT-pair projection
+    was a redundant fact-sized exchange — COUNT(DISTINCT l_suppkey)
+    already dedups map-side at the (brand, type, size, suppkey) grain,
+    and duplicate pairs cannot change a distinct count — so the fact
+    rows flow straight through the broadcast part join (which drops
+    ~84% of them BEFORE any exchange; the old shape shuffled the full
+    pair relation first and filtered after) and the tiny broadcast
+    anti join into the distinct aggregate. Two fact-sized exchanges
+    become one exchange carrying only surviving distinct combinations.
     """
-    pairs = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -665,7 +666,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        pairs.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(
             F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti"
         )

@@ -71,8 +71,10 @@ def _read_shape(spark: SparkSession, table_path: str) -> tuple[int, int] | None:
     except FileNotFoundError:
         return None
     except AnalysisException as e:
-        cond = getattr(e, "getErrorClass", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        if "PATH_NOT_FOUND" in (getter() or "") or "PATH_NOT_FOUND" in str(e):
             return None
         raise
 

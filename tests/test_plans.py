@@ -351,11 +351,16 @@ def test_tpch_q14_no_fact_shuffle(spark):
     assert "partial_sum" in plan
 
 
-def test_tpch_q18_semi_join_broadcasts(spark):
-    """Q18: the HAVING-filtered big-order set (tiny) broadcasts into a
-    LeftSemi join — orders never shuffles against it."""
+def test_tpch_q18_single_lineitem_pass(spark):
+    """Q18 (r13 re-grain): sum_qty is read off the HAVING aggregate
+    itself, so lineitem appears in exactly ONE scan (the old shape
+    re-joined it and re-aggregated), nothing fact-sized shuffles after
+    the grouped aggregate (both attach joins broadcast), and top-100 is
+    a TakeOrderedAndProject."""
     plan = plan_of(spark, "q_tpch_q18")
-    assert "BroadcastHashJoin LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") BroadcastHashJoin") == 2  # big→orders, customer
     assert "TakeOrderedAndProject" in plan
 
 
@@ -725,6 +730,22 @@ def test_cms_candidate_pass(spark):
     assert len(token_exchanges) <= 1, token_exchanges
 
 
+def test_cms_bindings_keep_separate_persist_entries(spark):
+    """r13: the two registered CMS grids persist their token tables
+    under SHAPE-QUALIFIED registry keys. When they shared one key, every
+    alternating execution (each bench pass) evicted and rebuilt the
+    other binding's corpus-sized intermediate — the warm 'steady state'
+    silently included a full tokenize+hash pass per execution."""
+    from streaming_data_ingestion_spark.caching import _REGISTRY
+    from streaming_data_ingestion_spark.registry import all_queries
+
+    qs = all_queries()
+    qs["q_heavy_hitters_cms"].fn(spark, SF_DIR)
+    qs["q_heavy_hitters_cms_b2"].fn(spark, SF_DIR)
+    keys = [k for k in _REGISTRY if k.startswith("q_heavy_hitters_cms.tokb")]
+    assert len(keys) == 2, keys
+
+
 def test_sample_topk_hash_prunes_map_side(spark):
     """Exact-K stratified sample: WindowGroupLimit must prune to K rows
     per input partition BEFORE the single source exchange."""
@@ -763,11 +784,18 @@ def test_tpch_q21_exists_pair_as_counters(spark):
 
 
 def test_tpch_q16_excludes_via_broadcast_anti(spark):
-    """Q16's NOT IN supplier exclusion must be a broadcast ANTI join, and
-    the part slice a broadcast — the only exchange the fact pays is the
-    distinct pair projection."""
+    """Q16's NOT IN supplier exclusion must be a broadcast ANTI join and
+    the part slice a broadcast; r13 dropped the redundant fact-sized
+    DISTINCT-pair exchange (COUNT DISTINCT dedups map-side), so the fact
+    flows straight from the scan through the broadcast joins into the
+    distinct aggregate — no exchange before the part filter has pruned."""
     plan = plan_of(spark, "q_tpch_q16")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    # exactly three exchanges survive: (group, supp) dedup grain, group
+    # grain, and the final ORDER BY range exchange — the old
+    # pre-distinct added a fourth, fact-sized one before the part filter
+    assert plan.count(") Exchange") == 3
 
 
 def test_tpch_q22_anti_join_no_fact_shuffle(spark):
