@@ -75,25 +75,41 @@ def kmeans_fit(
     dim = len(seeds[0]["embedding"])
     cents = [[float(x) for x in r["embedding"]] for r in seeds]
 
+    from decimal import Decimal
+
     history: list[float] = []
     for _ in range(n_iters):
-        # persisted for the iteration: the k-distance fold (the expensive
-        # narrow map) feeds BOTH the centroid update and the inertia
-        # aggregate — without the persist each iteration scans the corpus
-        # twice, doubling the dominant training cost
-        assigned = _assign(df.select("vec_id", "embedding"), cents).persist()
-        # update: exact decimal mean per (cell, dim) — q_emb_centroid shape
+        assigned = _assign(df.select("vec_id", "embedding"), cents)
+        # ONE distributed job per iteration (r13, guide §5 driver
+        # round-trips): the centroid update and the inertia ride the
+        # SAME (cell, dim)-keyed aggregate — dim 0 enumerates every
+        # assigned vector exactly once, so the per-(cell, dim=0) decimal
+        # dist2 partials sum (exactly, in Python Decimal — decimal
+        # addition is associative) to the same total the separate
+        # whole-corpus decimal aggregate produced. The fold now feeds a
+        # single consumer, so the per-iteration persist/unpersist (and
+        # its second corpus pass) is gone: the fit was measured
+        # job-dispatch-bound, not fold-bound (OPTIMIZATION_r13.md
+        # "kmeans fit": the k-distance map is 0.19 s of a 4.4 s cold
+        # fit at sf0.1), so the distance step deliberately stays on the
+        # JVM fold.
         upd = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("dim", "x"), "dist2"
+            )
             .groupBy("cell", "dim")
             .agg(
                 F.sum(F.col("x").cast(DEC)).alias("s"),
                 F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("dim") == 0, F.col("dist2")).cast(DEC)
+                ).alias("ip"),
             )
             .select(
                 "cell",
                 "dim",
                 (F.col("s").cast("double") / F.col("n")).alias("m"),
+                "ip",
             )
         )
         rows = upd.collect()
@@ -104,10 +120,9 @@ def kmeans_fit(
         for cell, vec in by_cell.items():
             new_cents[cell] = vec
         cents = new_cents
-        inertia = assigned.agg(
-            F.sum(F.col("dist2").cast(DEC)).cast("double")
-        ).collect()[0][0]
-        assigned.unpersist()
+        inertia = sum(
+            (r["ip"] for r in rows if r["ip"] is not None), Decimal(0)
+        )
         history.append(float(inertia))
     return cents, history
 

@@ -1807,8 +1807,9 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batched serve: the three per-query codes-only ADC stages (each the
     # serve_topk bounded path: cell-pruned scan → LUT scoring → top-20
     # cut) union into ONE bounded collect job instead of three driver
-    # round-trips; the per-query exact re-rank then replays serve_topk's
-    # point-fetch plan verbatim, so the emitted rows are identical.
+    # round-trips; the exact re-rank is then ONE batched point-fetch +
+    # per-query window cut (below) emitting the same rows serve_topk's
+    # per-query point-fetch plans would.
     nprobe, k, rerank = 2, 5, 20
     probes_by_q = {
         qid: _probe_cells(q_rows[qid], cents, nprobe)
@@ -1825,37 +1826,54 @@ def q_sim_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(qid).alias("query_id"), "vec_id", "cell", "adc_dist"
         )
         stages = st if stages is None else stages.unionByName(st)
-    surv_by_q: dict[int, list] = {qid: [] for qid in _IVF_QUERY_IDS}
-    for r in stages.collect():  # bounded ≤ |queries|·rerank rows
-        surv_by_q[r["query_id"]].append(r)
-    out = None
+    pairs = [
+        (r["query_id"], r["vec_id"], int(r["cell"]), r["adc_dist"])
+        for r in stages.collect()  # bounded ≤ |queries|·rerank rows
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [],
+            f"query_id long, vec_id long, cell {cell_t}, "
+            "adc_dist double, exact_dist double",
+        )
+    # Batched exact re-rank (r13, guide §2.4/§2.6): the three per-query
+    # point-fetch branches each ran their own pruned scan + join job —
+    # ONE fetch under the UNION of the probed cells and survivor ids
+    # returns exactly the union of the per-branch row sets (vec_id is
+    # unique and every survivor's cell is probed by its own query), the
+    # broadcast (query_id, vec_id) survivor join restores per-query
+    # scoping, exact_dist picks its query's literal fold via query_id,
+    # and the per-branch orderBy+limit(k) becomes ONE window cut with
+    # the same (exact_dist, vec_id) tie-break — row-for-row identical
+    # output (asserted vs the branch form at sf0.01 and sf0.1 before
+    # the swap), one scan job instead of |queries|.
+    surv_df = F.broadcast(
+        spark.createDataFrame(
+            pairs,
+            f"query_id long, vec_id long, cell {cell_t}, adc_dist double",
+        )
+    )
+    all_cells = sorted({c for qid in _IVF_QUERY_IDS for c in probes_by_q[qid]})
+    fetched = fetch_vectors(
+        spark, path, all_cells, sorted({p[1] for p in pairs})
+    )
+    exact = None
     for qid in _IVF_QUERY_IDS:
-        survivors = surv_by_q[qid]
-        surv_df = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (r["vec_id"], int(r["cell"]), r["adc_dist"])
-                    for r in survivors
-                ],
-                f"vec_id long, cell {cell_t}, adc_dist double",
-            )
+        cond = F.col("query_id") == qid
+        e = _exact_dist_to(q_rows[qid])
+        exact = F.when(cond, e) if exact is None else exact.when(cond, e)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        fetched.join(surv_df, "vec_id")
+        .select(
+            "query_id", "vec_id", "cell", "adc_dist",
+            exact.alias("exact_dist"),
         )
-        fetched = fetch_vectors(
-            spark, path, probes_by_q[qid], [r["vec_id"] for r in survivors]
-        )
-        res = (
-            fetched.join(surv_df, "vec_id")
-            .select(
-                "vec_id", "cell", "adc_dist",
-                _exact_dist_to(q_rows[qid]).alias("exact_dist"),
-            )
-            .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
-            .limit(k)
-            .withColumn("query_id", F.lit(qid))
-        )
-        out = res if out is None else out.unionByName(res)
-    return out.select(
-        "query_id", "vec_id", "cell", "adc_dist", "exact_dist"
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cell", "adc_dist", "exact_dist")
     )
 
 
